@@ -1,0 +1,129 @@
+"""HyperLogLog distinct-count sketch (dense, vectorized, mergeable).
+
+Replaces the reference's exact distinct-key set (the index of
+``value_counts()`` at ``models/preprocessing.py:7``) which requires a full
+shuffle / single-node materialization. An HLL partial is computed per Arrow
+block inside ``map_batches`` and merged associatively (elementwise max of
+registers), so distinct counts stream at any scale.
+
+Standard HLL (Flajolet et al. 2007) with the small-range linear-counting
+correction; p in [4, 18], relative error ~= 1.04/sqrt(2^p).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# 64-bit splitmix-style avalanche; vectorized over uint64 arrays.
+_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _avalanche(h: np.ndarray) -> np.ndarray:
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(30)
+    h *= _C1
+    h ^= h >> np.uint64(27)
+    h *= _C2
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def hash64(values) -> np.ndarray:
+    """Deterministic 64-bit hashes for an array of arbitrary values.
+
+    Strings/bytes go through a vectorized FNV-1a-over-bytes fallback only
+    when numpy can't view them as integers; numeric arrays are avalanche-
+    mixed directly (fast path for key columns).
+    """
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iuf":
+        return _avalanche(arr.astype(np.int64, copy=False).view(np.uint64))
+    if arr.dtype.kind == "M":  # datetime64
+        return _avalanche(arr.view(np.int64).view(np.uint64))
+    # object / string path: hash via python-level but amortized with a dict
+    # cache for repeated values (categorical-ish columns are common).
+    out = np.empty(len(arr), dtype=np.uint64)
+    cache: dict = {}
+    for i, v in enumerate(arr):
+        key = v
+        h = cache.get(key)
+        if h is None:
+            if isinstance(v, bytes):
+                b = v
+            elif v is None:
+                b = b"\x00<null>"
+            else:
+                b = str(v).encode("utf-8", "surrogatepass")
+            h = np.uint64(_fnv1a(b))
+            cache[key] = h
+        out[i] = h
+    return _avalanche(out)
+
+
+def _fnv1a(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for byte in data:
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+class HyperLogLog:
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 12):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def update(self, values) -> "HyperLogLog":
+        """Add a batch of values (vectorized)."""
+        if len(values) == 0:
+            return self
+        h = hash64(values)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        # rank = leading zeros of the remaining (64-p) bits, + 1
+        rest = (h << np.uint64(self.p)) | (np.uint64(1) << np.uint64(self.p - 1))
+        # position of highest set bit -> leading zero count
+        # use float log2 safely: rest is never 0 because we or-ed a guard bit
+        bits = 63 - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)
+        rank = (bits + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("cannot merge HLLs of different precision")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        if self.p == 4:
+            alpha = 0.673
+        elif self.p == 5:
+            alpha = 0.697
+        elif self.p == 6:
+            alpha = 0.709
+        else:
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
+        est = alpha * m * m / inv.sum()
+        if est <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                est = m * np.log(m / zeros)  # linear counting
+        return float(est)
+
+    # --- serialization (for transport in Arrow binary columns) ---
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "HyperLogLog":
+        sk = cls(data[0])
+        sk.registers = np.frombuffer(data[1:], dtype=np.uint8).copy()
+        return sk

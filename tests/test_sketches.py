@@ -1,0 +1,223 @@
+"""Unit tests for the mergeable sketches: error bounds + merge invariance.
+
+These are the properties the engine's correctness rests on (SURVEY.md §5):
+sketch estimates within published bounds vs exact answers, and
+order-independent merges (partials from map_batches can arrive in any
+order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from anomalydetection_ray.sketches import BloomFilter, FixedHistogram, HyperLogLog, KLL
+from anomalydetection_ray.sketches.histogram import ks_statistic, psi
+from anomalydetection_ray.sketches.minhash import (
+    MinHasher,
+    band_keys,
+    exact_jaccard,
+    shingle_hashes,
+    word_hashes,
+)
+from anomalydetection_ray.sketches.simhash import hamming_distance, popcount64, simhash_text
+
+
+# ---------------- HLL ----------------
+
+
+@pytest.mark.parametrize("n", [100, 10_000, 200_000])
+def test_hll_error_bound(n):
+    sk = HyperLogLog(p=12)
+    sk.update(np.arange(n))
+    rel_err = abs(sk.estimate() - n) / n
+    # 1.04/sqrt(2^12) ~= 1.6%; allow 3 sigma
+    assert rel_err < 0.05, rel_err
+
+
+def test_hll_strings_and_duplicates():
+    sk = HyperLogLog(p=12)
+    vals = np.array([f"repo{i % 500}" for i in range(5000)], dtype=object)
+    sk.update(vals)
+    assert abs(sk.estimate() - 500) / 500 < 0.05
+
+
+def test_hll_merge_equals_union():
+    a, b = HyperLogLog(p=10), HyperLogLog(p=10)
+    a.update(np.arange(0, 3000))
+    b.update(np.arange(2000, 6000))
+    merged = HyperLogLog.from_bytes(a.to_bytes()).merge(b)
+    direct = HyperLogLog(p=10).update(np.arange(0, 6000))
+    assert merged.estimate() == direct.estimate()  # register-exact
+
+
+def test_hll_merge_order_invariance():
+    parts = [np.arange(i * 1000, (i + 1) * 1000) for i in range(8)]
+    sks = [HyperLogLog(p=10).update(p_) for p_ in parts]
+    f = HyperLogLog(p=10)
+    for s in sks:
+        f.merge(s)
+    r = HyperLogLog(p=10)
+    for s in reversed(sks):
+        r.merge(s)
+    assert np.array_equal(f.registers, r.registers)
+
+
+# ---------------- KLL ----------------
+
+
+@pytest.mark.parametrize("dist", ["uniform", "normal", "sorted", "zipf"])
+def test_kll_rank_error(dist):
+    rng = np.random.RandomState(7)
+    n = 100_000
+    if dist == "uniform":
+        data = rng.uniform(0, 1, n)
+    elif dist == "normal":
+        data = rng.normal(0, 1, n)
+    elif dist == "sorted":
+        data = np.arange(n, dtype=float)
+    else:
+        data = rng.zipf(1.5, n).astype(float)
+    sk = KLL(k=256)
+    for chunk in np.array_split(data, 37):
+        sk.update(chunk)
+    srt = np.sort(data)
+    for q in [0.01, 0.25, 0.5, 0.75, 0.95, 0.99]:
+        est = sk.quantile(q)
+        # with duplicate-heavy data the CDF jumps: the estimate's true rank
+        # is an interval [lo, hi]; error = distance from q to that interval
+        lo = np.searchsorted(srt, est, side="left") / n
+        hi = np.searchsorted(srt, est, side="right") / n
+        err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+        assert err < 0.02, (dist, q, lo, hi)
+
+
+def test_kll_merge_matches_single():
+    rng = np.random.RandomState(3)
+    data = rng.normal(0, 1, 50_000)
+    parts = np.array_split(data, 9)
+    sks = [KLL(k=200).update(p) for p in parts]
+    merged = sks[0]
+    for s in sks[1:]:
+        merged.merge(s)
+    assert merged.n == 50_000
+    srt = np.sort(data)
+    for q in [0.1, 0.5, 0.9]:
+        est = merged.quantile(q)
+        true_rank = np.searchsorted(srt, est, side="right") / len(data)
+        assert abs(true_rank - q) < 0.03
+
+
+def test_kll_exact_when_small():
+    sk = KLL(k=256)
+    sk.update(np.arange(100, dtype=float))
+    assert sk.quantile(0.5) in (49.0, 50.0)
+    assert sk.quantile(0.0) == 0.0
+    assert sk.quantile(1.0) == 99.0
+
+
+def test_kll_serialization_roundtrip():
+    sk = KLL(k=64).update(np.arange(10_000, dtype=float))
+    sk2 = KLL.from_bytes(sk.to_bytes())
+    assert sk2.quantile(0.5) == sk.quantile(0.5)
+    assert sk2.n == sk.n
+
+
+# ---------------- Bloom ----------------
+
+
+def test_bloom_no_false_negatives():
+    keys = np.array([f"org{i}/repo{i}" for i in range(10_000)], dtype=object)
+    bf = BloomFilter(capacity=10_000, fp_rate=0.01)
+    bf.update(keys)
+    assert bf.contains(keys).all()
+
+
+def test_bloom_fp_rate():
+    bf = BloomFilter(capacity=5_000, fp_rate=0.01)
+    bf.update(np.arange(5_000))
+    probe = np.arange(5_000, 55_000)
+    fp = bf.contains(probe).mean()
+    assert fp < 0.03, fp
+
+
+def test_bloom_merge_and_roundtrip():
+    a = BloomFilter(capacity=1000, fp_rate=0.01).update(np.arange(500))
+    b = BloomFilter(capacity=1000, fp_rate=0.01).update(np.arange(500, 1000))
+    a.merge(b)
+    a2 = BloomFilter.from_bytes(a.to_bytes())
+    assert a2.contains(np.arange(1000)).all()
+
+
+# ---------------- Histogram / PSI / KS ----------------
+
+
+def test_histogram_merge_is_sum():
+    edges = np.linspace(0, 1, 11)
+    rng = np.random.RandomState(0)
+    d1, d2 = rng.uniform(0, 1, 1000), rng.uniform(0, 1, 2000)
+    h1 = FixedHistogram(edges).update(d1)
+    h2 = FixedHistogram(edges).update(d2)
+    both = FixedHistogram(edges).update(np.concatenate([d1, d2]))
+    h1.merge(h2)
+    assert np.array_equal(h1.counts, both.counts)
+
+
+def test_psi_ks_detect_shift():
+    edges = np.linspace(-5, 5, 51)
+    rng = np.random.RandomState(1)
+    base = FixedHistogram(edges).update(rng.normal(0, 1, 20_000))
+    same = FixedHistogram(edges).update(rng.normal(0, 1, 20_000))
+    shifted = FixedHistogram(edges).update(rng.normal(1.0, 1, 20_000))
+    assert psi(base, same) < 0.02
+    assert psi(base, shifted) > 0.2
+    assert ks_statistic(base, same) < 0.03
+    assert ks_statistic(base, shifted) > 0.3
+
+
+# ---------------- MinHash / SimHash ----------------
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(num_perm=256)
+    t1 = "the quick brown fox jumps over the lazy dog " * 20
+    t2 = "the quick brown fox leaps over the lazy dog " * 20
+    t3 = "completely different content with nothing shared at all zzz " * 20
+    h1, h2, h3 = shingle_hashes(t1), shingle_hashes(t2), shingle_hashes(t3)
+    s1, s2, s3 = mh.signature(h1), mh.signature(h2), mh.signature(h3)
+    true12 = exact_jaccard(h1, h2)
+    assert abs(MinHasher.jaccard(s1, s2) - true12) < 0.1
+    assert MinHasher.jaccard(s1, s3) < 0.1
+
+
+def test_minhash_band_collision_for_near_dups():
+    mh = MinHasher(num_perm=128)
+    rng = np.random.RandomState(5)
+    words = [f"tok{i}" for i in range(2000)]
+    t1 = " ".join(rng.choice(words, 800))  # long, varied → many unique shingles
+    t2 = t1 + " trailing comment"
+    s1, s2 = mh.signature(shingle_hashes(t1)), mh.signature(shingle_hashes(t2))
+    b1, b2 = band_keys(s1, bands=16), band_keys(s2, bands=16)
+    assert (b1 == b2).any()  # near-dups share at least one band
+
+
+def test_word_hashes_set_semantics():
+    a = word_hashes("a b c a b")
+    b = word_hashes("c b a")
+    assert np.array_equal(np.sort(a), np.sort(b))
+
+
+def test_simhash_near_vs_far():
+    t1 = "import numpy as np\n" * 50 + "x = 1\n"
+    t2 = "import numpy as np\n" * 50 + "x = 2\n"
+    t3 = "SELECT * FROM completely_other_table WHERE z > 9\n" * 50
+    f1, f2, f3 = simhash_text(t1), simhash_text(t2), simhash_text(t3)
+    d12 = hamming_distance(np.array([f1]), np.array([f2]))[0]
+    d13 = hamming_distance(np.array([f1]), np.array([f3]))[0]
+    assert d12 <= 8
+    assert d13 > 12
+
+
+def test_popcount():
+    x = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+    assert popcount64(x).tolist() == [0, 1, 2, 64]
