@@ -1,0 +1,107 @@
+"""Uniqueness / duplicate-key checks — hash-shuffle groupby with a map-side
+combiner and optional key salting for hot groups.
+
+The from-scratch dual of the reference's frequency count
+(``value_counts()`` at ``models/preprocessing.py:7``; SURVEY.md §2.7): keys
+appearing more than once violate the primary-key constraint
+(north rule: uniqueness on ``(repo, path, commit)``).
+
+Scale design: the per-batch combiner collapses each block to one row per
+distinct key in that block BEFORE the shuffle, so the all-to-all moves
+(distinct keys per block) rows, not data rows. For skewed key prefixes the
+salted variant appends ``hash(key) % n_salt`` to the shuffle key, merging
+unsalted afterwards — two small shuffles instead of one hot one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Sum
+
+
+def _key_combiner(keys: list[str]):
+    """map_batches fn: one (key-cols..., cnt_partial) row per distinct key per block."""
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["cnt_partial"])
+
+    return combine
+
+
+def key_counts(ds, keys: list[str], batch_size: int | None = 65536):
+    """Exact per-key counts: map-side combiner → groupby-sum of partials."""
+    partials = ds.select_columns(keys).map_batches(
+        _key_combiner(keys), batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    return partials.groupby(keys).aggregate(Sum("cnt_partial", alias_name="cnt"))
+
+
+def duplicate_keys(ds, keys: list[str], min_count: int = 2):
+    """Keys whose total count >= min_count (uniqueness violations)."""
+    counts = key_counts(ds, keys)
+    thresh = min_count  # capture as int for the closure
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], thresh)), batch_format="pyarrow"
+    )
+
+
+def salted_key_counts(ds, keys: list[str], n_salt: int = 16, batch_size: int | None = 65536):
+    """Two-phase salted count for hot keys (SURVEY.md §7.3).
+
+    Phase 1 groups by (keys..., salt) — hot keys spread over n_salt
+    reducers; phase 2 sums the per-salt partials by the bare keys. With the
+    map-side combiner already collapsing blocks, this matters when the
+    distinct-key count itself is dominated by a few giant groups.
+    """
+
+    def combine_salted(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys)
+        # deterministic salt from the first key column's hash
+        h = np.asarray(pc.cast(pc.binary_length(pc.cast(t[keys[0]], pa.string())), pa.int64()))
+        idx = np.arange(len(h))
+        salt = ((h + idx) % n_salt).astype(np.int64)  # idx spreads identical keys
+        t = t.append_column("salt", pa.array(salt))
+        g = t.group_by(keys + ["salt"]).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["salt", "cnt_partial"])
+
+    phase1 = (
+        ds.select_columns(keys)
+        .map_batches(combine_salted, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+        .groupby(keys + ["salt"])
+        .aggregate(Sum("cnt_partial", alias_name="cnt_salted"))
+    )
+    return phase1.groupby(keys).aggregate(Sum("cnt_salted", alias_name="cnt"))
+
+
+def duplicate_rows(ds, keys: list[str], max_dup_keys: int = 5_000_000):
+    """Exact full rows belonging to duplicated keys.
+
+    The duplicate-key table is small by constraint (violations are the
+    exception), so it's collected and broadcast; the second streaming pass
+    filters rows by membership. Raises if the dup-key set exceeds
+    ``max_dup_keys`` (at that point the data has no meaningful primary key
+    and per-key violation *rows* stop being a useful artifact).
+    """
+    import ray
+
+    dups = duplicate_keys(ds, keys).to_pandas()
+    if len(dups) > max_dup_keys:
+        raise ValueError(f"{len(dups)} duplicate keys exceeds max_dup_keys={max_dup_keys}")
+    sep = "\x1f"
+    dup_set = set(
+        sep.join(str(v) for v in row) for row in dups[keys].itertuples(index=False, name=None)
+    )
+    ref = ray.put(dup_set)
+
+    def filter_members(batch: pa.Table) -> pa.Table:
+        members = ray.get(ref)
+        parts = [pc.cast(batch[k], pa.string()) for k in keys]
+        joined = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, sep)
+        mask = np.fromiter((k in members for k in np.asarray(joined)), dtype=bool, count=batch.num_rows)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(filter_members, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,45 @@
+"""Vectorized operations over embedding (list<float>) columns.
+
+The reference scores anomalies with a row-wise L2 norm over the latent
+matrix (``np.linalg.norm(features, axis=1)``,
+``end_to_end_prediction.py:444``; ``prediction_pipeline.py:333``) and
+thresholds at the global 95th percentile
+(``end_to_end_prediction.py:447-451``). Here the same semantics run as
+zero-copy Arrow → numpy matrix kernels inside map_batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def list_column_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column, zero-copy on the
+    flattened values buffer; requires uniform list lengths."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ChunkedArray):  # zero chunks edge case
+        arr = pa.concat_arrays(arr.chunks) if arr.num_chunks else pa.array([], type=arr.type)
+    offsets = arr.offsets.to_numpy()
+    widths = np.diff(offsets)
+    if len(widths) == 0:
+        return np.empty((0, 0))
+    d = int(widths[0])
+    if not (widths == d).all():
+        raise ValueError("ragged list column; expected fixed-width embeddings")
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    start = int(offsets[0]) * 0  # offsets already applied by flatten()
+    return flat.reshape(len(widths), d)[start:]
+
+
+def l2_norm_batch(batch: pa.Table, vec_col: str = "embedding", out_col: str = "anomaly_score") -> pa.Table:
+    m = list_column_to_matrix(batch[vec_col])
+    norms = np.linalg.norm(m, axis=1)
+    return batch.append_column(out_col, pa.array(norms, type=pa.float64()))
+
+
+def cosine_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n, m) cosine similarities between row sets, batched matmul."""
+    an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+    bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+    return an @ bn.T
