@@ -17,18 +17,25 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001: the validation-suite
-    stats pass (per-(lang) column statistics with HLL distinct + KLL
-    quantile sketches) over the documents table."""
-    from anomalydetection_ray.checks.stats import column_stats
-    from anomalydetection_ray.sources import read_table
+    """Flagship pipeline on /root/testdata/sf0.001: the FULL validation
+    suite (per-partition stats + sketches, row rules, uniqueness,
+    referential) over the documents table mapped onto the corpus schema
+    (key=doc_id, partition=lang, content=text, repo=source). Returns the
+    per-partition verdict table."""
+    import tempfile
 
-    ds = read_table("/root/testdata/sf0.001", "documents")
-    stats = column_stats(
-        ds, columns=["doc_id", "text", "lang", "source", "n_chars"], partition_by=["lang"]
+    from anomalydetection_ray.pipelines.validate import SuiteConfig, run_suite
+
+    cfg = SuiteConfig(
+        key=("doc_id",),
+        partition_by="lang",
+        content_col="text",
+        repo_col="source",
+        repos_dim_path=None,
     )
-    # drop the binary sketch payloads for the smoke check's stable schema
-    return stats.drop_columns(["hll", "kll", "hist"])
+    out = tempfile.mkdtemp(prefix="adray_entry_")
+    res = run_suite("/root/testdata/sf0.001/documents.parquet", out, cfg, resume=False)
+    return res.verdicts
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -89,6 +89,8 @@ def duplicate_rows(ds, keys: list[str], max_dup_keys: int = 5_000_000):
     import ray
 
     dups = duplicate_keys(ds, keys).to_pandas()
+    if len(dups) == 0:
+        return ds.limit(0)
     if len(dups) > max_dup_keys:
         raise ValueError(f"{len(dups)} duplicate keys exceeds max_dup_keys={max_dup_keys}")
     sep = "\x1f"

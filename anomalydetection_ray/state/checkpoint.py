@@ -1,0 +1,63 @@
+"""Checkpoint / lineage state for resumable validation runs.
+
+The reference resumes by hand from any stage because every stage writes its
+output file (`end_to_end_prediction.py` stage dirs, `:74-85`) and Drain
+persists miner state (`models/drain.py:49-50`). Here resume is first-class:
+each completed unit (check, or check×shard) writes an atomic ``_DONE``
+marker containing its metrics; a rerun skips marked units. Lineage is an
+append-only ``metrics.jsonl`` (north rule: "resumable from per-partition
+checkpoints with lineage and metrics").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+class RunState:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _marker(self, unit: str) -> str:
+        safe = unit.replace("/", "_")
+        return os.path.join(self.out_dir, safe, "_DONE")
+
+    def is_done(self, unit: str) -> bool:
+        return os.path.exists(self._marker(unit))
+
+    def unit_dir(self, unit: str) -> str:
+        d = os.path.join(self.out_dir, unit.replace("/", "_"))
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def mark_done(self, unit: str, metrics: dict | None = None) -> None:
+        """Atomic: write to tmp then rename, so a crash never leaves a
+        half-written marker that a resume would trust."""
+        d = self.unit_dir(unit)
+        payload = {"unit": unit, "completed_at": time.time(), "metrics": metrics or {}}
+        tmp = os.path.join(d, "_DONE.tmp")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, os.path.join(d, "_DONE"))
+        self.lineage_append(payload)
+
+    def done_metrics(self, unit: str) -> dict | None:
+        try:
+            with open(self._marker(unit)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def lineage_append(self, record: dict) -> None:
+        with open(os.path.join(self.out_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def lineage(self) -> list[dict]:
+        path = os.path.join(self.out_dir, "metrics.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(line) for line in f if line.strip()]

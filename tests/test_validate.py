@@ -1,0 +1,181 @@
+"""Planted-defect end-to-end tests for the flagship validation suite
+(SURVEY.md §5 strategy): generate a deterministic corpus with known
+defects, assert the engine reports exactly those violations, verify the
+sha256 per-row invariant, and exercise checkpoint resume.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from anomalydetection_ray.corpus import CorpusManifest, DefectSpec, generate_corpus
+
+
+@pytest.fixture(scope="module")
+def dirty_corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus_dirty"))
+    man = generate_corpus(
+        d,
+        n_rows=4000,
+        n_repos=120,
+        seed=42,
+        defects=DefectSpec(
+            duplicate_frac=0.005,
+            orphan_frac=0.004,
+            null_lang_frac=0.003,
+            empty_content_frac=0.003,
+            drift_lang="go",
+            drift_scale=4.0,
+        ),
+        rows_per_file=1000,
+    )
+    return d, man
+
+
+@pytest.fixture(scope="module")
+def clean_corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus_clean"))
+    man = generate_corpus(d, n_rows=4000, n_repos=120, seed=42, rows_per_file=1000)
+    return d, man
+
+
+def test_corpus_deterministic(tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    generate_corpus(a, n_rows=500, n_repos=40, seed=7, rows_per_file=200)
+    generate_corpus(b, n_rows=500, n_repos=40, seed=7, rows_per_file=200)
+    ta = pq.read_table(f"{a}/corpus/part-00000.parquet")
+    tb = pq.read_table(f"{b}/corpus/part-00000.parquet")
+    assert ta.equals(tb)
+
+
+def test_corpus_shape_and_skew(clean_corpus):
+    d, man = clean_corpus
+    t = pq.read_table(f"{d}/corpus")
+    assert t.column_names == ["repo", "path", "commit", "lang", "content"]
+    assert t.num_rows == 4000
+    langs = t["lang"].to_pandas().value_counts()
+    assert langs.iloc[0] > 3 * langs.iloc[-1]  # Zipfian skew present
+
+
+def test_suite_clean_corpus_passes(ray_session, clean_corpus, tmp_path):
+    from anomalydetection_ray.pipelines.validate import SuiteConfig, run_suite
+
+    d, _ = clean_corpus
+    cfg = SuiteConfig(repos_dim_path=f"{d}/repos.parquet")
+    res = run_suite(f"{d}/corpus", str(tmp_path / "out"), cfg)
+    assert res.passed, res.verdicts[~res.verdicts["passed"]]
+    for v in res.violations.values():
+        assert v.num_rows == 0
+
+
+def test_suite_finds_planted_defects(ray_session, dirty_corpus, tmp_path):
+    from anomalydetection_ray.pipelines.validate import SuiteConfig, run_suite
+
+    d, man = dirty_corpus
+    cfg = SuiteConfig(repos_dim_path=f"{d}/repos.parquet")
+    res = run_suite(f"{d}/corpus", str(tmp_path / "out"), cfg)
+    assert not res.passed
+
+    # uniqueness: every planted duplicate key is reported (both copies)
+    uq = res.violations["uniqueness"].to_pandas()
+    found_keys = set(map(tuple, uq[["repo", "path", "commit"]].itertuples(index=False, name=None)))
+    planted = set(map(tuple, man.duplicate_keys))
+    assert planted <= found_keys
+    # and each reported key appears >= 2 times
+    assert (uq.groupby(["repo", "path", "commit"]).size() >= 2).all()
+
+    # referential: exactly the ghost repos
+    rf = res.violations["referential"].to_pandas()
+    assert set(rf["repo"]) == set(man.orphan_repos)
+
+    # rowrules: null lang + empty content rows, exactly
+    rr = res.violations["rowrules"].to_pandas()
+    null_rows = rr[rr["violation_kind"] == "null_lang"]
+    empty_rows = rr[rr["violation_kind"] == "empty_content"]
+    assert set(map(tuple, null_rows[["repo", "path", "commit"]].itertuples(index=False, name=None))) == set(
+        map(tuple, man.null_lang_rows)
+    )
+    assert set(map(tuple, empty_rows[["repo", "path", "commit"]].itertuples(index=False, name=None))) == set(
+        map(tuple, man.empty_content_rows)
+    )
+
+
+def test_violation_sha_invariant(ray_session, dirty_corpus, tmp_path):
+    from anomalydetection_ray.pipelines.validate import (
+        SuiteConfig,
+        run_suite,
+        verify_violation_invariant,
+    )
+
+    d, _ = dirty_corpus
+    cfg = SuiteConfig(repos_dim_path=f"{d}/repos.parquet")
+    res = run_suite(f"{d}/corpus", str(tmp_path / "out"), cfg)
+    for name, v in res.violations.items():
+        assert verify_violation_invariant(v, f"{d}/corpus", cfg), name
+
+
+def test_drift_detected_against_clean_baseline(ray_session, clean_corpus, dirty_corpus, tmp_path):
+    from anomalydetection_ray.pipelines.validate import SuiteConfig, run_suite, write_baseline
+
+    dc, _ = clean_corpus
+    dd, man = dirty_corpus
+    snap = str(tmp_path / "baseline.parquet")
+    write_baseline(f"{dc}/corpus", snap)
+    cfg = SuiteConfig(repos_dim_path=f"{dd}/repos.parquet")
+    res = run_suite(f"{dd}/corpus", str(tmp_path / "out"), cfg, baseline_snapshot=snap)
+    drift = res.verdicts[res.verdicts["check"] == "drift"]
+    failed = set(drift.loc[~drift["passed"], "partition"])
+    assert man.drift_lang in failed  # the drifted lang is flagged
+    stable = {"python", "javascript"}  # high-count undrifted langs stay stable
+    assert stable.isdisjoint(failed - {"<null>"})
+
+
+def test_resume_skips_done_checks(ray_session, clean_corpus, tmp_path):
+    from anomalydetection_ray.pipelines.validate import SuiteConfig, run_suite
+    from anomalydetection_ray.state import RunState
+
+    d, _ = clean_corpus
+    out = str(tmp_path / "out")
+    cfg = SuiteConfig(repos_dim_path=f"{d}/repos.parquet")
+    res1 = run_suite(f"{d}/corpus", out, cfg)
+    state = RunState(out)
+    t0 = os.path.getmtime(os.path.join(out, "stats", "stats.parquet"))
+
+    # simulate a crash after stats: wipe uniqueness marker only
+    shutil.rmtree(os.path.join(out, "uniqueness"))
+    res2 = run_suite(f"{d}/corpus", out, cfg)
+    t1 = os.path.getmtime(os.path.join(out, "stats", "stats.parquet"))
+    assert t0 == t1  # stats NOT recomputed
+    assert state.is_done("uniqueness")  # uniqueness redone
+    assert res2.verdicts.equals(res1.verdicts)  # identical final output
+
+    # lineage recorded every completed unit
+    units = [r["unit"] for r in state.lineage()]
+    assert "stats" in units and units.count("uniqueness") >= 2
+
+
+def test_row_drift_scorer_actor(ray_session, clean_corpus, dirty_corpus, tmp_path):
+    import ray.data as rdata
+
+    from anomalydetection_ray.checks.drift import RowDriftScorer
+    from anomalydetection_ray.pipelines.validate import write_baseline
+
+    dc, _ = clean_corpus
+    dd, man = dirty_corpus
+    snap = str(tmp_path / "b.parquet")
+    write_baseline(f"{dc}/corpus", snap)
+    ds = rdata.read_parquet(f"{dd}/corpus", columns=["lang", "content"])
+    scored = ds.map_batches(
+        RowDriftScorer,
+        fn_constructor_kwargs={"snapshot_path": snap, "column": "content"},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    drifted = scored[scored["lang"] == man.drift_lang]["drift_score"].mean()
+    normal = scored[scored["lang"] == "python"]["drift_score"].mean()
+    assert drifted > normal + 0.15, (drifted, normal)
