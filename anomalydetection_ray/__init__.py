@@ -24,3 +24,42 @@ Library code never calls ``ray.init``/``ray.shutdown`` — only entry points
 """
 
 __version__ = "0.1.0"
+
+# High-cardinality grouped operators (uniqueness counts, LSH buckets, exact
+# dedup) rely on repartition(keys=...) which Ray Data only supports under
+# the hash-shuffle strategy; it also scales better than sort-based shuffle
+# for every groupby this engine issues (no ordering requirements anywhere).
+# Set once at import; entry points that build their own DataContext inherit.
+def _configure_data_context() -> None:
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    except Exception:  # pragma: no cover - older/newer ray API drift
+        pass
+
+
+def tune_shuffle_to_cluster() -> None:
+    """Size hash-shuffle fan-out to the live cluster (idempotent, cheap).
+
+    Ray's defaults (200 shuffle partitions, 64 aggregator actors needing
+    ~16 CPUs) deadlock small clusters: map tasks hold every CPU while the
+    aggregators they feed can never start. Called lazily from the engine's
+    entry paths because the cluster size is unknown at import time."""
+    try:
+        import ray
+        from ray.data.context import DataContext
+
+        if not ray.is_initialized():
+            return
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        ctx = DataContext.get_current()
+        ctx.default_hash_shuffle_parallelism = max(8, cpus * 2)
+        # aggregators are long-lived actors (~0.25 CPU each): cap them so
+        # map stages and actor pools keep enough CPUs to make progress
+        ctx.max_hash_shuffle_aggregators = min(64, max(2, cpus // 4))
+    except Exception:  # pragma: no cover
+        pass
+
+
+_configure_data_context()

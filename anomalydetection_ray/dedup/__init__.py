@@ -3,15 +3,21 @@ embedding-cosine. First-class engine features for training-data curation
 (the reference has no dedup at all, SURVEY.md §2.7)."""
 
 from .exact import exact_dedup
-from .minhash_lsh import minhash_dedup
-from .ngram import ngram_jaccard_pairs
-from .simhash_dedup import simhash_dedup
-from .embedding import embedding_near_dups
+from .neardup import (
+    embedding_cosine_dedup,
+    embedding_neardup_pairs,
+    minhash_lsh_dedup,
+    neardup_pairs,
+    simhash_dedup,
+    simhash_fingerprints,
+)
 
 __all__ = [
     "exact_dedup",
-    "minhash_dedup",
-    "ngram_jaccard_pairs",
+    "minhash_lsh_dedup",
+    "neardup_pairs",
     "simhash_dedup",
-    "embedding_near_dups",
+    "simhash_fingerprints",
+    "embedding_cosine_dedup",
+    "embedding_neardup_pairs",
 ]

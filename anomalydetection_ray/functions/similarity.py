@@ -1,0 +1,180 @@
+"""Approximate-nearest-neighbor search over embedding (list<float>) columns.
+
+First-class engine capability (the reference has no similarity search; its
+closest analog is the full-matrix forward pass at
+``models/SimCLR_utils.py:155-157``).
+
+- ``topk_cosine``: exact brute-force baseline. The query matrix is
+  broadcast ONCE via ``ray.put``; every batch computes a vectorized
+  (batch × queries) matmul and emits only its per-query top-k partials
+  (k × n_queries rows per batch), which a tiny final groupby/sort reduces.
+  Cost O(N·d·Q) but fully streaming: nothing materializes but partials.
+- ``ivf_topk_cosine``: the scale path. Coarse k-means centroids (trained
+  driver-side on a bounded seeded sample) assign every row to a cell in
+  one map pass; queries probe only the ``n_probe`` nearest cells, so the
+  scan prunes to ~n_probe/n_cells of the data. Same partial-top-k merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .vector import list_column_to_matrix
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class _PartialTopK:
+    """Stateless batch map: emit per-(query, batch) top-k candidates."""
+
+    def __init__(self, id_col: str, vec_col: str, queries_ref, k: int):
+        import ray
+
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+        self.q = _normalize(ray.get(queries_ref).astype(np.float64))  # (Q, d)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(list_column_to_matrix(batch[self.vec_col]))  # (n, d)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = m @ self.q.T  # (n, Q)
+        n, Q = sims.shape
+        k = min(self.k, n)
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, Q)
+        qidx = np.repeat(np.arange(Q, dtype=np.int64), k)
+        ridx = top.T.reshape(-1)
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(qidx),
+                self.id_col: pa.array(ids[ridx]),
+                "score": pa.array(sims[ridx, qidx]),
+            }
+        )
+
+
+def _final_topk(partials_ds, id_col: str, k: int) -> pd.DataFrame:
+    """Merge partial top-ks: tiny driver-side reduce (Q×k×n_blocks rows)."""
+    df = partials_ds.to_pandas()
+    df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
+    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount()
+    return out[["query_id", id_col, "score", "rank"]]
+
+
+def topk_cosine(ds, id_col: str, vec_col: str, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
+    """Exact top-k cosine rows per query; ties broken by ascending id."""
+    import ray
+
+    from .shuffle import default_actor_concurrency
+
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        _PartialTopK,
+        fn_constructor_args=(id_col, vec_col, qref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=default_actor_concurrency(),
+    )
+    return _final_topk(partials, id_col, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(sample: np.ndarray, n_cells: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Plain seeded Lloyd k-means on a (bounded) sample, cosine geometry."""
+    rng = np.random.RandomState(seed)
+    x = _normalize(sample.astype(np.float64))
+    n_cells = min(n_cells, len(x))
+    cent = x[rng.choice(len(x), n_cells, replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class _IVFPartialTopK:
+    """Batch map: assign rows to cells, score only rows in probed cells."""
+
+    def __init__(self, id_col: str, vec_col: str, centroids_ref, queries_ref, k: int, n_probe: int):
+        import ray
+
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+        self.cent = ray.get(centroids_ref)  # (C, d), normalized
+        self.q = _normalize(ray.get(queries_ref).astype(np.float64))  # (Q, d)
+        # which cells each query probes: (Q, n_probe)
+        qsims = self.q @ self.cent.T
+        n_probe = min(n_probe, self.cent.shape[0])
+        self.probe = np.argsort(-qsims, axis=1)[:, :n_probe]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(list_column_to_matrix(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        assign = (m @ self.cent.T).argmax(axis=1)  # (n,)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(self.q.shape[0]):
+            mask = np.isin(assign, self.probe[qi])
+            if not mask.any():
+                continue
+            sims = m[mask] @ self.q[qi]
+            sub_ids = ids[mask]
+            k = min(self.k, len(sims))
+            top = np.argpartition(-sims, k - 1)[:k]
+            out_q.append(np.full(k, qi, dtype=np.int64))
+            out_i.append(sub_ids[top])
+            out_s.append(sims[top])
+        if not out_q:
+            return pa.Table.from_pydict(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    self.id_col: pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_col: pa.array(np.concatenate(out_i)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def ivf_topk_cosine(
+    ds,
+    id_col: str,
+    vec_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    train_sample: int = 10_000,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Approximate top-k via inverted-file pruning. Recall rises with
+    ``n_probe``; ``n_probe == n_cells`` degenerates to exact brute force."""
+    import ray
+
+    sample = ds.select_columns([vec_col]).limit(train_sample).to_pandas()[vec_col]
+    cent = train_centroids(np.stack(sample.to_numpy()), n_cells, seed=seed)
+    cref = ray.put(cent)
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    from .shuffle import default_actor_concurrency
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        _IVFPartialTopK,
+        fn_constructor_args=(id_col, vec_col, cref, qref, k, n_probe),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=default_actor_concurrency(),
+    )
+    return _final_topk(partials, id_col, k)

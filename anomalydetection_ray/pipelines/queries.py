@@ -37,6 +37,9 @@ def register(name: str, sql: str | None):
 
 
 def registry() -> dict:
+    from .. import tune_shuffle_to_cluster
+
+    tune_shuffle_to_cluster()
     return dict(_REGISTRY)
 
 
@@ -476,11 +479,257 @@ def doc_quality(sf_dir: str):
 )
 def dedup_exact_docs(sf_dir: str):
     """Exact dedup: sha256 fingerprint per row (vectorized batch map) →
-    groupby(fingerprint).min(doc_id) over (hash, id) pairs only — the wide
-    `text` column never shuffles — → broadcast survivor-id filter."""
+    hash-shuffle min(doc_id) per fingerprint over (hash, id) pairs only —
+    the wide `text` column never shuffles — → broadcast survivor-id
+    filter (dedup/exact.py)."""
+    from ..dedup import exact_dedup
+
     docs = read_table(sf_dir, "documents")
-    fp = docs.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = fp.select_columns(["fingerprint", "doc_id"])
-    survivors = pairs.groupby("fingerprint").aggregate(Min("doc_id", alias_name="keep_id"))
-    keep_ids = survivors.to_pandas()["keep_id"].to_numpy()
-    return broadcast_value_filter(docs, "doc_id", keep_ids, keep=True)
+    return exact_dedup(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection (MinHash-LSH / SimHash / embedding-cosine)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "neardup_pairs_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS i
+      FROM toks ta JOIN toks tb ON ta.tok = tb.tok AND ta.doc_id < tb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.a, i.b FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a
+    JOIN sizes sb ON sb.doc_id = i.b
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8
+    """,
+)
+def neardup_pairs_docs(sf_dir: str):
+    """Word-level near-dup pairs at exact Jaccard >= 0.8: MinHash-LSH
+    candidate generation (only (id, band, key) triples shuffle) + exact
+    verification over gathered candidates — matches the brute-force
+    pairwise oracle (LSH recall > 1-1e-6 at J=0.8 with 256 perms/64
+    bands; dedup/neardup.py)."""
+    from ..dedup import neardup_pairs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return neardup_pairs(docs, "doc_id", "text", threshold=0.8, shingle="word")
+
+
+@register("dedup_minhash_docs", None)
+def dedup_minhash_docs(sf_dir: str):
+    """MinHash-LSH near-dup dedup survivors (char 5-shingles, exact-Jaccard
+    verified edges at 0.8): cluster via union-find, keep min doc_id."""
+    from ..dedup import minhash_lsh_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = minhash_lsh_dedup(docs, "doc_id", "text", verify_threshold=0.8)
+    return as_table(out.select_columns(["doc_id", "lang"]))
+
+
+@register("simhash_docs", None)
+def simhash_docs(sf_dir: str):
+    """64-bit SimHash fingerprint per document (Charikar 2002), stateless
+    vectorized batch map; fingerprint returned as int64 bit-pattern."""
+    from ..dedup import simhash_fingerprints
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_fingerprints(docs, "doc_id", "text")
+
+
+@register("dedup_simhash_docs", None)
+def dedup_simhash_docs(sf_dir: str):
+    """SimHash dedup survivors: Manku prefix-block LSH (4 × 16-bit blocks)
+    + exact Hamming <= 3 verification, keep cluster-min doc_id."""
+    from ..dedup import simhash_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = simhash_dedup(docs, "doc_id", "text", max_hamming=3)
+    return as_table(out.select_columns(["doc_id"]))
+
+
+@register(
+    "embedding_neardup_pairs",
+    """
+    SELECT a.vec_id AS a, b.vec_id AS b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.95
+    """,
+)
+def embedding_neardup_pairs_q(sf_dir: str):
+    """Embedding near-dup pairs at exact cosine >= 0.95: hyperplane-LSH
+    buckets (sign random projections) + exact verification — vs the
+    brute-force O(n^2) SQL oracle."""
+    from ..dedup import embedding_neardup_pairs
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    dim = 64
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", dim=dim, threshold=0.95)
+
+
+@register("dedup_embedding_docs", None)
+def dedup_embedding_docs(sf_dir: str):
+    """Embedding-cosine near-dup dedup survivors (threshold 0.98)."""
+    from ..dedup import embedding_cosine_dedup
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_cosine_dedup(emb, "vec_id", "embedding", dim=64, threshold=0.98)
+    return as_table(out.select_columns(["vec_id"]))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk_cosine",
+    """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 5),
+    s AS (SELECT q.qid AS query_id, e.vec_id,
+                 list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sc
+          FROM q CROSS JOIN embeddings e),
+    r AS (SELECT query_id, vec_id, sc,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sc DESC, vec_id ASC) - 1 AS rank
+          FROM s)
+    SELECT query_id, vec_id, ROUND(sc, 6) AS score, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank < 10
+    """,
+)
+def ann_topk_cosine(sf_dir: str):
+    """Brute-force cosine top-10 per query (queries = vec_id < 5): the
+    query matrix broadcasts once via ray.put; each batch emits only its
+    partial top-k (functions/similarity.py), merged in a tiny final
+    reduce. Exact — the ANN baseline."""
+    from ..functions.similarity import topk_cosine
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = (
+        emb.filter(expr="vec_id < 5")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    qmat = np.stack(qdf["embedding"].to_numpy())
+    res = topk_cosine(emb, "vec_id", "embedding", qmat, k=10)
+    res["query_id"] = qdf["vec_id"].to_numpy()[res["query_id"].to_numpy()]
+    res["score"] = res["score"].round(6)
+    res["rank"] = res["rank"].astype("int64")
+    return res
+
+
+@register("ann_ivf_topk", None)
+def ann_ivf_topk(sf_dir: str):
+    """IVF-pruned approximate top-10 (64 cells, probe 16): the scale path —
+    each batch scores only rows assigned to the probed cells."""
+    from ..functions.similarity import ivf_topk_cosine
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id").reset_index(drop=True)
+    qmat = np.stack(qdf["embedding"].to_numpy())
+    res = ivf_topk_cosine(emb, "vec_id", "embedding", qmat, k=10, n_cells=64, n_probe=16)
+    res["query_id"] = qdf["vec_id"].to_numpy()[res["query_id"].to_numpy()]
+    res["score"] = res["score"].round(6)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language ID; sketch-based stats (KLL / HLL)
+# ---------------------------------------------------------------------------
+
+
+@register("lang_id_docs", None)
+def lang_id_docs(sf_dir: str):
+    """Language-ID heuristic (stopword inventories + CJK char profile) as a
+    stateful actor-pool stage (tables built once per actor in __init__ —
+    the reference's lazily-loaded-model pattern,
+    models/feature_extraction.py:37-43)."""
+    from ..functions.text import LangIdModel
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(
+        LangIdModel, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+    return as_table(out.select_columns(["doc_id", "lang_pred"]))
+
+
+@register("value_quantiles_kll", None)
+def value_quantiles_kll(sf_dir: str):
+    """Streaming quantiles via mergeable KLL partials (sketches/kll.py) —
+    the scale replacement for the reference's exact global percentile
+    (np.percentile at end_to_end_prediction.py:447). Bounded rank error
+    (tests/test_sketches.py), hence rows-only driver check."""
+    ds = read_table(sf_dir, "events", columns=["value"])
+    st = column_stats(ds, columns=["value"]).to_pandas()
+    return st[["column", "count", "p50", "p95", "p99"]]
+
+
+@register("hll_distinct_users", None)
+def hll_distinct_users(sf_dir: str):
+    """HLL distinct-user estimate per event_type (±~1.6% at p=12) — the
+    streaming dual of exact COUNT(DISTINCT) (distinct_users_by_type)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    st = column_stats(ds, columns=["user_id"], partition_by=["event_type"]).to_pandas()
+    out = st.rename(columns={"part": "event_type", "distinct_est": "n_users_est"})[
+        ["event_type", "n_users_est"]
+    ]
+    return out
+
+
+@register(
+    "distinct_users_by_type",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_by_type(sf_dir: str):
+    """Exact distinct via two-level aggregation: hash-shuffle the
+    (event_type, user_id) pairs to per-key counts (high-cardinality safe,
+    functions/shuffle.py), then a tiny groupby-count per event_type."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = key_counts(ds, ["event_type", "user_id"])
+    agg = pairs.groupby("event_type").aggregate(Count(alias_name="n_users")).to_pandas()
+    agg["n_users"] = agg["n_users"].astype("int64")
+    return agg
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (stub decode; real Ray-side schema/actor layout)
+# ---------------------------------------------------------------------------
+
+
+@register("media_image_features", None)
+def media_image_features(sf_dir: str):
+    """Image feature extraction plumbing: binary payload column → actor
+    pool with small batches → fixed-size-list feature column (decode is a
+    deterministic stub — no image libs in this environment; see
+    functions/multimodal.py). Returns per-item feature L2 norm."""
+    import ray.data as rd
+
+    from ..functions.multimodal import ImageFeatureStage, media_features, synthesize_media_table
+
+    media = rd.from_arrow(synthesize_media_table(200)).filter(expr="media_type == 'image'")
+    feats = media_features(media, ImageFeatureStage, batch_size=32, concurrency=2, dim=16)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch["image_feat"].combine_chunks().flatten()).reshape(-1, 16)
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch["media_id"],
+                "feat_norm": pa.array(np.round(np.linalg.norm(m, axis=1), 6)),
+            }
+        )
+
+    return as_table(feats.map_batches(norm, batch_format="pyarrow"))

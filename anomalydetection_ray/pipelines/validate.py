@@ -112,6 +112,9 @@ def run_suite(
     """Run every check; returns verdicts + violations. Re-running with
     ``resume=True`` skips checks whose ``_DONE`` marker exists and reloads
     their outputs (checkpoint semantics; see tests/test_validate.py)."""
+    from .. import tune_shuffle_to_cluster
+
+    tune_shuffle_to_cluster()
     cfg = cfg or SuiteConfig()
     state = RunState(out_dir)
     key = list(cfg.key)

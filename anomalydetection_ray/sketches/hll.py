@@ -29,6 +29,26 @@ def _avalanche(h: np.ndarray) -> np.ndarray:
     return h
 
 
+def hash64_arrow(arr) -> np.ndarray:
+    """Vectorized deterministic 64-bit hashes of a pyarrow (Chunked)Array.
+
+    String/binary columns hash via polars (xxhash, Rust-vectorized) —
+    ~1000× the per-byte Python FNV fallback on long content columns;
+    numeric columns take the avalanche fast path. Null → fixed sentinel.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+        import polars as pl
+
+        h = pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64, copy=False)
+        return _avalanche(h)
+    return hash64(arr.to_numpy(zero_copy_only=False))
+
+
 def hash64(values) -> np.ndarray:
     """Deterministic 64-bit hashes for an array of arbitrary values.
 
@@ -83,7 +103,13 @@ class HyperLogLog:
         """Add a batch of values (vectorized)."""
         if len(values) == 0:
             return self
-        h = hash64(values)
+        return self.update_hashed(hash64(values))
+
+    def update_hashed(self, h: np.ndarray) -> "HyperLogLog":
+        """Add pre-hashed uint64 values (hash once per column per batch,
+        then slice per partition group — see checks/stats.py)."""
+        if len(h) == 0:
+            return self
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         # rank = leading zeros of the remaining (64-p) bits, + 1
         rest = (h << np.uint64(self.p)) | (np.uint64(1) << np.uint64(self.p - 1))

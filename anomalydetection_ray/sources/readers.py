@@ -14,4 +14,9 @@ import ray.data as rd
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwargs):
     """Read one testdata table, pruning to `columns` at the scan."""
+    from .. import tune_shuffle_to_cluster
+
+    # must run BEFORE read_parquet: a Dataset snapshots the DataContext at
+    # creation, so shuffle knobs tuned later never reach this pipeline
+    tune_shuffle_to_cluster()
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kwargs)

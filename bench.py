@@ -1,0 +1,197 @@
+"""Benchmark entry point (driver contract).
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) plus the flagship validation suite over a cached
+deterministic synthetic corpus (BASELINE.json input_hint shape:
+``repo, path, commit, lang, content``), with
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32).
+Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "suite_rows": R, "suite_rows_per_sec": ...}
+
+``--scaling``: runs the flagship suite twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) on the SAME corpus and reports both
+throughputs + efficiency = (thr_32/thr_8)/4 — the in-sandbox evidence for
+the north rule's N -> 4N cluster-scaling criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# scaling-bench corpus: big enough that per-task compute dominates Ray
+# overhead at 32 local CPUs, small enough to generate once in ~a minute.
+BENCH_ROWS = int(os.environ.get("ADRAY_BENCH_ROWS", "300000"))
+BENCH_SEED = 42
+
+HEADLINE = [
+    "doc_stats_by_lang",
+    "pricing_summary",
+    "revenue_by_segment",
+    "hourly_event_counts",
+    "anomaly_scores",
+    "dedup_exact_docs",
+]
+
+
+def corpus_dir(n_rows: int = BENCH_ROWS, seed: int = BENCH_SEED) -> str:
+    """Generate (once, cached) the deterministic bench corpus. Sharded at
+    5k rows/file so the read fans out to ≥2 blocks per CPU at 32 CPUs."""
+    d = f"/tmp/adray_bench_corpus_{n_rows}_s{seed}_f5k"
+    marker = os.path.join(d, "manifest.json")
+    if not os.path.exists(marker):
+        from anomalydetection_ray.corpus import DefectSpec, generate_corpus
+
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        generate_corpus(
+            tmp,
+            n_rows=n_rows,
+            n_repos=500,
+            seed=seed,
+            defects=DefectSpec(
+                duplicate_frac=0.001,
+                orphan_frac=0.001,
+                null_lang_frac=0.0005,
+                empty_content_frac=0.0005,
+            ),
+            rows_per_file=5_000,
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+    return d
+
+
+def run_suite_once(cdir: str) -> tuple[float, int]:
+    """Time the full validation suite over the corpus; returns (sec, rows)."""
+    from anomalydetection_ray.pipelines.validate import SuiteConfig, run_suite
+
+    cfg = SuiteConfig(repos_dim_path=os.path.join(cdir, "repos.parquet"))
+    out = tempfile.mkdtemp(prefix="adray_bench_suite_")
+    t0 = time.perf_counter()
+    res = run_suite(os.path.join(cdir, "corpus"), out, cfg, resume=False)
+    dt = time.perf_counter() - t0
+    rows = int(
+        res.stats.loc[res.stats["column"] == cfg.content_col, "count"].sum()
+        + res.stats.loc[res.stats["column"] == cfg.content_col, "nulls"].sum()
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return dt, rows
+
+
+def consume(result) -> int:
+    """Fully consume a query result without assuming its type."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, (pd.DataFrame, pa.Table)):
+        return len(result)
+    return result.count()  # ray.data.Dataset — executes the pipeline
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--suite-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    if args.scaling:
+        run_scaling()
+        return
+
+    cdir = corpus_dir()  # generate BEFORE ray.init so it's excluded from timing
+
+    import ray
+
+    ray.init(address="local", num_cpus=args.cpus, include_dashboard=False)
+    try:
+        queries: dict[str, float] = {}
+        total = 0.0
+
+        suite_sec, suite_rows = run_suite_once(cdir)
+        queries["validation_suite"] = round(suite_sec, 3)
+        total += suite_sec
+
+        if not args.suite_only:
+            from anomalydetection_ray.pipelines.queries import registry
+
+            reg = registry()
+            for name in HEADLINE:
+                fn, _sql = reg[name]
+                t0 = time.perf_counter()
+                consume(fn(SF_DIR))
+                dt = time.perf_counter() - t0
+                queries[name] = round(dt, 3)
+                total += dt
+
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_sec_validation_suite_plus_headline_queries",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": SF_DIR,
+                    "num_cpus": args.cpus,
+                    "suite_rows": suite_rows,
+                    "suite_rows_per_sec": round(suite_rows / suite_sec, 1),
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
+def run_scaling() -> None:
+    """Fresh-process runs of the flagship suite at 8 and 32 CPUs on the
+    same input; efficiency = (thr_32 / thr_8) / 4 (N -> 4N criterion)."""
+    corpus_dir()  # warm the cache once
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--suite-only", "--cpus", str(cpus)],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr8 = results[8]["suite_rows_per_sec"]
+    thr32 = results[32]["suite_rows_per_sec"]
+    eff = (thr32 / thr8) / 4.0
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32_cpus",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "queries": {
+                    "suite_sec_8cpu": results[8]["queries"]["validation_suite"],
+                    "suite_sec_32cpu": results[32]["queries"]["validation_suite"],
+                },
+                "rows": results[8]["suite_rows"],
+                "rows_per_sec_8cpu": thr8,
+                "rows_per_sec_32cpu": thr32,
+                "sf": f"synthetic corpus {BENCH_ROWS} rows",
+                "num_cpus": 32,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,9 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from anomalydetection_ray import tune_shuffle_to_cluster
+
+    tune_shuffle_to_cluster()  # size hash-shuffle knobs to the 4-CPU session
     yield
     ray.shutdown()
 

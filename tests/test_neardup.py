@@ -1,0 +1,242 @@
+"""Near-dup dedup, similarity search, and multimodal plumbing tests —
+planted-defect style (SURVEY.md §5): synthesize data with KNOWN near-dup
+structure, assert the engine finds exactly it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_table():
+    """12 docs: (0,1) word-near-dups, (2,3) exact dups, (4,5) char-level
+    near-dups, rest distinct. 10/11 empty/None."""
+    base = "def parse tokens from the input stream and emit nodes " * 8
+    texts = [
+        base + "alpha beta gamma",
+        base + "alpha beta delta",  # ~0.95 word-jaccard with 0
+        "import os import sys value = compute(data) print(value) " * 6,
+        "import os import sys value = compute(data) print(value) " * 6,
+        "the quick brown fox jumps over the lazy dog repeatedly today " * 5 + "end one",
+        "the quick brown fox jumps over the lazy dog repeatedly today " * 5 + "end two",
+        "completely different content about databases and indexes",
+        "unrelated text regarding network protocols and sockets",
+        "short",
+        "another entirely distinct document body with unique words qqq zzz",
+        "",
+        None,
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts, type=pa.string())})
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_docs_table())
+
+
+def test_minhash_lsh_dedup_finds_planted(ray_session, docs_ds):
+    from anomalydetection_ray.dedup import minhash_lsh_dedup
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    out = as_table(minhash_lsh_dedup(docs_ds, "doc_id", "text", verify_threshold=0.8))
+    kept = sorted(out["doc_id"].to_pylist())
+    # one of each near-dup cluster dropped, min id kept
+    assert 0 in kept and 1 not in kept
+    assert 2 in kept and 3 not in kept
+    assert 4 in kept and 5 not in kept
+    for i in (6, 7, 8, 9):
+        assert i in kept
+
+
+def test_neardup_pairs_matches_bruteforce(ray_session, docs_ds):
+    from anomalydetection_ray.dedup import neardup_pairs
+    from anomalydetection_ray.dedup.neardup import _real_hashes
+    from anomalydetection_ray.sketches.minhash import exact_jaccard
+
+    got = neardup_pairs(docs_ds, "doc_id", "text", threshold=0.8, shingle="word")
+    got_pairs = sorted(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+
+    tbl = _docs_table()
+    texts = tbl["text"].to_pylist()
+    sets = {i: _real_hashes(t, "word", 5) for i, t in enumerate(texts)}
+    want = sorted(
+        (i, j)
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if sets[i].size and sets[j].size and exact_jaccard(sets[i], sets[j]) >= 0.8
+    )
+    assert got_pairs == want
+    assert (0, 1) in got_pairs and (2, 3) in got_pairs
+
+
+def test_simhash_dedup_finds_planted(ray_session, docs_ds):
+    from anomalydetection_ray.dedup import simhash_dedup
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    out = as_table(simhash_dedup(docs_ds, "doc_id", "text", max_hamming=3))
+    kept = sorted(out["doc_id"].to_pylist())
+    # exact dups (2,3) must collapse; near-dups (0,1) likely within 3 bits
+    assert 2 in kept and 3 not in kept
+    assert 6 in kept and 7 in kept and 9 in kept
+
+
+def test_simhash_hamming_properties():
+    from anomalydetection_ray.sketches.simhash import hamming_distance, simhash_text
+
+    a = simhash_text("the quick brown fox jumps over the lazy dog " * 10)
+    b = simhash_text("the quick brown fox jumps over the lazy dogs " * 10)
+    c = simhash_text("entirely unrelated words about compilers and parsers zebra")
+    d_ab = int(hamming_distance(np.array([a]), np.array([b]))[0])
+    d_ac = int(hamming_distance(np.array([a]), np.array([c]))[0])
+    assert d_ab < d_ac
+    assert d_ab <= 12
+
+
+def _emb_table(n=60, d=16, seed=7):
+    rng = np.random.RandomState(seed)
+    m = rng.standard_normal((n, d))
+    # plant near-dups: 1 ≈ 0, 11 ≈ 10
+    m[1] = m[0] + rng.standard_normal(d) * 0.01
+    m[11] = m[10] + rng.standard_normal(d) * 0.01
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array([row.astype(np.float32).tolist() for row in m], type=pa.list_(pa.float32())),
+        }
+    ), m
+
+
+def test_embedding_neardup_and_dedup(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup import embedding_cosine_dedup, embedding_neardup_pairs
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    tbl, m = _emb_table()
+    ds = rd.from_arrow(tbl)
+    pairs = embedding_neardup_pairs(ds, "vec_id", "embedding", dim=16, threshold=0.99)
+    got = sorted(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    want = sorted((i, j) for i in range(len(m)) for j in range(i + 1, len(m)) if sims[i, j] >= 0.99)
+    assert got == want
+    assert (0, 1) in got and (10, 11) in got
+
+    ds2 = rd.from_arrow(tbl)
+    surv = as_table(embedding_cosine_dedup(ds2, "vec_id", "embedding", dim=16, threshold=0.99))
+    kept = sorted(surv["vec_id"].to_pylist())
+    assert 0 in kept and 1 not in kept
+    assert 10 in kept and 11 not in kept
+    assert len(kept) == len(m) - 2
+
+
+def test_topk_cosine_exact(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.similarity import topk_cosine
+
+    tbl, m = _emb_table(n=100)
+    q = m[:3]
+    res = topk_cosine(rd.from_arrow(tbl), "vec_id", "embedding", q, k=5)
+    # brute force on the float32-roundtripped data the engine actually sees
+    m32 = m.astype(np.float32).astype(np.float64)
+    n32 = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    for qi in range(3):
+        got = res[res["query_id"] == qi]["vec_id"].to_numpy()
+        want = np.argsort(-(n32 @ qn[qi]))[:5]
+        assert set(got) == set(want)
+        assert got[0] == want[0]
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.similarity import ivf_topk_cosine, topk_cosine
+
+    tbl, m = _emb_table(n=200, seed=3)
+    q = m[:5]
+    exact = topk_cosine(rd.from_arrow(tbl), "vec_id", "embedding", q, k=10)
+    approx = ivf_topk_cosine(
+        rd.from_arrow(tbl), "vec_id", "embedding", q, k=10, n_cells=8, n_probe=8
+    )
+    # n_probe == n_cells degenerates to exact brute force
+    for qi in range(5):
+        e = exact[exact["query_id"] == qi]["vec_id"].tolist()
+        a = approx[approx["query_id"] == qi]["vec_id"].tolist()
+        assert e == a
+
+    part = ivf_topk_cosine(rd.from_arrow(tbl), "vec_id", "embedding", q, k=10, n_cells=8, n_probe=4)
+    hits = 0
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"].tolist())
+        a = set(part[part["query_id"] == qi]["vec_id"].tolist())
+        hits += len(e & a)
+    assert hits / 50 >= 0.5  # pruned probe keeps most true neighbors
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_media_stub_stages(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.multimodal import (
+        AudioFeatureStage,
+        ImageFeatureStage,
+        VideoFrameSampleStage,
+        media_features,
+        synthesize_media_table,
+    )
+
+    tbl = synthesize_media_table(64, seed=1)
+    ds = rd.from_arrow(tbl)
+    out = media_features(ds, ImageFeatureStage, batch_size=16, concurrency=2, dim=8).take_all()
+    assert len(out) == 64
+    assert all(len(r["image_feat"]) == 8 for r in out)
+    # deterministic across runs (features derive from payload sha)
+    out2 = media_features(rd.from_arrow(tbl), ImageFeatureStage, batch_size=16, concurrency=2, dim=8).take_all()
+    f1 = {r["media_id"]: tuple(r["image_feat"]) for r in out}
+    f2 = {r["media_id"]: tuple(r["image_feat"]) for r in out2}
+    assert f1 == f2
+
+    aud = media_features(rd.from_arrow(tbl), AudioFeatureStage, batch_size=16, concurrency=2, dim=4).take_all()
+    assert all(len(r["audio_feat"]) == 4 and r["duration_s"] >= 0 for r in aud)
+
+    vid = media_features(rd.from_arrow(tbl), VideoFrameSampleStage, batch_size=16, concurrency=2, dim=4).take_all()
+    assert all(r["n_frames_sampled"] >= 1 for r in vid)
+
+    with pytest.raises(Exception):  # NotImplementedError surfaces as UserCodeException
+        media_features(rd.from_arrow(tbl), ImageFeatureStage, batch_size=16, concurrency=2, mode="real").take_all()
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries smoke (the driver's weaker check, run here too)
+# ---------------------------------------------------------------------------
+
+
+def _rows_only_items():
+    from anomalydetection_ray.pipelines.queries import registry
+
+    return [(n, fn) for n, (fn, sql) in registry().items() if sql is None]
+
+
+@pytest.mark.parametrize("name,fn", _rows_only_items(), ids=[n for n, _ in _rows_only_items()])
+def test_rows_only_query_runs(ray_session, sf_smoke, name, fn):
+    res = fn(sf_smoke)
+    if hasattr(res, "to_pandas"):
+        res = res.to_pandas()
+    assert res is not None and len(res) >= 0
+
+
+def test_union_find_min_root():
+    from anomalydetection_ray.dedup.neardup import UnionFind, _survivors_from_edges
+
+    drop = _survivors_from_edges(None, [(5, 3), (3, 1), (9, 8), (2, 7)])
+    assert drop == {3, 5, 9, 7}
