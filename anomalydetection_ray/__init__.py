@@ -10,14 +10,19 @@ Top-level layout
 ----------------
 - ``sketches/``   mergeable statistical sketches (HLL, KLL, Bloom, histogram,
                   MinHash, SimHash) — pure numpy, order-independent merges.
-- ``sources/``    readers (parquet corpus, BGL-style raw log lines).
-- ``stages/``     per-batch transforms (text stats, scoring, drift actors).
-- ``checks/``     the constraint-check registry (stats, uniqueness,
-                  referential, drift) and the suite runner.
-- ``pipelines/``  end-to-end pipelines (corpus validation, log parity).
-- ``dedup/``      exact / MinHash-LSH / SimHash / n-gram / embedding dedup.
-- ``functions/``  scalar function library + ANN similarity search.
+- ``sources/``    readers (parquet corpus with column pruning, BGL-style raw
+                  log parsing + digit-mask template mining).
+- ``checks/``     the constraint checks (stats, uniqueness, referential,
+                  drift) powering the validation suite.
+- ``pipelines/``  end-to-end pipelines (``validate.run_suite`` flagship,
+                  driver-contract query registry).
+- ``dedup/``      exact / MinHash-LSH / SimHash / n-gram-Jaccard /
+                  embedding-cosine dedup and near-dup pair mining.
+- ``functions/``  batch kernels: text analysis, vectors, ANN similarity
+                  search, multimodal stub stages, broadcast relational ops,
+                  and the hash-shuffle grouped-aggregation pattern.
 - ``state/``      per-partition checkpoint + lineage bookkeeping.
+- ``corpus.py``   deterministic synthetic code corpus with planted defects.
 
 Library code never calls ``ray.init``/``ray.shutdown`` — only entry points
 (bench.py, CLI) and the test fixture own a Ray session.

@@ -4,7 +4,7 @@ A Check is the engine's unit of validation work (the analog of one
 reference pipeline step, `end_to_end_prediction.py:216-535`, but
 declarative and composable). The lifecycle is:
 
-    partials = ds.map_batches(check.partial_fn, batch_format="pyarrow")
+    partials = ds.map_batches(check.partial_fn, batch_format="pyarrow", batch_size=None)
     merged   = partials.groupby(keys).map_groups(check.merge_fn)
     verdicts = check.verdict(merged_small_table, tolerances)   # driver-side, tiny
     violations = check.violations(ds)                          # optional second pass

@@ -36,7 +36,7 @@ def _collect_dim_keys(dim_ds, dim_key: str) -> np.ndarray:
         dim_ds.select_columns([dim_key])
         .map_batches(
             lambda t: pa.Table.from_pydict({dim_key: pc.unique(pc.drop_null(t[dim_key].combine_chunks()))}),
-            batch_format="pyarrow",
+            batch_format="pyarrow", batch_size=None,
         )
         .to_pandas()
     )
@@ -70,7 +70,7 @@ def semi_join(fact_ds, fact_key: str, dim_ds, dim_key: str, anti: bool = False):
         mask = ~present if anti else present
         return batch.filter(pa.array(mask))
 
-    return fact_ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    return fact_ds.map_batches(probe, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def build_dim_bloom(dim_ds, dim_key: str, capacity: int | None = None, fp_rate: float = 0.001) -> BloomFilter:
@@ -86,7 +86,7 @@ def build_dim_bloom(dim_ds, dim_key: str, capacity: int | None = None, fp_rate: 
         bf.update(vals)
         return pa.Table.from_pydict({"bloom": [bf.to_bytes()]})
 
-    parts = dim_ds.select_columns([dim_key]).map_batches(partial, batch_format="pyarrow").take_all()
+    parts = dim_ds.select_columns([dim_key]).map_batches(partial, batch_format="pyarrow", batch_size=None).take_all()
     merged = BloomFilter(cap, fp)
     for row in parts:
         merged.merge(BloomFilter.from_bytes(row["bloom"]))
@@ -129,4 +129,4 @@ def orphans_bloom(fact_ds, fact_key: str, dim_ds, dim_key: str, fp_rate: float =
             definite[np.nonzero(cand)[0][fp_mask]] = True
         return batch.filter(pa.array(definite))
 
-    return fact_ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    return fact_ds.map_batches(probe, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

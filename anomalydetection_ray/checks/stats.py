@@ -204,73 +204,79 @@ def merge_partial_rows(tb: pa.Table) -> pa.Table:
     return pa.Table.from_pydict(out, schema=PARTIAL_SCHEMA)
 
 
-def merge_stats_group(df: pd.DataFrame) -> pd.DataFrame:
-    """Merge all partial rows of one (part, column) group → one stats row.
+class StatsAccumulator:
+    """Incremental merge of PARTIAL rows for one (part, column) group.
 
     Chan et al. (1979) parallel mean/M2 merge; sketch merges are
-    associative, so merge order doesn't matter.
-    """
-    count = int(df["count"].sum())
-    nulls = int(df["nulls"].sum())
-    n_valid = count - nulls
+    associative, so merge order doesn't matter — the driver can stream
+    partial blocks in any order with constant memory per group."""
 
-    mean = 0.0
-    m2 = 0.0
-    seen = 0
-    for _, r in df.iterrows():
+    __slots__ = ("dtype", "count", "nulls", "mean", "m2", "seen", "vmin", "vmax", "smin", "smax", "hll", "kll", "hist")
+
+    def __init__(self):
+        self.dtype = None
+        self.count = 0
+        self.nulls = 0
+        self.mean = 0.0
+        self.m2 = 0.0
+        self.seen = 0
+        self.vmin = np.nan
+        self.vmax = np.nan
+        self.smin = None
+        self.smax = None
+        self.hll = None
+        self.kll = None
+        self.hist = None
+
+    def add(self, r: dict) -> None:
+        self.dtype = self.dtype or r["dtype"]
+        self.count += int(r["count"])
+        self.nulls += int(r["nulls"])
         nb = int(r["count"]) - int(r["nulls"])
-        if nb == 0:
-            continue
-        delta = r["nmean"] - mean
-        tot = seen + nb
-        mean += delta * nb / tot
-        m2 += r["m2"] + delta * delta * seen * nb / tot
-        seen = tot
-
-    std = float(np.sqrt(m2 / (n_valid - 1))) if n_valid > 1 else 0.0
-
-    vmin = float(np.nanmin(df["vmin"].values)) if n_valid else np.nan
-    vmax = float(np.nanmax(df["vmax"].values)) if n_valid else np.nan
-    smins = [s for s in df["smin"] if s is not None]
-    smaxs = [s for s in df["smax"] if s is not None]
-
-    hll = None
-    kll = None
-    hist = None
-    for _, r in df.iterrows():
+        if nb:
+            delta = r["nmean"] - self.mean
+            tot = self.seen + nb
+            self.mean += delta * nb / tot
+            self.m2 += r["m2"] + delta * delta * self.seen * nb / tot
+            self.seen = tot
+            self.vmin = np.nanmin([self.vmin, r["vmin"]])
+            self.vmax = np.nanmax([self.vmax, r["vmax"]])
+        if r["smin"] is not None:
+            self.smin = r["smin"] if self.smin is None else min(self.smin, r["smin"])
+        if r["smax"] is not None:
+            self.smax = r["smax"] if self.smax is None else max(self.smax, r["smax"])
         h = HyperLogLog.from_bytes(r["hll"])
-        hll = h if hll is None else hll.merge(h)
+        self.hll = h if self.hll is None else self.hll.merge(h)
         k = KLL.from_bytes(r["kll"])
-        kll = k if kll is None else kll.merge(k)
+        self.kll = k if self.kll is None else self.kll.merge(k)
         if r["hist"] is not None:
             fh = FixedHistogram.from_bytes(r["hist"])
-            hist = fh if hist is None else hist.merge(fh)
+            self.hist = fh if self.hist is None else self.hist.merge(fh)
 
-    return pd.DataFrame(
-        [
-            {
-                "part": df["part"].iloc[0],
-                "column": df["column"].iloc[0],
-                "dtype": df["dtype"].iloc[0],
-                "count": count,
-                "nulls": nulls,
-                "null_rate": nulls / count if count else 0.0,
-                "distinct_est": hll.estimate() if hll else 0.0,
-                "vmin": vmin,
-                "vmax": vmax,
-                "mean": float(mean) if n_valid else np.nan,
-                "std": std,
-                "p50": kll.quantile(0.5) if kll else np.nan,
-                "p95": kll.quantile(0.95) if kll else np.nan,
-                "p99": kll.quantile(0.99) if kll else np.nan,
-                "smin": min(smins) if smins else None,
-                "smax": max(smaxs) if smaxs else None,
-                "hll": hll.to_bytes() if hll else None,
-                "kll": kll.to_bytes() if kll else None,
-                "hist": hist.to_bytes() if hist else None,
-            }
-        ]
-    )
+    def final(self, part: str, column: str) -> dict:
+        n_valid = self.seen
+        std = float(np.sqrt(self.m2 / (n_valid - 1))) if n_valid > 1 else 0.0
+        return {
+            "part": part,
+            "column": column,
+            "dtype": self.dtype,
+            "count": self.count,
+            "nulls": self.nulls,
+            "null_rate": self.nulls / self.count if self.count else 0.0,
+            "distinct_est": self.hll.estimate() if self.hll else 0.0,
+            "vmin": self.vmin if n_valid else np.nan,
+            "vmax": self.vmax if n_valid else np.nan,
+            "mean": float(self.mean) if n_valid else np.nan,
+            "std": std,
+            "p50": self.kll.quantile(0.5) if self.kll else np.nan,
+            "p95": self.kll.quantile(0.95) if self.kll else np.nan,
+            "p99": self.kll.quantile(0.99) if self.kll else np.nan,
+            "smin": self.smin,
+            "smax": self.smax,
+            "hll": self.hll.to_bytes() if self.hll else None,
+            "kll": self.kll.to_bytes() if self.kll else None,
+            "hist": self.hist.to_bytes() if self.hist else None,
+        }
 
 
 def column_stats(
@@ -281,10 +287,21 @@ def column_stats(
     kll_k: int = 256,
     hist_edges: dict[str, np.ndarray] | None = None,
     batch_size: int | None = 8192,
+    tree_fan_in: int | None = None,
 ):
     """Full stats suite as a Dataset → Dataset of one row per (part, column).
 
-    The input dataset streams once; only kilobyte-scale partials shuffle.
+    The input dataset streams once; NO keyed shuffle anywhere. Per-block
+    partial rows (one per (partition, column) per block — kilobytes)
+    stream back to the driver via ``iter_batches`` and merge into a
+    constant-memory :class:`StatsAccumulator` per group. The merge is
+    associative, so arrival order is irrelevant.
+
+    ``tree_fan_in``: for extreme block counts (≳10^5 blocks, where
+    blocks × groups driver work would dominate), insert a repartition
+    tree level that pre-merges partials ``fan_in``-ways before they reach
+    the driver. Off by default — measured: the repartition's shuffle costs
+    more than it saves below ~10^4 blocks.
     """
     from .. import tune_shuffle_to_cluster
 
@@ -292,38 +309,28 @@ def column_stats(
     if columns is None:
         columns = [f.name for f in ds.schema().base_schema]
     need = list(dict.fromkeys(columns + (partition_by or [])))
-    ds = ds.select_columns(need)  # prune before the scan fans out (M6 analog)
+    from ..functions.shuffle import select_if_needed
+
+    # prune before the scan fans out (M6 analog); skipped when the read is
+    # already pruned — a no-op Project would break read->map fusion
+    ds = select_if_needed(ds, need)
     partials = ds.map_batches(
         make_stats_partial_fn(columns, partition_by, hll_p, kll_k, hist_edges),
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
     )
-    # TREE reduce, not a keyed shuffle: partial rows are kilobytes per
-    # block, so a fan-in repartition + within-block associative merge +
-    # driver-side final merge beats shuffling 600-row tables through
-    # aggregator actors (measured: the keyed shuffle ALONE cost more than
-    # the whole scan at 32 CPUs). Driver sees fan_in × groups rows only.
-    fan_in = 8
-    level2 = partials.repartition(num_blocks=fan_in).map_batches(
-        merge_partial_rows, batch_format="pyarrow", batch_size=None
-    )
-    import ray
+    if tree_fan_in:
+        partials = partials.repartition(num_blocks=tree_fan_in).map_batches(
+            merge_partial_rows, batch_format="pyarrow", batch_size=None
+        )
+
     import ray.data as rd
 
-    l2_tables = [t for t in ray.get(level2.to_arrow_refs()) if t.num_rows]
-    if l2_tables:
-        all_partials = pa.concat_tables(l2_tables).to_pandas()
-    else:
-        all_partials = pa.Table.from_pydict(
-            {f.name: [] for f in PARTIAL_SCHEMA}, schema=PARTIAL_SCHEMA
-        ).to_pandas()
-    finals = [
-        merge_stats_group(g) for _, g in all_partials.groupby(["part", "column"], sort=True)
-    ]
-    out = (
-        pd.concat(finals, ignore_index=True)
-        if finals
-        else merge_stats_group(all_partials) if len(all_partials) else pd.DataFrame()
-    )
+    accs: dict[tuple, StatsAccumulator] = {}
+    for tb in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        for r in tb.to_pylist():
+            accs.setdefault((r["part"], r["column"]), StatsAccumulator()).add(r)
+    rows = [acc.final(p, c) for (p, c), acc in sorted(accs.items())]
+    out = pd.DataFrame(rows)
     return rd.from_pandas(out) if len(out) else rd.from_items([])

@@ -37,12 +37,50 @@ def key_counts(ds, keys: list[str], batch_size: int | None = 65536):
     High-cardinality safe: the final reduce is one vectorized kernel per
     block (functions/shuffle.py), not per-group Python state — measured
     ~10× faster than ``groupby().aggregate()`` at 300k distinct keys."""
-    from ..functions.shuffle import grouped_sum
+    from ..functions.shuffle import grouped_sum, select_if_needed
 
-    partials = ds.select_columns(keys).map_batches(
+    partials = select_if_needed(ds, keys).map_batches(
         _key_combiner(keys), batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
     return grouped_sum(partials, keys, "cnt_partial", "cnt")
+
+
+_HASH_PAIR_SCHEMA = pa.schema([("h", pa.int64()), ("cnt_partial", pa.int64())])
+
+
+def hash_key_rows(batch: pa.Table, keys: list[str], seed: int = 0) -> np.ndarray:
+    """Vectorized 64-bit row hash of the key columns (polars xxhash)."""
+    import polars as pl
+
+    return pl.from_arrow(batch.select(keys)).hash_rows(seed=seed).to_numpy().view(np.int64)
+
+
+def duplicate_key_hashes(ds, keys: list[str], min_count: int = 2, batch_size: int | None = 65536, seed: int = 0):
+    """int64 hashes of keys appearing >= min_count times.
+
+    The scale path for uniqueness: the shuffle moves (hash, cnt) int64
+    pairs — 16 bytes/row — instead of the full (possibly wide) string key
+    tuple. Hash collisions can only ADD candidates, never lose a real
+    duplicate; callers recover the candidate ROWS (which carry the real
+    keys) and drop collision artifacts with an exact per-key recount
+    (pipelines/validate.py does this), so the final result is exact."""
+    import polars as pl
+
+    def combine(batch: pa.Table) -> pa.Table:
+        h = hash_key_rows(batch, keys, seed)
+        out = pl.DataFrame({"h": h}).group_by("h").len().rename({"len": "cnt_partial"})
+        return out.to_arrow().cast(_HASH_PAIR_SCHEMA)
+
+    from ..functions.shuffle import grouped_sum, select_if_needed
+
+    partials = select_if_needed(ds, keys).map_batches(
+        combine, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    counts = grouped_sum(partials, ["h"], "cnt_partial", "cnt")
+    thresh = min_count
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], thresh)), batch_format="pyarrow", batch_size=None
+    )
 
 
 def duplicate_keys(ds, keys: list[str], min_count: int = 2):
@@ -50,7 +88,7 @@ def duplicate_keys(ds, keys: list[str], min_count: int = 2):
     counts = key_counts(ds, keys)
     thresh = min_count  # capture as int for the closure
     return counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["cnt"], thresh)), batch_format="pyarrow"
+        lambda t: t.filter(pc.greater_equal(t["cnt"], thresh)), batch_format="pyarrow", batch_size=None
     )
 
 
@@ -62,6 +100,8 @@ def salted_key_counts(ds, keys: list[str], n_salt: int = 16, batch_size: int | N
     map-side combiner already collapsing blocks, this matters when the
     distinct-key count itself is dominated by a few giant groups.
     """
+
+    from ..functions.shuffle import select_if_needed
 
     def combine_salted(batch: pa.Table) -> pa.Table:
         t = batch.select(keys)
@@ -75,7 +115,7 @@ def salted_key_counts(ds, keys: list[str], n_salt: int = 16, batch_size: int | N
 
     from ..functions.shuffle import grouped_sum
 
-    partials = ds.select_columns(keys).map_batches(
+    partials = select_if_needed(ds, keys).map_batches(
         combine_salted, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
     phase1 = grouped_sum(partials, keys + ["salt"], "cnt_partial", "cnt_salted")
@@ -110,4 +150,4 @@ def duplicate_rows(ds, keys: list[str], max_dup_keys: int = 5_000_000):
         joined = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, sep)
         return batch.filter(pc.is_in(joined, value_set=value_set))
 
-    return ds.map_batches(filter_members, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(filter_members, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -121,6 +121,62 @@ def _gen_rows(
     }
 
 
+def _build_shard(args: tuple) -> dict:
+    """Generate + defect-plant + write ONE shard; returns its manifest
+    fragment. Top-level (picklable) so shards can build in parallel;
+    per-shard seeding keeps output byte-identical at any worker count."""
+    out_dir, start, count, part, seed, n_repos, defects = args
+    cols = _gen_rows(start, count, seed, n_repos, defects)
+    frag: dict = {"duplicate_keys": [], "orphan_repos": [], "null_lang_rows": [], "empty_content_rows": []}
+
+    # plant row-level defects deterministically within the shard, on
+    # DISJOINT row pools (key-altering defects first) so the manifest's
+    # recorded keys stay exact
+    local = np.random.RandomState(seed + 7919 * (part + 1))
+    n = count
+    perm = local.permutation(n)
+    cursor = 0
+
+    def take(frac: float) -> np.ndarray:
+        nonlocal cursor
+        if frac <= 0:
+            return np.empty(0, dtype=int)
+        k = max(1, int(n * frac))
+        idx = perm[cursor : cursor + k]
+        cursor += k
+        return idx
+
+    dup_dst = take(defects.duplicate_frac)
+    dup_src = perm[cursor : cursor + len(dup_dst)]
+    cursor += len(dup_dst)  # sources are reserved too: no later defect may alter their keys
+    orphan_idx = take(defects.orphan_frac)
+    null_idx = take(defects.null_lang_frac)
+    empty_idx = take(defects.empty_content_frac)
+
+    for s, d in zip(dup_src, dup_dst):
+        cols["repo"][d] = cols["repo"][s]
+        cols["path"][d] = cols["path"][s]
+        cols["commit"][d] = cols["commit"][s]
+        frag["duplicate_keys"].append([cols["repo"][s], cols["path"][s], cols["commit"][s]])
+
+    for j, i in enumerate(orphan_idx):
+        ghost = f"ghost/repo{part}_{j}"
+        cols["repo"][i] = ghost
+        frag["orphan_repos"].append(ghost)
+
+    for i in null_idx:
+        cols["lang"][i] = None
+        frag["null_lang_rows"].append([cols["repo"][i], cols["path"][i], cols["commit"][i]])
+
+    for i in empty_idx:
+        cols["content"][i] = ""
+        frag["empty_content_rows"].append([cols["repo"][i], cols["path"][i], cols["commit"][i]])
+
+    tbl = pa.Table.from_pydict({k: pa.array(v, type=pa.string()) for k, v in cols.items()})
+    pq.write_table(tbl, f"{out_dir}/corpus/part-{part:05d}.parquet")
+    return frag
+
+
 def generate_corpus(
     out_dir: str,
     n_rows: int = 10_000,
@@ -128,73 +184,41 @@ def generate_corpus(
     seed: int = 42,
     defects: DefectSpec | None = None,
     rows_per_file: int = 5_000,
+    n_jobs: int | None = None,
 ) -> CorpusManifest:
     """Write ``corpus/part-*.parquet`` + ``repos.parquet`` + manifest.
 
     Output is sharded (one file per row range) so validation runs can
     resume per shard; generation is chunked so memory stays flat at any
-    n_rows.
-    """
+    n_rows, and shards build in parallel processes (``n_jobs``; defaults
+    to the CPU count for large corpora) with byte-identical output at any
+    worker count (per-shard seeded RNG)."""
     defects = defects or DefectSpec()
     os.makedirs(f"{out_dir}/corpus", exist_ok=True)
     man = CorpusManifest(n_rows=n_rows, drift_lang=defects.drift_lang)
 
     all_repos = sorted({f"org{i % 37}/repo{i}" for i in range(n_repos)})
-    rng = np.random.RandomState(seed)
 
-    part = 0
-    for start in range(0, n_rows, rows_per_file):
+    tasks = []
+    for part, start in enumerate(range(0, n_rows, rows_per_file)):
         count = min(rows_per_file, n_rows - start)
-        cols = _gen_rows(start, count, seed, n_repos, defects)
+        tasks.append((out_dir, start, count, part, seed, n_repos, defects))
 
-        # plant row-level defects deterministically within the shard, on
-        # DISJOINT row pools (key-altering defects first) so the manifest's
-        # recorded keys stay exact
-        local = np.random.RandomState(seed + 7919 * (part + 1))
-        n = count
-        perm = local.permutation(n)
-        cursor = 0
+    if n_jobs is None:
+        n_jobs = min(os.cpu_count() or 1, 16) if n_rows >= 100_000 else 1
+    if n_jobs > 1 and len(tasks) > 1:
+        from concurrent.futures import ProcessPoolExecutor
 
-        def take(frac: float) -> np.ndarray:
-            nonlocal cursor
-            if frac <= 0:
-                return np.empty(0, dtype=int)
-            k = max(1, int(n * frac))
-            idx = perm[cursor : cursor + k]
-            cursor += k
-            return idx
+        with ProcessPoolExecutor(max_workers=n_jobs) as pool:
+            frags = list(pool.map(_build_shard, tasks, chunksize=4))
+    else:
+        frags = [_build_shard(t) for t in tasks]
 
-        dup_dst = take(defects.duplicate_frac)
-        dup_src = perm[cursor : cursor + len(dup_dst)]
-        cursor += len(dup_dst)  # sources are reserved too: no later defect may alter their keys
-        orphan_idx = take(defects.orphan_frac)
-        null_idx = take(defects.null_lang_frac)
-        empty_idx = take(defects.empty_content_frac)
-
-        for s, d in zip(dup_src, dup_dst):
-            cols["repo"][d] = cols["repo"][s]
-            cols["path"][d] = cols["path"][s]
-            cols["commit"][d] = cols["commit"][s]
-            man.duplicate_keys.append([cols["repo"][s], cols["path"][s], cols["commit"][s]])
-
-        for j, i in enumerate(orphan_idx):
-            ghost = f"ghost/repo{part}_{j}"
-            cols["repo"][i] = ghost
-            man.orphan_repos.append(ghost)
-
-        for i in null_idx:
-            cols["lang"][i] = None
-            man.null_lang_rows.append([cols["repo"][i], cols["path"][i], cols["commit"][i]])
-
-        for i in empty_idx:
-            cols["content"][i] = ""
-            man.empty_content_rows.append([cols["repo"][i], cols["path"][i], cols["commit"][i]])
-
-        tbl = pa.Table.from_pydict(
-            {k: pa.array(v, type=pa.string()) for k, v in cols.items()}
-        )
-        pq.write_table(tbl, f"{out_dir}/corpus/part-{part:05d}.parquet")
-        part += 1
+    for frag in frags:  # shard order = deterministic manifest order
+        man.duplicate_keys.extend(frag["duplicate_keys"])
+        man.orphan_repos.extend(frag["orphan_repos"])
+        man.null_lang_rows.extend(frag["null_lang_rows"])
+        man.empty_content_rows.extend(frag["empty_content_rows"])
 
     pq.write_table(
         pa.Table.from_pydict({"repo": pa.array(all_repos, type=pa.string())}),

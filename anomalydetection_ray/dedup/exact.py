@@ -20,7 +20,7 @@ def exact_dedup(ds, id_col: str, text_col: str):
     never ``groupby().aggregate()``'s per-group Python path."""
     fp = ds.map_batches(
         lambda t: fingerprint_batch(t, text_col=text_col),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
     pairs = fp.select_columns(["fingerprint", id_col])

@@ -28,6 +28,7 @@ import pyarrow as pa
 
 from ..functions.relational import broadcast_value_filter
 from ..functions.shuffle import default_actor_concurrency, local_group_map
+from ..functions.shuffle import select_if_needed as _sel
 from ..functions.vector import list_column_to_matrix
 from ..sketches.minhash import MinHasher, band_keys, exact_jaccard, shingle_hashes, word_hashes
 from ..sketches.simhash import hamming_distance, prefix_blocks, simhash_text
@@ -116,10 +117,10 @@ def _block_edges(tb: pa.Table) -> pa.Table:
 
 def lsh_candidate_edges(ds, id_col: str, text_col: str, num_perm: int = 128, bands: int = 32, shingle: str = "char", k: int = 5, seed: int = 42, concurrency: int | None = None):
     """Dataset of candidate (id, rep) edges from MinHash LSH banding."""
-    triples = ds.select_columns([id_col, text_col]).map_batches(
+    triples = _sel(ds, [id_col, text_col]).map_batches(
         MinHashBandStage,
         fn_constructor_args=(id_col, text_col, num_perm, bands, shingle, k, seed),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
         concurrency=concurrency or default_actor_concurrency(),
     )
@@ -140,7 +141,7 @@ def _verify_edges(ds, id_col: str, text_col: str, edges: list[tuple], threshold:
     cand = sorted({i for e in edges for i in e})
     if not cand:
         return []
-    rows = broadcast_value_filter(ds.select_columns([id_col, text_col]), id_col, np.array(cand), keep=True)
+    rows = broadcast_value_filter(_sel(ds, [id_col, text_col]), id_col, np.array(cand), keep=True)
     from ..pipelines.queries import as_table
 
     t = as_table(rows)
@@ -228,10 +229,10 @@ def neardup_pairs(
         )
         return pairs.to_arrow().cast(pair_schema)
 
-    triples = ds.select_columns([id_col, text_col]).map_batches(
+    triples = _sel(ds, [id_col, text_col]).map_batches(
         MinHashBandStage,
         fn_constructor_args=(id_col, text_col, num_perm, bands, shingle, k, seed),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
         concurrency=default_actor_concurrency(),
     )
@@ -269,7 +270,7 @@ def simhash_fingerprints(ds, id_col: str, text_col: str):
         )
         return pa.Table.from_pydict({id_col: batch[id_col], "simhash": pa.array(out)})
 
-    return ds.select_columns([id_col, text_col]).map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+    return _sel(ds, [id_col, text_col]).map_batches(fp, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def simhash_dedup(ds, id_col: str, text_col: str, max_hamming: int = 3, n_blocks: int = 4):
@@ -317,7 +318,7 @@ def simhash_dedup(ds, id_col: str, text_col: str, max_hamming: int = 3, n_blocks
         )
 
     edges_ds = local_group_map(
-        fps.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        fps.map_batches(explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
         ["block", "key"],
         block_bucket_edges,
     )
@@ -382,10 +383,10 @@ def embedding_neardup_pairs(
         )
         return pairs.to_arrow().cast(pair_schema)
 
-    triples = ds.select_columns([id_col, vec_col]).map_batches(
+    triples = _sel(ds, [id_col, vec_col]).map_batches(
         HyperplaneLSHStage,
         fn_constructor_args=(id_col, vec_col, dim, n_bits, bands, seed),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
         concurrency=default_actor_concurrency(),
     )
@@ -399,7 +400,7 @@ def embedding_neardup_pairs(
     kept: list[tuple] = []
     if cand_pairs:
         cand = sorted({i for e in cand_pairs for i in e})
-        rows = broadcast_value_filter(ds.select_columns([id_col, vec_col]), id_col, np.array(cand), keep=True)
+        rows = broadcast_value_filter(_sel(ds, [id_col, vec_col]), id_col, np.array(cand), keep=True)
         rt = as_table(rows)
         mat = list_column_to_matrix(rt[vec_col])
         ids = rt[id_col].to_numpy(zero_copy_only=False)
@@ -414,10 +415,10 @@ def embedding_neardup_pairs(
 def embedding_cosine_dedup(ds, id_col: str, vec_col: str, dim: int, threshold: float = 0.95, n_bits: int = 128, bands: int = 16, seed: int = 42):
     """Near-dup on embeddings: hyperplane-LSH buckets -> candidate edges ->
     exact cosine verification over gathered candidates -> keep cluster min."""
-    triples = ds.select_columns([id_col, vec_col]).map_batches(
+    triples = _sel(ds, [id_col, vec_col]).map_batches(
         HyperplaneLSHStage,
         fn_constructor_args=(id_col, vec_col, dim, n_bits, bands, seed),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
         concurrency=default_actor_concurrency(),
     )
@@ -425,7 +426,7 @@ def embedding_cosine_dedup(ds, id_col: str, vec_col: str, dim: int, threshold: f
     edges = _collect_edges(edges_ds)
     if edges:
         cand = sorted({i for e in edges for i in e})
-        rows = broadcast_value_filter(ds.select_columns([id_col, vec_col]), id_col, np.array(cand), keep=True)
+        rows = broadcast_value_filter(_sel(ds, [id_col, vec_col]), id_col, np.array(cand), keep=True)
         from ..pipelines.queries import as_table
 
         t = as_table(rows)

@@ -38,7 +38,7 @@ def broadcast_value_filter(ds, col: str, values, keep: bool = True):
             present[valid] = vals_sorted[idx] == vals[valid]
         return batch.filter(pa.array(present if keep else ~present))
 
-    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(probe, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def frequency_filter(ds, col: str, min_count: int):

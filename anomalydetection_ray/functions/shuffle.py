@@ -40,6 +40,25 @@ def default_num_blocks(min_blocks: int = 8) -> int:
     return max(min_blocks, cpus * 2)
 
 
+def select_if_needed(ds, cols: list[str]):
+    """``select_columns`` only when it would change the schema.
+
+    A Project operator directly after ReadParquet PREVENTS read→map fusion
+    in Ray Data — every decompressed block then round-trips through the
+    object store before the map task sees it (measured ~40% of stats-pass
+    wall time). Callers that already pruned columns at the read skip the
+    no-op Project entirely."""
+    try:
+        schema = ds.schema(fetch_if_missing=False)
+    except Exception:
+        schema = None
+    if schema is not None:
+        names = getattr(schema, "names", None) or [f.name for f in schema.base_schema]
+        if set(names) == set(cols):
+            return ds
+    return ds.select_columns(cols)
+
+
 def default_actor_concurrency(min_actors: int = 2) -> int:
     """Actor-pool size for stateful map_batches stages: ~60% of cluster
     CPUs. Actors hold their CPU for the pipeline's lifetime, so sizing the

@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .shuffle import select_if_needed as _sel
 from .vector import list_column_to_matrix
 
 
@@ -71,7 +72,7 @@ def topk_cosine(ds, id_col: str, vec_col: str, queries: np.ndarray, k: int = 10)
     from .shuffle import default_actor_concurrency
 
     qref = ray.put(np.asarray(queries, dtype=np.float64))
-    partials = ds.select_columns([id_col, vec_col]).map_batches(
+    partials = _sel(ds, [id_col, vec_col]).map_batches(
         _PartialTopK,
         fn_constructor_args=(id_col, vec_col, qref, k),
         batch_format="pyarrow",
@@ -170,7 +171,7 @@ def ivf_topk_cosine(
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     from .shuffle import default_actor_concurrency
 
-    partials = ds.select_columns([id_col, vec_col]).map_batches(
+    partials = _sel(ds, [id_col, vec_col]).map_batches(
         _IVFPartialTopK,
         fn_constructor_args=(id_col, vec_col, cref, qref, k, n_probe),
         batch_format="pyarrow",

@@ -52,13 +52,15 @@ def _round_pd(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
 def as_table(ds) -> pa.Table:
     """Materialize a (small-by-contract) Dataset to one Arrow table,
     preserving schema even when there are zero rows (an empty Dataset
-    otherwise loses its column names on conversion)."""
+    otherwise loses its column names on conversion). Executes the pipeline
+    exactly once — ``schema()`` is only consulted afterwards (cached), so
+    no partial pre-execution happens."""
     import ray
 
-    schema = ds.schema()
     refs = ds.to_arrow_refs()
     tables = [t for t in ray.get(refs) if t.num_rows]
     if not tables:
+        schema = ds.schema()
         return pa.Table.from_arrays(
             [pa.array([], type=f.type) for f in schema.base_schema],
             names=[f.name for f in schema.base_schema],
@@ -161,7 +163,7 @@ def null_counts_docs(sf_dir: str):
             }
         )
 
-    p = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    p = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     row = p.aggregate(
         Sum("n_rows", alias_name="n_rows"),
         Sum("text_nulls", alias_name="text_nulls"),
@@ -202,7 +204,7 @@ def pricing_summary(sf_dir: str):
         return batch.append_column("disc_price", dp)
 
     agg = (
-        ds.map_batches(disc_price, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(disc_price, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
@@ -301,7 +303,7 @@ def docs_from_unknown_sources(sf_dir: str):
     docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
     dim = read_table(sf_dir, "documents", columns=["source"]).map_batches(
         lambda t: t.filter(pc.invert(pc.starts_with(t["source"], "src1"))),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
     return as_table(orphans_bloom(docs, "source", dim, "source"))
@@ -359,7 +361,7 @@ def hourly_event_counts(sf_dir: str):
         return batch.append_column("hour_bucket", hour).drop_columns(["ts"])
 
     agg = (
-        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(bucket, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby(["event_type", "hour_bucket"])
         .aggregate(Count(alias_name="cnt"), Sum("value", alias_name="sum_value"))
         .to_pandas()
@@ -393,7 +395,7 @@ def anomaly_scores(sf_dir: str):
     the threshold collects ONE float column (exact p95, as the reference
     does) — the sketch-based scale path is `value_quantiles_kll`."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    scored = ds.map_batches(l2_norm_batch, batch_format="pyarrow", zero_copy_batch=True)
+    scored = ds.map_batches(l2_norm_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     # exact global p95 over the score column only (A2 semantics)
     scores = scored.select_columns(["anomaly_score"]).to_pandas()["anomaly_score"].to_numpy()
     thr = float(np.percentile(scores, 95))
@@ -409,7 +411,7 @@ def anomaly_scores(sf_dir: str):
             }
         )
 
-    return scored.map_batches(verdict, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.map_batches(verdict, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -429,7 +431,7 @@ def token_counts_docs(sf_dir: str):
     """Token counting via vectorized regex (pc.count_substring_regex) —
     whitespace-token semantics of ``models/drain.py:27``."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True).select_columns(
+    return ds.map_batches(token_count_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).select_columns(
         ["doc_id", "n_tokens"]
     )
 
@@ -452,7 +454,7 @@ def doc_quality(sf_dir: str):
     (floor of identical float64 ops on both sides: bit-stable compare,
     immune to round-half mode differences between engines)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    scored = ds.map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+    scored = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
     def project(batch: pa.Table) -> pa.Table:
         safe = pc.max_element_wise(pc.cast(batch["n_chars_q"], pa.float64()), 1.0)
@@ -467,7 +469,7 @@ def doc_quality(sf_dir: str):
             }
         )
 
-    return scored.map_batches(project, batch_format="pyarrow")
+    return scored.map_batches(project, batch_format="pyarrow", batch_size=None)
 
 
 @register(
@@ -659,7 +661,7 @@ def lang_id_docs(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = docs.map_batches(
-        LangIdModel, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        LangIdModel, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=2
     )
     return as_table(out.select_columns(["doc_id", "lang_pred"]))
 
@@ -732,4 +734,109 @@ def media_image_features(sf_dir: str):
             }
         )
 
-    return as_table(feats.map_batches(norm, batch_format="pyarrow"))
+    return as_table(feats.map_batches(norm, batch_format="pyarrow", batch_size=None))
+
+
+# ---------------------------------------------------------------------------
+# Log-front-end parity (SURVEY.md S1/M1/M2/T1-analog; sources/logs.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bgl_parse_roundtrip",
+    r"""
+    WITH lines AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'ALARM' ELSE '-' END
+             || ' ' || CAST(doc_id AS VARCHAR)
+             || ' 2005.06.03 R02-M1-N' || CAST(doc_id % 8 AS VARCHAR)
+             || ' 15.42.50 R02-M1-N' || CAST(doc_id % 8 AS VARCHAR)
+             || ' RAS KERNEL '
+             || CASE WHEN doc_id % 5 = 0 THEN 'FATAL' ELSE 'INFO' END
+             || ' ' || COALESCE(text, '') AS line
+      FROM documents),
+    parsed AS (
+      SELECT CASE WHEN split_part(line, ' ', 1) = '-' THEN 0 ELSE 1 END AS label,
+             regexp_extract_all(substr(line, length(split_part(line, ' ', 1)) + 2), '\S+') AS toks
+      FROM lines)
+    SELECT CAST(label AS INTEGER) AS label,
+           CASE WHEN len(toks) < 9 THEN '' ELSE toks[1] END AS "Timestamp",
+           CASE WHEN len(toks) < 9 THEN '' ELSE toks[3] END AS "Node",
+           CASE WHEN len(toks) < 9 THEN '' ELSE toks[8] END AS "Level",
+           CASE WHEN len(toks) < 9 THEN '' ELSE array_to_string(toks[9:], ' ') END AS "Content"
+    FROM parsed
+    """,
+)
+def bgl_parse_roundtrip(sf_dir: str):
+    """Reference log front-end parity (S1/M1/M2): BGL-format lines are
+    synthesized deterministically from the documents table, then parsed
+    with the engine's vectorized label parse (``models/drain.py:17-20``
+    semantics) and 9-field positional enrichment (``models/drain.py:26-43``
+    — but malformed rows are FLAGGED, not silently blanked)."""
+    from ..sources.logs import enrich_structure_batch, parse_label_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def build_lines(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"]
+        did_np = did.to_numpy(zero_copy_only=False)
+        mod5 = pa.array(did_np % 5 == 0)
+        marker = pc.if_else(mod5, "ALARM", "-")
+        level = pc.if_else(mod5, "FATAL", "INFO")
+        node = pc.binary_join_element_wise(
+            "R02-M1-N", pa.array((did_np % 8).astype(str), type=pa.string()), ""
+        )
+        line = pc.binary_join_element_wise(
+            marker,
+            pc.cast(did, pa.string()),
+            "2005.06.03",
+            node,
+            "15.42.50",
+            node,
+            "RAS",
+            "KERNEL",
+            level,
+            pc.coalesce(batch["text"], ""),
+            " ",
+        )
+        return pa.Table.from_pydict({"text": line})
+
+    def parse(batch: pa.Table) -> pa.Table:
+        parsed = parse_label_batch(batch, line_col="text")
+        enriched = enrich_structure_batch(parsed, log_col="log")
+        return pa.Table.from_pydict(
+            {
+                "label": enriched["label"],
+                "Timestamp": enriched["Timestamp"],
+                "Node": enriched["Node"],
+                "Level": enriched["Level"],
+                "Content": enriched["Content"],
+            }
+        )
+
+    return (
+        docs.map_batches(build_lines, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .map_batches(parse, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+@register(
+    "log_template_counts",
+    """
+    SELECT regexp_replace(text, '[0-9]+', '<*>', 'g') AS template, COUNT(*) AS cnt
+    FROM documents GROUP BY template
+    """,
+)
+def log_template_counts(sf_dir: str):
+    """Template group-count (A1 + T1 analog): the digit-masking template
+    (order-independent Drain stand-in, sources/logs.py) + exact counts via
+    the high-cardinality hash-shuffle path."""
+    from ..sources.logs import mask_template_batch
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    tpl = docs.map_batches(
+        lambda t: mask_template_batch(t, content_col="text").drop_columns(["text"]),
+        batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    return key_counts(tpl, ["template"])

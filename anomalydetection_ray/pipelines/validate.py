@@ -9,16 +9,20 @@ checkpoints with lineage + metrics (state/checkpoint.py).
 Pass layout (each pass prunes columns at the read — the wide ``content``
 column is never shuffled, SURVEY.md M6/§7.4):
 
-  stats        read all cols       map-only partials → tiny groupby merge
-  rowrules     key+lang+content    map-only filter (null lang / empty content)
-  uniqueness   key+lang only       combiner → groupby-sum → broadcast filter
-  referential  key+lang+content    broadcast Bloom anti-join (map-only)
-  drift        (stats output)      PSI/KS vs baseline snapshot, driver-side
-                                   on the small merged table
+  stats        read all cols    map partials → tree reduce (NO keyed shuffle)
+  uniqueness   key cols only    per-block combiner → hash shuffle of int64
+                                (key-hash, cnt) pairs only → dup-hash set
+  rowpass      key+lang+content ONE combined scan: null-lang / empty-content
+               (+repo if ref)   row rules, dup-key row recovery (broadcast
+                                dup-hash probe, exact post-verify), Bloom
+                                referential probe; violating rows leave the
+                                scan as (key, partition, sha256, kind)
+  drift        (stats output)   PSI/KS vs baseline snapshot, driver-side on
+                                the small merged table
 
-Wall-clock is dominated by the two content-bearing map-only passes; at
-cluster scale those pipeline against the read. The uniqueness shuffle moves
-only (key, partial-count) rows.
+Wall-clock is dominated by the two content-bearing scans (stats, rowpass),
+which pipeline against the read; every shuffle moves kilobytes-per-block
+partials, never data rows.
 """
 
 from __future__ import annotations
@@ -36,11 +40,31 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..checks.drift import partition_drift, write_snapshot
-from ..checks.referential import orphans_bloom
 from ..checks.stats import column_stats
-from ..checks.uniqueness import duplicate_rows
 from ..functions.text import sha256_hex_batch
 from ..state import RunState
+
+# ray.data's path resolution lazily tries `from fsspec.implementations.http
+# import HTTPFileSystem` (absent here: no aiohttp) inside a try/except —
+# harmless sequentially, but two concurrent read_parquet calls from worker
+# threads (stats ∥ uniqueness below) race the failing import and one of
+# them observes a half-initialized module, escaping ray's except clause.
+# Resolve it once in the MAIN thread; if unavailable, pin a stub module so
+# later imports fail deterministically (ImportError, caught by ray) without
+# re-running the racy import machinery.
+try:  # pragma: no cover - optional dependency surface
+    from fsspec.implementations.http import HTTPFileSystem as _HTTPFS  # noqa: F401
+except Exception:
+    import sys as _sys
+    import types as _types
+
+    _stub = _types.ModuleType("fsspec.implementations.http")
+
+    class _StubHTTPFileSystem:  # real one unusable here (aiohttp absent);
+        pass  # isinstance checks against it are simply False
+
+    _stub.HTTPFileSystem = _StubHTTPFileSystem
+    _sys.modules.setdefault("fsspec.implementations.http", _stub)
 
 
 @dataclass
@@ -61,7 +85,7 @@ class SuiteConfig:
     hist_edges: np.ndarray = field(
         default_factory=lambda: np.concatenate([[0.0], np.logspace(0, 5, 40)])
     )
-    batch_size: int | None = 8192
+    batch_size: int | None = None  # None = whole blocks, no rebatching copies
 
 
 @dataclass
@@ -73,25 +97,15 @@ class SuiteResult:
     passed: bool
 
 
-def _violation_table(ds_or_tbl, cfg: SuiteConfig, kind: str) -> pa.Table:
-    """Materialize violation rows (small by contract): attach
-    sha256(content) + violation_kind, project to key+partition+sha, sort
-    deterministically."""
-    from .queries import as_table
-
-    tbl = ds_or_tbl if isinstance(ds_or_tbl, pa.Table) else as_table(ds_or_tbl)
-    cols = list(cfg.key) + [cfg.partition_by]
-    if cfg.content_col in tbl.column_names:
-        tbl = sha256_hex_batch(tbl, cfg.content_col, "content_sha256")
-        keep = cols + ["content_sha256"]
-    else:
-        keep = cols
-    tbl = tbl.select(keep)
-    tbl = tbl.append_column("violation_kind", pa.array([kind] * tbl.num_rows, type=pa.string()))
-    if tbl.num_rows:
-        order = [(c, "ascending") for c in cols]
-        tbl = tbl.sort_by(order)
-    return tbl
+def _corpus_schema(corpus_path: str) -> pa.Schema:
+    """Schema straight from parquet footer metadata — no Ray pipeline
+    needed just to learn column names."""
+    if os.path.isdir(corpus_path):
+        first = sorted(
+            f for f in os.listdir(corpus_path) if f.endswith(".parquet")
+        )[0]
+        return pq.read_schema(os.path.join(corpus_path, first))
+    return pq.read_schema(corpus_path)
 
 
 def _per_part_counts(tbl: pa.Table, part_col: str) -> dict[str, int]:
@@ -113,8 +127,20 @@ def run_suite(
     ``resume=True`` skips checks whose ``_DONE`` marker exists and reloads
     their outputs (checkpoint semantics; see tests/test_validate.py)."""
     from .. import tune_shuffle_to_cluster
+    from ..functions.shuffle import default_num_blocks
 
     tune_shuffle_to_cluster()
+    import time as _time
+
+    _timings: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        _timings[name] = round(now - _t0, 3)
+        _t0 = now
+
     cfg = cfg or SuiteConfig()
     state = RunState(out_dir)
     key = list(cfg.key)
@@ -122,17 +148,28 @@ def run_suite(
     verdict_rows: list[dict] = []
     violations: dict[str, pa.Table] = {}
 
-    def corpus(columns: list[str] | None = None):
-        return rd.read_parquet(corpus_path, columns=columns)
+    def corpus(columns: list[str] | None = None, num_blocks: int | None = None):
+        return rd.read_parquet(corpus_path, columns=columns, override_num_blocks=num_blocks)
 
-    # ---------------- stats (+ snapshot material) ----------------
+    # ------- stats + uniqueness key detection: CONCURRENT pipelines -------
+    # the two passes are independent (stats reads all columns; uniqueness
+    # reads key columns only), so they execute as two simultaneous Ray Data
+    # pipelines driven from two threads — the streaming executor interleaves
+    # their tasks, overlapping the uniqueness shuffle's idle wait with
+    # stats compute instead of serializing two fixed startup costs.
+    from .queries import as_table
+    from ..checks.uniqueness import duplicate_key_hashes, hash_key_rows
+
     stats_path = os.path.join(state.unit_dir("stats"), "stats.parquet")
-    if resume and state.is_done("stats"):
-        stats_df = pq.read_table(stats_path).to_pandas()
-    else:
-        all_cols = [f.name for f in corpus().schema().base_schema]
-        stats_df = column_stats(
-            corpus(),
+    uqk_path = os.path.join(state.unit_dir("uniqueness"), "dup_key_hashes.parquet")
+    uniq_reused = resume and state.is_done("uniqueness")
+
+    def stats_work() -> pd.DataFrame:
+        if resume and state.is_done("stats"):
+            return pq.read_table(stats_path).to_pandas()
+        all_cols = [f.name for f in _corpus_schema(corpus_path)]
+        df = column_stats(
+            corpus(num_blocks=default_num_blocks()),
             columns=all_cols,
             partition_by=[part],
             hll_p=cfg.hll_p,
@@ -140,9 +177,28 @@ def run_suite(
             hist_edges={cfg.content_col: cfg.hist_edges},
             batch_size=cfg.batch_size,
         ).to_pandas()
-        pa_tbl = pa.Table.from_pandas(stats_df, preserve_index=False)
-        pq.write_table(pa_tbl, stats_path)
-        state.mark_done("stats", {"partitions": int(stats_df["part"].nunique()), "rows_seen": int(stats_df[stats_df["column"] == cfg.content_col]["count"].sum())})
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), stats_path)
+        state.mark_done("stats", {"partitions": int(df["part"].nunique()), "rows_seen": int(df[df["column"] == cfg.content_col]["count"].sum())})
+        return df
+
+    def uniq_work() -> pa.Table:
+        if uniq_reused:
+            return pq.read_table(uqk_path)
+        # coalesce the key-only read to ~2 blocks/CPU: many tiny source
+        # files otherwise fan the 16-byte/row shuffle into thousands of
+        # mini-objects (measured 2× slower than the coalesced read)
+        tbl = as_table(duplicate_key_hashes(corpus(key, num_blocks=default_num_blocks()), key))
+        pq.write_table(tbl, uqk_path)
+        state.mark_done("uniqueness", {"duplicate_key_hashes": tbl.num_rows})
+        return tbl
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_stats = pool.submit(stats_work)
+        f_uniq = pool.submit(uniq_work)
+        stats_df = f_stats.result()
+        dup_hash_tbl = f_uniq.result()
 
     for _, r in stats_df.iterrows():
         issues = []
@@ -175,68 +231,124 @@ def run_suite(
             }
         )
 
-    # ---------------- rowrules: null partition col / empty content -------
-    rr_path = os.path.join(state.unit_dir("rowrules"), "violations.parquet")
-    if resume and state.is_done("rowrules"):
-        rr = pq.read_table(rr_path)
+    _mark("stats_and_uniqueness")
+    dup_hashes = np.sort(dup_hash_tbl["h"].to_numpy(zero_copy_only=False))
+
+    # ---------------- combined row pass: ONE content scan -----------------
+    # null-partition + empty-content row rules, duplicate-key row recovery
+    # (broadcast dup-key membership) and the Bloom referential probe all
+    # evaluate in the same map_batches over the same batch; violating rows
+    # leave the task as (key, partition, sha256, kind) — content itself
+    # never leaves the scan.
+    rp_path = os.path.join(state.unit_dir("rowpass"), "violations.parquet")
+    if resume and uniq_reused and state.is_done("rowpass"):
+        viol_all = pq.read_table(rp_path)
     else:
-        need = key + [part, cfg.content_col]
+        import ray
 
-        def bad_rows(batch: pa.Table) -> pa.Table:
-            null_part = pc.is_null(batch[part])
-            empty = pc.equal(pc.coalesce(batch[cfg.content_col], ""), "")
-            return batch.filter(pc.or_(null_part, empty))
+        have_ref = bool(cfg.repos_dim_path)
+        dup_ref = ray.put(dup_hashes)
+        if have_ref:
+            from ..checks.referential import _collect_dim_keys, build_dim_bloom
 
-        bad = corpus(list(dict.fromkeys(need))).map_batches(
-            bad_rows, batch_format="pyarrow", zero_copy_batch=True
+            dim = rd.read_parquet(cfg.repos_dim_path, columns=[cfg.dim_key])
+            bloom_ref = ray.put(build_dim_bloom(dim, cfg.dim_key).to_bytes())
+            exact_ref = ray.put(_collect_dim_keys(dim, cfg.dim_key))
+        need = list(dict.fromkeys(key + [part, cfg.content_col] + ([cfg.repo_col] if have_ref else [])))
+        out_cols = list(key) + [part]
+
+        def row_violations(batch: pa.Table) -> pa.Table:
+            null_part = np.asarray(pc.is_null(batch[part]))
+            empty = np.asarray(pc.equal(pc.coalesce(batch[cfg.content_col], ""), ""))
+            # dup-key CANDIDATES by 64-bit key hash (collisions verified
+            # exactly after collection — see below)
+            dh = ray.get(dup_ref)
+            rh = hash_key_rows(batch, key)
+            dup = np.zeros(batch.num_rows, dtype=bool)
+            if len(dh):
+                idx = np.clip(np.searchsorted(dh, rh), 0, len(dh) - 1)
+                dup = dh[idx] == rh
+            masks = [(f"null_{part}", null_part), ("empty_content", empty & ~null_part), ("duplicate_key", dup)]
+            if have_ref:
+                from ..sketches import BloomFilter
+
+                bf = BloomFilter.from_bytes(ray.get(bloom_ref))
+                col = batch[cfg.repo_col].combine_chunks()
+                vals = np.asarray(col)
+                valid = np.asarray(pc.is_valid(col))
+                hit = np.zeros(len(vals), dtype=bool)
+                if valid.any():
+                    hit[valid] = bf.contains(vals[valid])
+                orphan = ~hit
+                dimk = ray.get(exact_ref)
+                cand = hit & valid
+                if cand.any() and len(dimk):
+                    idx = np.clip(np.searchsorted(dimk, vals[cand]), 0, len(dimk) - 1)
+                    fp_mask = dimk[idx] != vals[cand]
+                    orphan[np.nonzero(cand)[0][fp_mask]] = True
+                masks.append(("orphan_repo", orphan))
+            any_bad = np.zeros(batch.num_rows, dtype=bool)
+            for _, m in masks:
+                any_bad |= m
+            if not any_bad.any():
+                return pa.Table.from_pydict(
+                    {**{c: pa.array([], type=batch.schema.field(c).type) for c in out_cols},
+                     "content_sha256": pa.array([], type=pa.string()),
+                     "violation_kind": pa.array([], type=pa.string())}
+                )
+            pieces = []
+            for kind, m in masks:
+                if not m.any():
+                    continue
+                sub = batch.filter(pa.array(m))
+                sub = sha256_hex_batch(sub, cfg.content_col, "content_sha256")
+                sub = sub.select(out_cols + ["content_sha256"])
+                pieces.append(sub.append_column("violation_kind", pa.array([kind] * sub.num_rows)))
+            return pa.concat_tables(pieces)
+
+        viol_all = as_table(
+            corpus(need, num_blocks=default_num_blocks()).map_batches(
+                row_violations, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            )
         )
-        # kind is decided per row after materialization (small)
-        from .queries import as_table
+        # exact dup verification: candidate rows carry their REAL keys, so
+        # a per-key recount here drops 64-bit hash-collision artifacts —
+        # the reported duplicate set is exact at any scale
+        if viol_all.num_rows:
+            kinds = viol_all["violation_kind"]
+            dup_mask = pc.equal(kinds, "duplicate_key")
+            dup_rows = viol_all.filter(dup_mask)
+            if dup_rows.num_rows:
+                keydf = dup_rows.select(list(key)).to_pandas()
+                sizes = keydf.groupby(list(key))[key[0]].transform("size")
+                keep = pa.array((sizes >= 2).to_numpy())
+                verified = dup_rows.filter(keep)
+                viol_all = pa.concat_tables(
+                    [viol_all.filter(pc.invert(dup_mask)), verified]
+                )
+        if viol_all.num_rows:
+            viol_all = viol_all.sort_by(
+                [("violation_kind", "ascending")] + [(c, "ascending") for c in out_cols]
+            )
+        pq.write_table(viol_all, rp_path)
+        state.mark_done("rowpass", {"violations": viol_all.num_rows})
 
-        bad_tbl = as_table(bad)
-        null_mask = pc.is_null(bad_tbl[part])
-        nulls = _violation_table(bad_tbl.filter(null_mask), cfg, f"null_{part}")
-        empties = _violation_table(bad_tbl.filter(pc.invert(null_mask)), cfg, "empty_content")
-        rr = pa.concat_tables([nulls, empties])
-        pq.write_table(rr, rr_path)
-        state.mark_done("rowrules", {"violations": rr.num_rows})
-    violations["rowrules"] = rr
-    for p, c in _per_part_counts(rr, part).items():
+    _mark("rowpass")
+    kind_col = viol_all["violation_kind"] if viol_all.num_rows else pa.chunked_array([pa.array([], type=pa.string())])
+    is_rowrule = pc.is_in(kind_col, value_set=pa.array([f"null_{part}", "empty_content"]))
+    violations["rowrules"] = viol_all.filter(is_rowrule) if viol_all.num_rows else viol_all
+    uq = viol_all.filter(pc.equal(kind_col, "duplicate_key")) if viol_all.num_rows else viol_all
+    violations["uniqueness"] = uq
+    for p, c in _per_part_counts(violations["rowrules"], part).items():
         verdict_rows.append(
             {"check": "rowrules", "partition": p, "column": "", "passed": False, "metric": float(c), "detail": f"{c} row-rule violations"}
         )
-
-    # ---------------- uniqueness on the key ----------------
-    uq_path = os.path.join(state.unit_dir("uniqueness"), "violations.parquet")
-    if resume and state.is_done("uniqueness"):
-        uq = pq.read_table(uq_path)
-    else:
-        dup = duplicate_rows(corpus(key + [part, cfg.content_col]), key)
-        uq = _violation_table(dup, cfg, "duplicate_key")
-        pq.write_table(uq, uq_path)
-        state.mark_done("uniqueness", {"violations": uq.num_rows})
-    violations["uniqueness"] = uq
     for p, c in _per_part_counts(uq, part).items():
         verdict_rows.append(
             {"check": "uniqueness", "partition": p, "column": "", "passed": False, "metric": float(c), "detail": f"{c} duplicate-key rows"}
         )
-
-    # ---------------- referential vs repos dim ----------------
     if cfg.repos_dim_path:
-        rf_path = os.path.join(state.unit_dir("referential"), "violations.parquet")
-        if resume and state.is_done("referential"):
-            rf = pq.read_table(rf_path)
-        else:
-            dim = rd.read_parquet(cfg.repos_dim_path, columns=[cfg.dim_key])
-            orphans = orphans_bloom(
-                corpus(list(dict.fromkeys(key + [part, cfg.content_col, cfg.repo_col]))),
-                cfg.repo_col,
-                dim,
-                cfg.dim_key,
-            )
-            rf = _violation_table(orphans, cfg, "orphan_repo")
-            pq.write_table(rf, rf_path)
-            state.mark_done("referential", {"violations": rf.num_rows})
+        rf = viol_all.filter(pc.equal(kind_col, "orphan_repo")) if viol_all.num_rows else viol_all
         violations["referential"] = rf
         for p, c in _per_part_counts(rf, part).items():
             verdict_rows.append(
@@ -276,6 +388,9 @@ def run_suite(
                     {"check": check, "partition": p, "column": "", "passed": True, "metric": 0.0, "detail": ""}
                 )
 
+    _mark("drift_and_verdicts")
+    if os.environ.get("ADRAY_TIMINGS"):
+        print("suite timings:", _timings, flush=True)
     verdicts = pd.DataFrame(verdict_rows).sort_values(["check", "partition", "column"]).reset_index(drop=True)
     verdicts_path = os.path.join(out_dir, "verdicts.parquet")
     pq.write_table(pa.Table.from_pandas(verdicts, preserve_index=False), verdicts_path)
@@ -297,11 +412,9 @@ def write_baseline(corpus_path: str, snapshot_path: str, cfg: SuiteConfig | None
     """Compute and persist the baseline snapshot (per-partition stats +
     histogram/sketch bytes) — the artifact drift checks score against."""
     cfg = cfg or SuiteConfig()
-    all_cols = None
-    ds = rd.read_parquet(corpus_path)
-    all_cols = [f.name for f in ds.schema().base_schema]
+    all_cols = [f.name for f in _corpus_schema(corpus_path)]
     stats_df = column_stats(
-        ds,
+        rd.read_parquet(corpus_path),
         columns=all_cols,
         partition_by=[cfg.partition_by],
         hll_p=cfg.hll_p,
@@ -342,7 +455,7 @@ def verify_violation_invariant(
 
     from .queries import as_table
 
-    got_tbl = as_table(ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True))
+    got_tbl = as_table(ds.map_batches(pick, batch_format="pyarrow", batch_size=None, zero_copy_batch=True))
     got: dict[tuple, set] = {}
     for r in got_tbl.to_pylist():
         got.setdefault(tuple(r[k] for k in key), set()).add(r["content_sha256"])

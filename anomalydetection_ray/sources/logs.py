@@ -1,0 +1,93 @@
+"""BGL-style raw log parsing — reference parity for the log front-end.
+
+Reference semantics reproduced exactly (vectorized, no Python row loop):
+- label parse (``models/drain.py:17-20``): split the line once on the
+  first space; token 0 == "-" → label 0 (normal), anything else → 1;
+  lines without a payload after the marker are dropped.
+- structure enrichment (``models/drain.py:26-43``): whitespace-tokenize
+  the payload and positionally extract 9 string fields ``Timestamp, Date,
+  Node, Time, NodeRepeat, Type, Component, Level, Content`` where Content
+  re-joins tokens [8:] with single spaces; lines with <9 tokens get empty
+  fields — but unlike the reference (which blanks them silently), a
+  ``malformed`` flag is emitted so schema-conformance checks can count
+  them as violations (SURVEY.md M2).
+- template mining analog: the reference's Drain miner (``models/
+  drain.py:48-67``) holds order-dependent global state that cannot shard;
+  the engine's deterministic, order-independent stand-in masks digit runs
+  to ``<*>`` (``mask_template_batch``) so template group-counts (A1) and
+  the frequency filter (J1) compose with it at any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+FIELDS = ["Timestamp", "Date", "Node", "Time", "NodeRepeat", "Type", "Component", "Level"]
+
+
+def read_log_lines(path: str, max_lines: int | None = None):
+    """Text-line reader (S1 analog of ``load_log_file``)."""
+    import ray.data as rd
+
+    ds = rd.read_text(path)
+    return ds.limit(max_lines) if max_lines else ds
+
+
+def parse_label_batch(batch: pa.Table, line_col: str = "text") -> pa.Table:
+    """line -> (label:int32, log:string); drops payload-less lines."""
+    parts = pc.split_pattern(pc.coalesce(batch[line_col], ""), " ", max_splits=1)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    has_payload = pc.equal(pc.list_value_length(parts), 2)
+    if isinstance(has_payload, pa.ChunkedArray):
+        has_payload = has_payload.combine_chunks()
+    kept_parts = parts.filter(has_payload)
+    label = pc.cast(pc.invert(pc.equal(pc.list_element(kept_parts, 0), "-")), pa.int32())
+    return pa.table({"label": label, "log": pc.list_element(kept_parts, 1)})
+
+
+def _tokenize_np(texts: np.ndarray) -> list[list[str]]:
+    return [(t.split() if t else []) for t in texts]
+
+
+def enrich_structure_batch(batch: pa.Table, log_col: str = "log") -> pa.Table:
+    """log -> 9 positional fields + malformed flag.
+
+    Token extraction uses one numpy/Python pass over the (already small,
+    line-sized) strings — Arrow's list kernels can't express "join the
+    tail tokens" without materializing per-row lists anyway. Whitespace
+    semantics match ``str.split()`` exactly (the reference's tokenizer,
+    ``models/drain.py:27``).
+    """
+    texts = batch[log_col].to_numpy(zero_copy_only=False)
+    toks = _tokenize_np(texts)
+    n = len(texts)
+    cols: dict[str, np.ndarray] = {f: np.empty(n, dtype=object) for f in FIELDS}
+    content = np.empty(n, dtype=object)
+    malformed = np.zeros(n, dtype=bool)
+    for i, s in enumerate(toks):
+        if len(s) < 9:
+            for f in FIELDS:
+                cols[f][i] = ""
+            content[i] = ""
+            malformed[i] = True
+        else:
+            for j, f in enumerate(FIELDS):
+                cols[f][i] = s[j]
+            content[i] = " ".join(s[8:])
+    out = {c: batch[c] for c in batch.column_names}
+    for f in FIELDS:
+        out[f] = pa.array(cols[f], type=pa.string())
+    out["Content"] = pa.array(content, type=pa.string())
+    out["malformed"] = pa.array(malformed)
+    return pa.table(out)
+
+
+def mask_template_batch(batch: pa.Table, content_col: str = "Content", out_col: str = "template") -> pa.Table:
+    """Digit-run masking template (deterministic Drain stand-in): every
+    maximal digit run becomes ``<*>`` — order-independent, so counts merge
+    at any parallelism (unlike the reference's streaming miner state)."""
+    tpl = pc.replace_substring_regex(batch[content_col], r"[0-9]+", "<*>")
+    return batch.append_column(out_col, tpl)
