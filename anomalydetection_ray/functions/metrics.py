@@ -1,0 +1,95 @@
+"""Distributed classification metrics — reference parity for A4/A5.
+
+The reference computes accuracy/precision/recall/F1 (+AUC) on the driver
+over full label/prediction vectors (``end_to_end_prediction.py:464-466``;
+``prediction_pipeline.py:363-373``) and a 2×2 confusion matrix
+(``end_to_end_prediction.py:565``). Here the same quantities come from
+per-block partial counts (one streaming pass, kilobyte partials):
+
+- confusion counts / accuracy / precision / recall / F1: EXACT — four
+  cell counts are fully associative.
+- AUC: the reference's exact ROC-AUC needs a global sort; the streaming
+  version histograms the scores per class into fine fixed bins and
+  computes the rank statistic from the two histograms — error bounded by
+  the per-bin tie approximation (≤ 1/n_bins of probability mass per bin;
+  tests assert agreement to ~1e-3 on smooth score distributions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+
+def confusion_counts(ds, label_col: str, pred_col: str) -> dict:
+    """Exact TP/FP/TN/FN via per-block partial sums."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch[pred_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "tp": [int(((y == 1) & (p == 1)).sum())],
+                "fp": [int(((y == 0) & (p == 1)).sum())],
+                "tn": [int(((y == 0) & (p == 0)).sum())],
+                "fn": [int(((y == 1) & (p == 0)).sum())],
+            }
+        )
+
+    row = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).aggregate(
+        Sum("tp", alias_name="tp"),
+        Sum("fp", alias_name="fp"),
+        Sum("tn", alias_name="tn"),
+        Sum("fn", alias_name="fn"),
+    )
+    return {k: int(v) for k, v in row.items()}
+
+
+def classification_metrics(ds, label_col: str, pred_col: str) -> dict:
+    """accuracy / precision / recall / f1 from exact confusion counts."""
+    c = confusion_counts(ds, label_col, pred_col)
+    tp, fp, tn, fn = c["tp"], c["fp"], c["tn"], c["fn"]
+    total = tp + fp + tn + fn
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        **c,
+        "accuracy": (tp + tn) / total if total else 0.0,
+        "precision": precision,
+        "recall": recall,
+        "f1_score": f1,
+    }
+
+
+def auc_streaming(ds, label_col: str, score_col: str, lo: float, hi: float, n_bins: int = 4096) -> float:
+    """Approximate ROC-AUC from per-class fixed-bin score histograms.
+
+    AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻); with histograms the
+    within-bin comparison uses the ½-tie convention, bounding the error by
+    the mass falling in mixed bins. One streaming pass, partials are two
+    int64[n_bins] vectors per block.
+    """
+    edges = np.linspace(lo, hi, n_bins + 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos, _ = np.histogram(s[y == 1], bins=edges)
+        neg, _ = np.histogram(s[y == 0], bins=edges)
+        return pa.Table.from_pydict({"pos": [pos.tobytes()], "neg": [neg.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).take_all()
+    pos = np.zeros(n_bins, dtype=np.int64)
+    neg = np.zeros(n_bins, dtype=np.int64)
+    for r in parts:
+        pos += np.frombuffer(r["pos"], dtype=np.int64)
+        neg += np.frombuffer(r["neg"], dtype=np.int64)
+    n_pos, n_neg = pos.sum(), neg.sum()
+    if not n_pos or not n_neg:
+        return float("nan")
+    neg_below = np.concatenate([[0], np.cumsum(neg)[:-1]])
+    u = float((pos * (neg_below + 0.5 * neg)).sum())
+    return u / (n_pos * n_neg)

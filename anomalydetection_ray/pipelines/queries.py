@@ -840,3 +840,176 @@ def log_template_counts(sf_dir: str):
         zero_copy_batch=True,
     )
     return key_counts(tpl, ["template"])
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction; classification metrics (A4/A5); sampling (P3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "props_k_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS k_mean
+    FROM events GROUP BY event_type
+    """,
+)
+def props_k_stats(sf_dir: str):
+    """JSON-string column parsing (SURVEY.md §2.8 json + M-pattern for the
+    reference's params-dict-in-CSV cell, ``models/drain.py:84``): extract
+    ``$.k`` from the props JSON per row (vectorized polars
+    ``json_path_match``), then a grouped aggregate."""
+    import polars as pl
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        col = batch["props"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        k = pl.from_arrow(col).str.json_path_match("$.k").cast(pl.Int64).to_arrow()
+        return pa.Table.from_pydict({"event_type": batch["event_type"], "k": k.cast(pa.int64())})
+
+    agg = (
+        ds.map_batches(extract, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="cnt"),
+            Min("k", alias_name="k_min"),
+            Max("k", alias_name="k_max"),
+            Mean("k", alias_name="k_mean"),
+        )
+        .to_pandas()
+    )
+    agg["cnt"] = agg["cnt"].astype("int64")
+    agg["k_min"] = agg["k_min"].astype("int64")
+    agg["k_max"] = agg["k_max"].astype("int64")
+    return _round_pd(agg, {"k_mean": 6})
+
+
+@register(
+    "classification_metrics",
+    """
+    WITH s AS (
+      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+             sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS sc
+      FROM embeddings
+    ), t AS (SELECT quantile_cont(sc, 0.95) AS q FROM s),
+    p AS (SELECT y, CAST(sc > q AS INTEGER) AS pred FROM s, t)
+    SELECT CAST(SUM(CASE WHEN y=1 AND pred=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN y=0 AND pred=1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN y=0 AND pred=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(SUM(CASE WHEN y=1 AND pred=0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           ROUND(CAST(SUM(CASE WHEN y=pred THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS accuracy
+    FROM p
+    """,
+)
+def classification_metrics_q(sf_dir: str):
+    """Evaluation metrics (A5, ``prediction_pipeline.py:363-373``) against
+    ground-truth labels: exact confusion counts from per-block partial
+    sums (functions/metrics.py) over the reference's L2-norm + p95
+    anomaly verdict."""
+    from ..functions.metrics import confusion_counts
+    from ..functions.vector import l2_norm_batch
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    scored = ds.map_batches(l2_norm_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    scores = scored.select_columns(["anomaly_score"]).to_pandas()["anomaly_score"].to_numpy()
+    thr = float(np.percentile(scores, 95))
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        # the embeddings table carries a MULTICLASS label (0-9); binarize
+        # (>= 5) to match the reference's binary anomaly framing
+        pred = pc.cast(pc.greater(batch["anomaly_score"], pa.scalar(thr)), pa.int32())
+        y = pc.cast(pc.greater_equal(batch["label"], pa.scalar(5)), pa.int32())
+        return pa.Table.from_pydict({"label": y, "pred": pred})
+
+    preds = scored.map_batches(verdict, batch_format="pyarrow", batch_size=None)
+    c = confusion_counts(preds, "label", "pred")
+    total = sum(c.values())
+    acc = round((c["tp"] + c["tn"]) / total, 6) if total else 0.0
+    return pd.DataFrame([{**c, "accuracy": acc}]).astype(
+        {"tp": "int64", "fp": "int64", "tn": "int64", "fn": "int64"}
+    )
+
+
+@register("auc_scores_approx", None)
+def auc_scores_approx(sf_dir: str):
+    """Streaming approximate ROC-AUC (A5's AUC) from per-class fixed-bin
+    score histograms — bounded tie error, no global sort; rows-only check
+    (the exact sort-based value differs in the ~3rd decimal)."""
+    from ..functions.metrics import auc_streaming
+    from ..functions.vector import l2_norm_batch
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def binarize(batch: pa.Table) -> pa.Table:
+        y = pc.cast(pc.greater_equal(batch["label"], pa.scalar(5)), pa.int32())
+        return batch.drop_columns(["label"]).append_column("label", y)
+
+    scored = ds.map_batches(l2_norm_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).map_batches(
+        binarize, batch_format="pyarrow", batch_size=None
+    )
+    lohi = scored.select_columns(["anomaly_score"]).to_pandas()["anomaly_score"]
+    auc = auc_streaming(scored, "label", "anomaly_score", float(lohi.min()), float(lohi.max()) + 1e-9)
+    return pd.DataFrame([{"auc": round(auc, 4)}])
+
+
+@register(
+    "template_params_docs",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_params,
+           COALESCE(regexp_extract_all(text, '[0-9]+')[1], '') AS first_param
+    FROM documents
+    """,
+)
+def template_params_docs(sf_dir: str):
+    """Wildcard parameter extraction (M3, ``models/drain.py:56-66``):
+    digit-run params per document via vectorized extract_all; projected to
+    (count, first) scalars for the value-hash compare."""
+    from ..sources.logs import extract_template_params
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = extract_template_params(batch, content_col="text")
+        params = t["params"]
+        if isinstance(params, pa.ChunkedArray):
+            params = params.combine_chunks()
+        n = pc.list_value_length(params)
+        first = pc.list_element(pc.if_else(pc.equal(n, 0), pa.scalar([""], type=pa.list_(pa.string())), params), 0)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "n_params": pc.cast(pc.coalesce(n, 0), pa.int64()),
+                "first_param": pc.coalesce(first, ""),
+            }
+        )
+
+    return docs.map_batches(project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+@register("sampled_docs", None)
+def sampled_docs(sf_dir: str):
+    """Deterministic uniform sampling (P3 analog of the seeded
+    ``df.sample`` at ``end_to_end_prediction.py:269-273``) + seeded full
+    shuffle (P4, ``models/feature_extraction.py:81``). Sampling keeps rows
+    whose seeded key hash falls under the rate — reproducible at ANY
+    partitioning/parallelism, unlike per-task RNG state; rows-only check
+    (membership is seed-defined, not SQL-semantic)."""
+    from ..sketches.hll import hash64
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def hash_sample(batch: pa.Table) -> pa.Table:
+        h = hash64(batch["doc_id"].to_numpy(zero_copy_only=False) ^ np.int64(42))
+        return batch.filter(pa.array(h % np.uint64(1000) < np.uint64(200)))
+
+    sampled = docs.map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    return as_table(sampled.random_shuffle(seed=42).limit(50))

@@ -91,3 +91,17 @@ def mask_template_batch(batch: pa.Table, content_col: str = "Content", out_col: 
     at any parallelism (unlike the reference's streaming miner state)."""
     tpl = pc.replace_substring_regex(batch[content_col], r"[0-9]+", "<*>")
     return batch.append_column(out_col, tpl)
+
+
+def extract_template_params(batch: pa.Table, content_col: str = "Content", out_col: str = "params") -> pa.Table:
+    """Wildcard parameter extraction (M3 analog, ``models/drain.py:56-66``):
+    collect the digit runs that ``mask_template_batch`` replaces with
+    ``<*>`` into a list<string> column — vectorized via polars
+    ``str.extract_all`` (no Python row loop)."""
+    import polars as pl
+
+    col = batch[content_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    params = pl.from_arrow(col).str.extract_all(r"[0-9]+").to_arrow()
+    return batch.append_column(out_col, params.cast(pa.list_(pa.string())))

@@ -1,0 +1,86 @@
+"""Classification-metrics tests: exact confusion vs sklearn-free numpy
+reference; streaming AUC vs exact rank-based AUC."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _make_ds(ray_session, y, p=None, s=None):
+    import ray.data as rd
+
+    cols = {"label": pa.array(y, type=pa.int32())}
+    if p is not None:
+        cols["pred"] = pa.array(p, type=pa.int32())
+    if s is not None:
+        cols["score"] = pa.array(s, type=pa.float64())
+    return rd.from_arrow(pa.table(cols))
+
+
+def test_confusion_and_prf_exact(ray_session):
+    from anomalydetection_ray.functions.metrics import classification_metrics
+
+    rng = np.random.RandomState(0)
+    y = rng.randint(0, 2, 5000)
+    p = np.where(rng.rand(5000) < 0.8, y, 1 - y)  # 80% correct
+    ds = _make_ds(ray_session, y, p=p)
+    m = classification_metrics(ds, "label", "pred")
+    tp = int(((y == 1) & (p == 1)).sum())
+    fp = int(((y == 0) & (p == 1)).sum())
+    tn = int(((y == 0) & (p == 0)).sum())
+    fn = int(((y == 1) & (p == 0)).sum())
+    assert (m["tp"], m["fp"], m["tn"], m["fn"]) == (tp, fp, tn, fn)
+    assert m["accuracy"] == pytest.approx((tp + tn) / 5000)
+    assert m["precision"] == pytest.approx(tp / (tp + fp))
+    assert m["recall"] == pytest.approx(tp / (tp + fn))
+
+
+def _exact_auc(y, s):
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s), dtype=np.float64)
+    sorted_s = s[order]
+    # average ranks for ties
+    i = 0
+    r = np.arange(1, len(s) + 1, dtype=np.float64)
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        r[i : j + 1] = (i + j + 2) / 2.0
+        i = j + 1
+    ranks[order] = r
+    n_pos = int((y == 1).sum())
+    n_neg = len(y) - n_pos
+    u = ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2
+    return u / (n_pos * n_neg)
+
+
+def test_streaming_auc_close_to_exact(ray_session):
+    from anomalydetection_ray.functions.metrics import auc_streaming
+
+    rng = np.random.RandomState(7)
+    y = rng.randint(0, 2, 8000)
+    s = rng.standard_normal(8000) + y * 0.8  # informative scores
+    ds = _make_ds(ray_session, y, s=s)
+    approx = auc_streaming(ds, "label", "score", float(s.min()), float(s.max()) + 1e-9)
+    exact = _exact_auc(y, s)
+    assert abs(approx - exact) < 2e-3
+    assert 0.6 < approx < 0.85
+
+
+def test_template_param_extraction():
+    from anomalydetection_ray.sources.logs import extract_template_params, mask_template_batch
+
+    batch = pa.table({"Content": ["core 123 dump 45", "no digits here", "x9"]})
+    out = extract_template_params(batch)
+    assert out["params"].to_pylist() == [["123", "45"], [], ["9"]]
+    # masking and params are consistent: re-substituting params into the
+    # template reproduces the original content
+    tpl = mask_template_batch(batch)["template"].to_pylist()
+    for content, t, ps in zip(batch["Content"].to_pylist(), tpl, out["params"].to_pylist()):
+        rebuilt = t
+        for p in ps:
+            rebuilt = rebuilt.replace("<*>", p, 1)
+        assert rebuilt == content
