@@ -55,6 +55,20 @@ def hash_key_rows(batch: pa.Table, keys: list[str], seed: int = 0) -> np.ndarray
     return pl.from_arrow(batch.select(keys)).hash_rows(seed=seed).to_numpy().view(np.int64)
 
 
+def _hash_combine_fn(keys: list[str], seed: int = 0):
+    """map_batches fn: one (h, cnt_partial) row per distinct key hash per
+    block — the 16-bytes/row combiner feeding both the shuffled
+    (duplicate_key_hashes) and sharded (uniqueness_partial_table) paths."""
+    import polars as pl
+
+    def combine(batch: pa.Table) -> pa.Table:
+        h = hash_key_rows(batch, keys, seed)
+        out = pl.DataFrame({"h": h}).group_by("h").len().rename({"len": "cnt_partial"})
+        return out.to_arrow().cast(_HASH_PAIR_SCHEMA)
+
+    return combine
+
+
 def duplicate_key_hashes(ds, keys: list[str], min_count: int = 2, batch_size: int | None = 65536, seed: int = 0):
     """int64 hashes of keys appearing >= min_count times.
 
@@ -64,23 +78,59 @@ def duplicate_key_hashes(ds, keys: list[str], min_count: int = 2, batch_size: in
     duplicate; callers recover the candidate ROWS (which carry the real
     keys) and drop collision artifacts with an exact per-key recount
     (pipelines/validate.py does this), so the final result is exact."""
-    import polars as pl
-
-    def combine(batch: pa.Table) -> pa.Table:
-        h = hash_key_rows(batch, keys, seed)
-        out = pl.DataFrame({"h": h}).group_by("h").len().rename({"len": "cnt_partial"})
-        return out.to_arrow().cast(_HASH_PAIR_SCHEMA)
-
     from ..functions.shuffle import grouped_sum, select_if_needed
 
     partials = select_if_needed(ds, keys).map_batches(
-        combine, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        _hash_combine_fn(keys, seed), batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
     counts = grouped_sum(partials, ["h"], "cnt_partial", "cnt")
     thresh = min_count
     return counts.map_batches(
         lambda t: t.filter(pc.greater_equal(t["cnt"], thresh)), batch_format="pyarrow", batch_size=None
     )
+
+
+def uniqueness_partial_table(ds, keys: list[str], batch_size: int | None = 65536, seed: int = 0) -> pa.Table:
+    """One (h, cnt_partial) table per dataset slice — the checkpointable
+    unit of the sharded uniqueness pass (pipelines/validate.py
+    run_suite_sharded): hash-count partials from different shard groups
+    sum associatively at any later merge. Pre-collapsed to one row per
+    distinct key hash so the checkpoint stays ~16 bytes × distinct keys."""
+    import polars as pl
+
+    from ..functions.shuffle import select_if_needed
+
+    partials = select_if_needed(ds, keys).map_batches(
+        _hash_combine_fn(keys, seed), batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    tabs = [
+        tb
+        for tb in partials.iter_batches(batch_format="pyarrow", batch_size=None)
+        if tb.num_rows
+    ]
+    if not tabs:
+        return pa.Table.from_pydict({"h": [], "cnt_partial": []}, schema=_HASH_PAIR_SCHEMA)
+    merged = (
+        pl.from_arrow(pa.concat_tables(tabs))
+        .group_by("h")
+        .agg(pl.col("cnt_partial").sum())
+        .sort("h")
+    )
+    return merged.to_arrow().cast(_HASH_PAIR_SCHEMA)
+
+
+def duplicate_hashes_from_partials(partial_tables, min_count: int = 2) -> np.ndarray:
+    """Merge uniqueness partial tables → SORTED int64 duplicate-hash array
+    (the broadcast probe set for the row pass). Associative: any grouping
+    of shards into partials gives the same result."""
+    import polars as pl
+
+    tabs = [t for t in partial_tables if t.num_rows]
+    if not tabs:
+        return np.array([], dtype=np.int64)
+    df = pl.from_arrow(pa.concat_tables(tabs)).group_by("h").agg(pl.col("cnt_partial").sum())
+    dup = df.filter(pl.col("cnt_partial") >= min_count)["h"].to_numpy()
+    return np.sort(dup.astype(np.int64, copy=False))
 
 
 def duplicate_keys(ds, keys: list[str], min_count: int = 2):

@@ -3,8 +3,9 @@ source-code corpus ``(repo, path, commit, lang, content)``.
 
 North-rule semantics (BASELINE.json): per-partition pass/fail verdicts +
 exact violation rows, every violation row carrying ``sha256(content)`` so
-it can be verified byte-equal against the input; resumable from per-check
-checkpoints with lineage + metrics (state/checkpoint.py).
+it can be verified byte-equal against the input; resumable from
+checkpoints with lineage + metrics (state/checkpoint.py) — per-check in
+:func:`run_suite`, per input-shard in :func:`run_suite_sharded`.
 
 Pass layout (each pass prunes columns at the read — the wide ``content``
 column is never shuffled, SURVEY.md M6/§7.4):
@@ -40,7 +41,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..checks.drift import partition_drift, write_snapshot
-from ..checks.stats import column_stats
+from ..checks.stats import column_stats, merge_partials_to_stats, stats_partial_table
 from ..functions.text import sha256_hex_batch
 from ..state import RunState
 
@@ -108,6 +109,18 @@ def _corpus_schema(corpus_path: str) -> pa.Schema:
     return pq.read_schema(corpus_path)
 
 
+def _corpus_files(corpus_path: str) -> list[str]:
+    """Sorted parquet file list — the stable shard basis for
+    :func:`run_suite_sharded` (same input → same shard composition)."""
+    if os.path.isdir(corpus_path):
+        return sorted(
+            os.path.join(corpus_path, f)
+            for f in os.listdir(corpus_path)
+            if f.endswith(".parquet")
+        )
+    return [corpus_path]
+
+
 def _per_part_counts(tbl: pa.Table, part_col: str) -> dict[str, int]:
     if tbl.num_rows == 0:
         return {}
@@ -116,89 +129,163 @@ def _per_part_counts(tbl: pa.Table, part_col: str) -> dict[str, int]:
     return {str(v): int(c) for v, c in zip(vals, counts)}
 
 
-def run_suite(
-    corpus_path: str,
-    out_dir: str,
-    cfg: SuiteConfig | None = None,
-    baseline_snapshot: str | None = None,
-    resume: bool = True,
-) -> SuiteResult:
-    """Run every check; returns verdicts + violations. Re-running with
-    ``resume=True`` skips checks whose ``_DONE`` marker exists and reloads
-    their outputs (checkpoint semantics; see tests/test_validate.py)."""
-    from .. import tune_shuffle_to_cluster
-    from ..functions.shuffle import default_num_blocks
+# ---------------------------------------------------------------------------
+# rowpass building blocks (shared by run_suite and run_suite_sharded)
+# ---------------------------------------------------------------------------
 
-    tune_shuffle_to_cluster()
-    import time as _time
 
-    _timings: dict[str, float] = {}
-    _t0 = _time.perf_counter()
+@dataclass
+class _RowpassRefs:
+    """Broadcast state for the combined row pass: object-store refs shipped
+    ONCE (`ray.put`) and read inside every map task — never re-serialized
+    per batch (SURVEY.md J1 broadcast pattern)."""
 
-    def _mark(name: str) -> None:
-        nonlocal _t0
-        now = _time.perf_counter()
-        _timings[name] = round(now - _t0, 3)
-        _t0 = now
+    need: list[str]
+    out_cols: list[str]
+    dup_ref: object
+    bloom_ref: object | None
+    exact_ref: object | None
+    have_ref: bool
 
-    cfg = cfg or SuiteConfig()
-    state = RunState(out_dir)
+
+def _prepare_rowpass_refs(cfg: SuiteConfig, dup_hashes: np.ndarray) -> _RowpassRefs:
+    import ray
+
     key = list(cfg.key)
+    part = cfg.partition_by
+    have_ref = bool(cfg.repos_dim_path)
+    dup_ref = ray.put(dup_hashes)
+    bloom_ref = exact_ref = None
+    if have_ref:
+        from ..checks.referential import _collect_dim_keys, build_dim_bloom
+
+        dim = rd.read_parquet(cfg.repos_dim_path, columns=[cfg.dim_key])
+        bloom_ref = ray.put(build_dim_bloom(dim, cfg.dim_key).to_bytes())
+        exact_ref = ray.put(_collect_dim_keys(dim, cfg.dim_key))
+    need = list(
+        dict.fromkeys(key + [part, cfg.content_col] + ([cfg.repo_col] if have_ref else []))
+    )
+    return _RowpassRefs(
+        need=need,
+        out_cols=key + [part],
+        dup_ref=dup_ref,
+        bloom_ref=bloom_ref,
+        exact_ref=exact_ref,
+        have_ref=have_ref,
+    )
+
+
+def make_row_violations_fn(cfg: SuiteConfig, refs: _RowpassRefs):
+    """The ONE content scan: null-partition + empty-content row rules,
+    duplicate-key row recovery (broadcast dup-hash probe) and the Bloom
+    referential probe all evaluate over the same batch; violating rows
+    leave the task as (key, partition, sha256, kind) — content itself
+    never leaves the scan."""
+    import ray
+
+    from ..checks.uniqueness import hash_key_rows
+
+    key = list(cfg.key)
+    part = cfg.partition_by
+    out_cols = refs.out_cols
+
+    def row_violations(batch: pa.Table) -> pa.Table:
+        null_part = np.asarray(pc.is_null(batch[part]))
+        empty = np.asarray(pc.equal(pc.coalesce(batch[cfg.content_col], ""), ""))
+        # dup-key CANDIDATES by 64-bit key hash (collisions verified
+        # exactly after collection — _verify_dup_candidates)
+        dh = ray.get(refs.dup_ref)
+        rh = hash_key_rows(batch, key)
+        dup = np.zeros(batch.num_rows, dtype=bool)
+        if len(dh):
+            idx = np.clip(np.searchsorted(dh, rh), 0, len(dh) - 1)
+            dup = dh[idx] == rh
+        masks = [(f"null_{part}", null_part), ("empty_content", empty & ~null_part), ("duplicate_key", dup)]
+        if refs.have_ref:
+            from ..sketches import BloomFilter
+
+            bf = BloomFilter.from_bytes(ray.get(refs.bloom_ref))
+            col = batch[cfg.repo_col].combine_chunks()
+            vals = np.asarray(col)
+            valid = np.asarray(pc.is_valid(col))
+            hit = np.zeros(len(vals), dtype=bool)
+            if valid.any():
+                hit[valid] = bf.contains(vals[valid])
+            orphan = ~hit
+            dimk = ray.get(refs.exact_ref)
+            cand = hit & valid
+            if cand.any() and len(dimk):
+                idx = np.clip(np.searchsorted(dimk, vals[cand]), 0, len(dimk) - 1)
+                fp_mask = dimk[idx] != vals[cand]
+                orphan[np.nonzero(cand)[0][fp_mask]] = True
+            masks.append(("orphan_repo", orphan))
+        any_bad = np.zeros(batch.num_rows, dtype=bool)
+        for _, m in masks:
+            any_bad |= m
+        if not any_bad.any():
+            return pa.Table.from_pydict(
+                {**{c: pa.array([], type=batch.schema.field(c).type) for c in out_cols},
+                 "content_sha256": pa.array([], type=pa.string()),
+                 "violation_kind": pa.array([], type=pa.string())}
+            )
+        pieces = []
+        for kind, m in masks:
+            if not m.any():
+                continue
+            sub = batch.filter(pa.array(m))
+            sub = sha256_hex_batch(sub, cfg.content_col, "content_sha256")
+            sub = sub.select(out_cols + ["content_sha256"])
+            pieces.append(sub.append_column("violation_kind", pa.array([kind] * sub.num_rows)))
+        return pa.concat_tables(pieces)
+
+    return row_violations
+
+
+def _verify_dup_candidates(viol_all: pa.Table, key: list[str]) -> pa.Table:
+    """Exact dup verification: candidate rows carry their REAL keys, so a
+    per-key recount here drops 64-bit hash-collision artifacts — the
+    reported duplicate set is exact at any scale."""
+    if viol_all.num_rows == 0:
+        return viol_all
+    kinds = viol_all["violation_kind"]
+    dup_mask = pc.equal(kinds, "duplicate_key")
+    dup_rows = viol_all.filter(dup_mask)
+    if dup_rows.num_rows == 0:
+        return viol_all
+    keydf = dup_rows.select(list(key)).to_pandas()
+    sizes = keydf.groupby(list(key))[key[0]].transform("size")
+    keep = pa.array((sizes >= 2).to_numpy())
+    verified = dup_rows.filter(keep)
+    return pa.concat_tables([viol_all.filter(pc.invert(dup_mask)), verified])
+
+
+def _sort_violations(viol_all: pa.Table, out_cols: list[str]) -> pa.Table:
+    """Deterministic byte-stable order regardless of block arrival."""
+    if viol_all.num_rows == 0:
+        return viol_all
+    return viol_all.sort_by(
+        [("violation_kind", "ascending")] + [(c, "ascending") for c in out_cols]
+    )
+
+
+# ---------------------------------------------------------------------------
+# verdict assembly (shared)
+# ---------------------------------------------------------------------------
+
+
+def _finalize_suite(
+    state: RunState,
+    out_dir: str,
+    cfg: SuiteConfig,
+    stats_df: pd.DataFrame,
+    viol_all: pa.Table,
+    baseline_snapshot: str | None,
+) -> SuiteResult:
+    """stats table + violation rows → per-(check, partition) verdicts,
+    drift scoring, lineage, and the verdicts.parquet artifact."""
     part = cfg.partition_by
     verdict_rows: list[dict] = []
     violations: dict[str, pa.Table] = {}
-
-    def corpus(columns: list[str] | None = None, num_blocks: int | None = None):
-        return rd.read_parquet(corpus_path, columns=columns, override_num_blocks=num_blocks)
-
-    # ------- stats + uniqueness key detection: CONCURRENT pipelines -------
-    # the two passes are independent (stats reads all columns; uniqueness
-    # reads key columns only), so they execute as two simultaneous Ray Data
-    # pipelines driven from two threads — the streaming executor interleaves
-    # their tasks, overlapping the uniqueness shuffle's idle wait with
-    # stats compute instead of serializing two fixed startup costs.
-    from .queries import as_table
-    from ..checks.uniqueness import duplicate_key_hashes, hash_key_rows
-
-    stats_path = os.path.join(state.unit_dir("stats"), "stats.parquet")
-    uqk_path = os.path.join(state.unit_dir("uniqueness"), "dup_key_hashes.parquet")
-    uniq_reused = resume and state.is_done("uniqueness")
-
-    def stats_work() -> pd.DataFrame:
-        if resume and state.is_done("stats"):
-            return pq.read_table(stats_path).to_pandas()
-        all_cols = [f.name for f in _corpus_schema(corpus_path)]
-        df = column_stats(
-            corpus(num_blocks=default_num_blocks()),
-            columns=all_cols,
-            partition_by=[part],
-            hll_p=cfg.hll_p,
-            kll_k=cfg.kll_k,
-            hist_edges={cfg.content_col: cfg.hist_edges},
-            batch_size=cfg.batch_size,
-        ).to_pandas()
-        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), stats_path)
-        state.mark_done("stats", {"partitions": int(df["part"].nunique()), "rows_seen": int(df[df["column"] == cfg.content_col]["count"].sum())})
-        return df
-
-    def uniq_work() -> pa.Table:
-        if uniq_reused:
-            return pq.read_table(uqk_path)
-        # coalesce the key-only read to ~2 blocks/CPU: many tiny source
-        # files otherwise fan the 16-byte/row shuffle into thousands of
-        # mini-objects (measured 2× slower than the coalesced read)
-        tbl = as_table(duplicate_key_hashes(corpus(key, num_blocks=default_num_blocks()), key))
-        pq.write_table(tbl, uqk_path)
-        state.mark_done("uniqueness", {"duplicate_key_hashes": tbl.num_rows})
-        return tbl
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_stats = pool.submit(stats_work)
-        f_uniq = pool.submit(uniq_work)
-        stats_df = f_stats.result()
-        dup_hash_tbl = f_uniq.result()
 
     for _, r in stats_df.iterrows():
         issues = []
@@ -231,109 +318,6 @@ def run_suite(
             }
         )
 
-    _mark("stats_and_uniqueness")
-    dup_hashes = np.sort(dup_hash_tbl["h"].to_numpy(zero_copy_only=False))
-
-    # ---------------- combined row pass: ONE content scan -----------------
-    # null-partition + empty-content row rules, duplicate-key row recovery
-    # (broadcast dup-key membership) and the Bloom referential probe all
-    # evaluate in the same map_batches over the same batch; violating rows
-    # leave the task as (key, partition, sha256, kind) — content itself
-    # never leaves the scan.
-    rp_path = os.path.join(state.unit_dir("rowpass"), "violations.parquet")
-    if resume and uniq_reused and state.is_done("rowpass"):
-        viol_all = pq.read_table(rp_path)
-    else:
-        import ray
-
-        have_ref = bool(cfg.repos_dim_path)
-        dup_ref = ray.put(dup_hashes)
-        if have_ref:
-            from ..checks.referential import _collect_dim_keys, build_dim_bloom
-
-            dim = rd.read_parquet(cfg.repos_dim_path, columns=[cfg.dim_key])
-            bloom_ref = ray.put(build_dim_bloom(dim, cfg.dim_key).to_bytes())
-            exact_ref = ray.put(_collect_dim_keys(dim, cfg.dim_key))
-        need = list(dict.fromkeys(key + [part, cfg.content_col] + ([cfg.repo_col] if have_ref else [])))
-        out_cols = list(key) + [part]
-
-        def row_violations(batch: pa.Table) -> pa.Table:
-            null_part = np.asarray(pc.is_null(batch[part]))
-            empty = np.asarray(pc.equal(pc.coalesce(batch[cfg.content_col], ""), ""))
-            # dup-key CANDIDATES by 64-bit key hash (collisions verified
-            # exactly after collection — see below)
-            dh = ray.get(dup_ref)
-            rh = hash_key_rows(batch, key)
-            dup = np.zeros(batch.num_rows, dtype=bool)
-            if len(dh):
-                idx = np.clip(np.searchsorted(dh, rh), 0, len(dh) - 1)
-                dup = dh[idx] == rh
-            masks = [(f"null_{part}", null_part), ("empty_content", empty & ~null_part), ("duplicate_key", dup)]
-            if have_ref:
-                from ..sketches import BloomFilter
-
-                bf = BloomFilter.from_bytes(ray.get(bloom_ref))
-                col = batch[cfg.repo_col].combine_chunks()
-                vals = np.asarray(col)
-                valid = np.asarray(pc.is_valid(col))
-                hit = np.zeros(len(vals), dtype=bool)
-                if valid.any():
-                    hit[valid] = bf.contains(vals[valid])
-                orphan = ~hit
-                dimk = ray.get(exact_ref)
-                cand = hit & valid
-                if cand.any() and len(dimk):
-                    idx = np.clip(np.searchsorted(dimk, vals[cand]), 0, len(dimk) - 1)
-                    fp_mask = dimk[idx] != vals[cand]
-                    orphan[np.nonzero(cand)[0][fp_mask]] = True
-                masks.append(("orphan_repo", orphan))
-            any_bad = np.zeros(batch.num_rows, dtype=bool)
-            for _, m in masks:
-                any_bad |= m
-            if not any_bad.any():
-                return pa.Table.from_pydict(
-                    {**{c: pa.array([], type=batch.schema.field(c).type) for c in out_cols},
-                     "content_sha256": pa.array([], type=pa.string()),
-                     "violation_kind": pa.array([], type=pa.string())}
-                )
-            pieces = []
-            for kind, m in masks:
-                if not m.any():
-                    continue
-                sub = batch.filter(pa.array(m))
-                sub = sha256_hex_batch(sub, cfg.content_col, "content_sha256")
-                sub = sub.select(out_cols + ["content_sha256"])
-                pieces.append(sub.append_column("violation_kind", pa.array([kind] * sub.num_rows)))
-            return pa.concat_tables(pieces)
-
-        viol_all = as_table(
-            corpus(need, num_blocks=default_num_blocks()).map_batches(
-                row_violations, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-            )
-        )
-        # exact dup verification: candidate rows carry their REAL keys, so
-        # a per-key recount here drops 64-bit hash-collision artifacts —
-        # the reported duplicate set is exact at any scale
-        if viol_all.num_rows:
-            kinds = viol_all["violation_kind"]
-            dup_mask = pc.equal(kinds, "duplicate_key")
-            dup_rows = viol_all.filter(dup_mask)
-            if dup_rows.num_rows:
-                keydf = dup_rows.select(list(key)).to_pandas()
-                sizes = keydf.groupby(list(key))[key[0]].transform("size")
-                keep = pa.array((sizes >= 2).to_numpy())
-                verified = dup_rows.filter(keep)
-                viol_all = pa.concat_tables(
-                    [viol_all.filter(pc.invert(dup_mask)), verified]
-                )
-        if viol_all.num_rows:
-            viol_all = viol_all.sort_by(
-                [("violation_kind", "ascending")] + [(c, "ascending") for c in out_cols]
-            )
-        pq.write_table(viol_all, rp_path)
-        state.mark_done("rowpass", {"violations": viol_all.num_rows})
-
-    _mark("rowpass")
     kind_col = viol_all["violation_kind"] if viol_all.num_rows else pa.chunked_array([pa.array([], type=pa.string())])
     is_rowrule = pc.is_in(kind_col, value_set=pa.array([f"null_{part}", "empty_content"]))
     violations["rowrules"] = viol_all.filter(is_rowrule) if viol_all.num_rows else viol_all
@@ -388,9 +372,6 @@ def run_suite(
                     {"check": check, "partition": p, "column": "", "passed": True, "metric": 0.0, "detail": ""}
                 )
 
-    _mark("drift_and_verdicts")
-    if os.environ.get("ADRAY_TIMINGS"):
-        print("suite timings:", _timings, flush=True)
     verdicts = pd.DataFrame(verdict_rows).sort_values(["check", "partition", "column"]).reset_index(drop=True)
     verdicts_path = os.path.join(out_dir, "verdicts.parquet")
     pq.write_table(pa.Table.from_pandas(verdicts, preserve_index=False), verdicts_path)
@@ -406,6 +387,238 @@ def run_suite(
         }
     )
     return SuiteResult(out_dir=out_dir, verdicts=verdicts, stats=stats_df, violations=violations, passed=passed)
+
+
+# ---------------------------------------------------------------------------
+# per-check suite (whole-corpus passes, maximum pipeline overlap)
+# ---------------------------------------------------------------------------
+
+
+def run_suite(
+    corpus_path: str,
+    out_dir: str,
+    cfg: SuiteConfig | None = None,
+    baseline_snapshot: str | None = None,
+    resume: bool = True,
+) -> SuiteResult:
+    """Run every check; returns verdicts + violations. Re-running with
+    ``resume=True`` skips checks whose ``_DONE`` marker exists and reloads
+    their outputs (checkpoint semantics; see tests/test_validate.py)."""
+    from .. import tune_shuffle_to_cluster
+    from ..functions.shuffle import default_num_blocks
+
+    tune_shuffle_to_cluster()
+    import time as _time
+
+    _timings: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        _timings[name] = round(now - _t0, 3)
+        _t0 = now
+
+    cfg = cfg or SuiteConfig()
+    state = RunState(out_dir)
+    key = list(cfg.key)
+    part = cfg.partition_by
+
+    def corpus(columns: list[str] | None = None, num_blocks: int | None = None):
+        return rd.read_parquet(corpus_path, columns=columns, override_num_blocks=num_blocks)
+
+    # ------- stats + uniqueness key detection: CONCURRENT pipelines -------
+    # the two passes are independent (stats reads all columns; uniqueness
+    # reads key columns only), so they execute as two simultaneous Ray Data
+    # pipelines driven from two threads — the streaming executor interleaves
+    # their tasks, overlapping the uniqueness shuffle's idle wait with
+    # stats compute instead of serializing two fixed startup costs.
+    from .queries import as_table
+    from ..checks.uniqueness import duplicate_key_hashes
+
+    stats_path = os.path.join(state.unit_dir("stats"), "stats.parquet")
+    uqk_path = os.path.join(state.unit_dir("uniqueness"), "dup_key_hashes.parquet")
+    uniq_reused = resume and state.is_done("uniqueness")
+
+    def stats_work() -> pd.DataFrame:
+        if resume and state.is_done("stats"):
+            return pq.read_table(stats_path).to_pandas()
+        all_cols = [f.name for f in _corpus_schema(corpus_path)]
+        df = column_stats(
+            corpus(num_blocks=default_num_blocks()),
+            columns=all_cols,
+            partition_by=[part],
+            hll_p=cfg.hll_p,
+            kll_k=cfg.kll_k,
+            hist_edges={cfg.content_col: cfg.hist_edges},
+            batch_size=cfg.batch_size,
+        ).to_pandas()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), stats_path)
+        state.mark_done("stats", {"partitions": int(df["part"].nunique()), "rows_seen": int(df[df["column"] == cfg.content_col]["count"].sum())})
+        return df
+
+    def uniq_work() -> pa.Table:
+        if uniq_reused:
+            return pq.read_table(uqk_path)
+        # coalesce the key-only read to ~2 blocks/CPU: many tiny source
+        # files otherwise fan the 16-byte/row shuffle into thousands of
+        # mini-objects (measured 2× slower than the coalesced read)
+        tbl = as_table(duplicate_key_hashes(corpus(key, num_blocks=default_num_blocks()), key))
+        pq.write_table(tbl, uqk_path)
+        state.mark_done("uniqueness", {"duplicate_key_hashes": tbl.num_rows})
+        return tbl
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_stats = pool.submit(stats_work)
+        f_uniq = pool.submit(uniq_work)
+        stats_df = f_stats.result()
+        dup_hash_tbl = f_uniq.result()
+
+    _mark("stats_and_uniqueness")
+    dup_hashes = np.sort(dup_hash_tbl["h"].to_numpy(zero_copy_only=False))
+
+    # ---------------- combined row pass: ONE content scan -----------------
+    rp_path = os.path.join(state.unit_dir("rowpass"), "violations.parquet")
+    if resume and uniq_reused and state.is_done("rowpass"):
+        viol_all = pq.read_table(rp_path)
+    else:
+        refs = _prepare_rowpass_refs(cfg, dup_hashes)
+        viol_all = as_table(
+            corpus(refs.need, num_blocks=default_num_blocks()).map_batches(
+                make_row_violations_fn(cfg, refs),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+        )
+        viol_all = _sort_violations(_verify_dup_candidates(viol_all, key), refs.out_cols)
+        pq.write_table(viol_all, rp_path)
+        state.mark_done("rowpass", {"violations": viol_all.num_rows})
+
+    _mark("rowpass")
+    result = _finalize_suite(state, out_dir, cfg, stats_df, viol_all, baseline_snapshot)
+    _mark("drift_and_verdicts")
+    if os.environ.get("ADRAY_TIMINGS"):
+        print("suite timings:", _timings, flush=True)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# per-shard suite (north rule: resumable from per-partition checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def run_suite_sharded(
+    corpus_path: str,
+    out_dir: str,
+    cfg: SuiteConfig | None = None,
+    baseline_snapshot: str | None = None,
+    resume: bool = True,
+    n_shards: int | None = None,
+) -> SuiteResult:
+    """Same checks and identical final output as :func:`run_suite`, but
+    checkpointed per input shard instead of per check — the resume
+    granularity for long runs over many-file corpora.
+
+    Shard = contiguous group of the sorted input files (stable across
+    reruns). Two phases, both sharded:
+
+      A  per shard: stats PARTIAL_SCHEMA table + uniqueness (key-hash,
+         cnt) pairs — associatively mergeable, so completed shards never
+         recompute regardless of which shards remain.
+      merge (driver, kilobytes): stats partials → stats table; hash
+         partials → global duplicate-hash set.
+      B  per shard: the combined row pass probing the broadcast global
+         dup-hash set → per-shard violation rows.
+
+    Phase B checkpoints are trusted only when EVERY phase A shard was
+    reused: the global dup set is an input to every phase B shard, so any
+    recomputed partial invalidates downstream shard outputs (same guard as
+    run_suite's ``uniq_reused``). Exact dup verification and deterministic
+    sorting happen once, on the concatenated result, so sharded and
+    per-check runs are byte-identical.
+    """
+    from .. import tune_shuffle_to_cluster
+    from .queries import as_table
+    from ..checks.uniqueness import duplicate_hashes_from_partials, uniqueness_partial_table
+
+    tune_shuffle_to_cluster()
+    cfg = cfg or SuiteConfig()
+    state = RunState(out_dir)
+    key = list(cfg.key)
+    part = cfg.partition_by
+    files = _corpus_files(corpus_path)
+    if n_shards is None:
+        n_shards = min(len(files), 16)
+    n_shards = max(1, min(n_shards, len(files)))
+    bounds = np.linspace(0, len(files), n_shards + 1).astype(int)
+    shards = [files[bounds[i]:bounds[i + 1]] for i in range(n_shards)]
+    all_cols = [f.name for f in _corpus_schema(corpus_path)]
+
+    # ---------------- phase A: per-shard partials ----------------
+    partials_reused = True
+    stats_parts: list[pa.Table] = []
+    uniq_parts: list[pa.Table] = []
+    for i, shard_files in enumerate(shards):
+        unit = f"shard-{i:04d}-partials"
+        udir = state.unit_dir(unit)
+        sp = os.path.join(udir, "stats_partials.parquet")
+        up = os.path.join(udir, "uniq_partials.parquet")
+        if resume and state.is_done(unit):
+            stats_parts.append(pq.read_table(sp))
+            uniq_parts.append(pq.read_table(up))
+            continue
+        partials_reused = False
+        st = stats_partial_table(
+            rd.read_parquet(shard_files),
+            all_cols,
+            partition_by=[part],
+            hll_p=cfg.hll_p,
+            kll_k=cfg.kll_k,
+            hist_edges={cfg.content_col: cfg.hist_edges},
+            batch_size=cfg.batch_size,
+        )
+        ut = uniqueness_partial_table(rd.read_parquet(shard_files, columns=key), key)
+        pq.write_table(st, sp)
+        pq.write_table(ut, up)
+        content_rows = int(
+            pc.sum(st.filter(pc.equal(st["column"], cfg.content_col))["count"]).as_py() or 0
+        )
+        state.mark_done(unit, {"files": len(shard_files), "rows": content_rows})
+        stats_parts.append(st)
+        uniq_parts.append(ut)
+
+    stats_df = merge_partials_to_stats(stats_parts)
+    stats_path = os.path.join(state.unit_dir("stats"), "stats.parquet")
+    pq.write_table(pa.Table.from_pandas(stats_df, preserve_index=False), stats_path)
+    dup_hashes = duplicate_hashes_from_partials(uniq_parts)
+
+    # ---------------- phase B: per-shard row pass ----------------
+    refs = _prepare_rowpass_refs(cfg, dup_hashes)
+    fn = make_row_violations_fn(cfg, refs)
+    viol_tabs: list[pa.Table] = []
+    for i, shard_files in enumerate(shards):
+        unit = f"shard-{i:04d}-rowpass"
+        vp = os.path.join(state.unit_dir(unit), "violations.parquet")
+        if resume and partials_reused and state.is_done(unit):
+            viol_tabs.append(pq.read_table(vp))
+            continue
+        vt = as_table(
+            rd.read_parquet(shard_files, columns=refs.need).map_batches(
+                fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            )
+        )
+        vt = _sort_violations(vt, refs.out_cols)  # stable checkpoint bytes
+        pq.write_table(vt, vp)
+        state.mark_done(unit, {"violations": vt.num_rows})
+        viol_tabs.append(vt)
+
+    viol_all = pa.concat_tables(viol_tabs) if viol_tabs else pa.table({})
+    viol_all = _sort_violations(_verify_dup_candidates(viol_all, key), refs.out_cols)
+    pq.write_table(viol_all, os.path.join(state.unit_dir("rowpass"), "violations.parquet"))
+    return _finalize_suite(state, out_dir, cfg, stats_df, viol_all, baseline_snapshot)
 
 
 def write_baseline(corpus_path: str, snapshot_path: str, cfg: SuiteConfig | None = None) -> None:

@@ -159,6 +159,79 @@ def test_resume_skips_done_checks(ray_session, clean_corpus, tmp_path):
     assert "stats" in units and units.count("uniqueness") >= 2
 
 
+def test_sharded_suite_matches_per_check_suite(ray_session, dirty_corpus, tmp_path):
+    """run_suite_sharded must produce byte-identical verdicts + violations
+    to run_suite — the shard decomposition is an execution detail."""
+    from anomalydetection_ray.pipelines.validate import (
+        SuiteConfig,
+        run_suite,
+        run_suite_sharded,
+    )
+
+    d, _ = dirty_corpus
+    cfg = SuiteConfig(repos_dim_path=f"{d}/repos.parquet")
+    r1 = run_suite(f"{d}/corpus", str(tmp_path / "per_check"), cfg)
+    r2 = run_suite_sharded(f"{d}/corpus", str(tmp_path / "sharded"), cfg, n_shards=3)
+    assert r2.verdicts.equals(r1.verdicts)
+    assert set(r2.violations) == set(r1.violations)
+    for name in r1.violations:
+        assert r2.violations[name].equals(r1.violations[name]), name
+    # merged stats: exact columns identical; moments to float tolerance;
+    # KLL quantiles are merge-grouping-dependent sketch estimates → loose
+    exact_cols = ["part", "column", "dtype", "count", "nulls", "null_rate", "distinct_est", "vmin", "vmax", "smin", "smax"]
+    assert r1.stats[exact_cols].equals(r2.stats[exact_cols])
+    assert np.allclose(r1.stats["mean"], r2.stats["mean"], rtol=1e-9, equal_nan=True)
+    assert np.allclose(r1.stats["std"], r2.stats["std"], rtol=1e-6, equal_nan=True)
+    # quantile sketches: estimates vary with merge grouping, so assert RANK
+    # accuracy against exact data instead of cross-run value equality —
+    # KLL(k=256) guarantees ~1% rank error; 5% here is comfortably safe
+    corpus = pq.read_table(f"{d}/corpus").to_pandas()
+    corpus["part"] = corpus["lang"].fillna("<null>")
+    for stats in (r1.stats, r2.stats):
+        for _, row in stats.iterrows():
+            vals = corpus.loc[corpus["part"] == row["part"], row["column"]].dropna().str.len()
+            vals = np.sort(vals.to_numpy(dtype=float))
+            for col, phi in [("p50", 0.5), ("p95", 0.95), ("p99", 0.99)]:
+                est = row[col]
+                if len(vals) == 0:
+                    assert np.isnan(est)
+                    continue
+                lo = np.searchsorted(vals, est, side="left") / len(vals)
+                hi = np.searchsorted(vals, est, side="right") / len(vals)
+                assert lo - 0.05 <= phi <= hi + 0.05, (row["part"], row["column"], col, est, lo, hi)
+
+
+def test_sharded_resume_skips_done_shards(ray_session, dirty_corpus, tmp_path):
+    from anomalydetection_ray.pipelines.validate import SuiteConfig, run_suite_sharded
+    from anomalydetection_ray.state import RunState
+
+    d, _ = dirty_corpus
+    out = str(tmp_path / "out")
+    cfg = SuiteConfig(repos_dim_path=f"{d}/repos.parquet")
+    res1 = run_suite_sharded(f"{d}/corpus", out, cfg, n_shards=4)
+    state = RunState(out)
+    partial_files = [
+        os.path.join(out, f"shard-{i:04d}-partials", "stats_partials.parquet") for i in range(4)
+    ]
+    t_partials = [os.path.getmtime(p) for p in partial_files]
+
+    # crash after phase A + 2 of 4 rowpass shards: wipe two rowpass units
+    shutil.rmtree(os.path.join(out, "shard-0002-rowpass"))
+    shutil.rmtree(os.path.join(out, "shard-0003-rowpass"))
+    res2 = run_suite_sharded(f"{d}/corpus", out, cfg, n_shards=4)
+    assert [os.path.getmtime(p) for p in partial_files] == t_partials  # phase A reused
+    assert state.is_done("shard-0002-rowpass") and state.is_done("shard-0003-rowpass")
+    assert res2.verdicts.equals(res1.verdicts)
+
+    # a recomputed phase A shard invalidates EVERY phase B checkpoint
+    rp0 = os.path.join(out, "shard-0000-rowpass", "violations.parquet")
+    t_rp0 = os.path.getmtime(rp0)
+    shutil.rmtree(os.path.join(out, "shard-0001-partials"))
+    res3 = run_suite_sharded(f"{d}/corpus", out, cfg, n_shards=4)
+    assert os.path.getmtime(rp0) > t_rp0  # rowpass shard 0 recomputed
+    assert res3.verdicts.equals(res1.verdicts)
+
+
 def test_row_drift_scorer_actor(ray_session, clean_corpus, dirty_corpus, tmp_path):
     import ray.data as rdata
 
