@@ -1,0 +1,115 @@
+"""CLI — the engine's user-facing entry points, mirroring the reference's
+two script entry points and their knobs (``end_to_end_prediction.py
+main() :670-710``; ``prediction_pipeline.py main() :592-651``):
+
+  python -m anomalydetection_ray validate CORPUS --out DIR
+      [--repos-dim P] [--baseline SNAP] [--sharded] [--n-shards N]
+      [--no-resume]
+  python -m anomalydetection_ray baseline CORPUS --out SNAPSHOT
+  python -m anomalydetection_ray predict LOGFILE --out DIR
+      [--sample-ratio R] [--max-lines N] [--min-template-count K]
+      [--threshold-percentile P] [--threshold-mode exact|kll]
+      [--feature-dim D] [--no-resume]
+
+The CLI owns the Ray session (library code never calls ray.init — the
+driver-contract constraint); scripts guard with ``is_initialized``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(cpus: int | None) -> bool:
+    """Init local Ray if nobody else owns a session; returns whether WE
+    initialised (and therefore must shut down)."""
+    import ray
+
+    if ray.is_initialized():
+        return False
+    kwargs = {"address": "local", "include_dashboard": False}
+    if cpus:
+        kwargs["num_cpus"] = cpus
+    ray.init(**kwargs)
+    return True
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="anomalydetection_ray")
+    ap.add_argument("--cpus", type=int, default=None, help="local Ray CPU cap")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="run the full validation suite over a corpus")
+    v.add_argument("corpus")
+    v.add_argument("--out", required=True)
+    v.add_argument("--repos-dim", default=None)
+    v.add_argument("--baseline", default=None, help="baseline snapshot parquet for drift")
+    v.add_argument("--sharded", action="store_true", help="per-input-shard checkpoints")
+    v.add_argument("--n-shards", type=int, default=None)
+    v.add_argument("--no-resume", action="store_true")
+
+    b = sub.add_parser("baseline", help="write the drift baseline snapshot")
+    b.add_argument("corpus")
+    b.add_argument("--out", required=True)
+
+    p = sub.add_parser("predict", help="raw log file -> anomaly verdicts + metrics")
+    p.add_argument("logfile")
+    p.add_argument("--out", required=True)
+    p.add_argument("--sample-ratio", type=float, default=None)
+    p.add_argument("--max-lines", type=int, default=None)
+    p.add_argument("--min-template-count", type=int, default=5)
+    p.add_argument("--threshold-percentile", type=float, default=95.0)
+    p.add_argument("--threshold-mode", choices=["exact", "kll"], default="exact")
+    p.add_argument("--feature-dim", type=int, default=64)
+    p.add_argument("--no-resume", action="store_true")
+
+    args = ap.parse_args(argv)
+    own_session = _init_ray(args.cpus)
+    import ray
+
+    try:
+        if args.cmd == "validate":
+            from .pipelines.validate import SuiteConfig, run_suite, run_suite_sharded
+
+            cfg = SuiteConfig(repos_dim_path=args.repos_dim)
+            runner = run_suite_sharded if args.sharded else run_suite
+            kwargs = {"n_shards": args.n_shards} if args.sharded else {}
+            res = runner(
+                args.corpus, args.out, cfg,
+                baseline_snapshot=args.baseline,
+                resume=not args.no_resume,
+                **kwargs,
+            )
+            n_viol = {k: v.num_rows for k, v in res.violations.items()}
+            print(json.dumps({"passed": res.passed, "verdicts": len(res.verdicts), "violations": n_viol}))
+            return 0 if res.passed else 1
+        if args.cmd == "baseline":
+            from .pipelines.validate import write_baseline
+
+            write_baseline(args.corpus, args.out)
+            print(json.dumps({"snapshot": args.out}))
+            return 0
+        if args.cmd == "predict":
+            from .pipelines.predict import PredictConfig, end_to_end_predict
+
+            cfg = PredictConfig(
+                max_lines=args.max_lines,
+                sample_ratio=args.sample_ratio,
+                min_template_count=args.min_template_count,
+                threshold_percentile=args.threshold_percentile,
+                threshold_mode=args.threshold_mode,
+                feature_dim=args.feature_dim,
+            )
+            res = end_to_end_predict(args.logfile, args.out, cfg, resume=not args.no_resume)
+            print(json.dumps({"rows": res.n_rows, "threshold": res.threshold, "final": res.final_path, "metrics": res.metrics}))
+            return 0
+        raise SystemExit(2)
+    finally:
+        if own_session:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

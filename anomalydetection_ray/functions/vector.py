@@ -20,6 +20,12 @@ def list_column_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if isinstance(arr, pa.ChunkedArray):  # zero chunks edge case
         arr = pa.concat_arrays(arr.chunks) if arr.num_chunks else pa.array([], type=arr.type)
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+        flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        # honor a possible slice offset into the values buffer
+        start = arr.offset * d
+        return flat[start : start + len(arr) * d].reshape(len(arr), d)
     offsets = arr.offsets.to_numpy()
     widths = np.diff(offsets)
     if len(widths) == 0:

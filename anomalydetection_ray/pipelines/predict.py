@@ -1,0 +1,240 @@
+"""End-to-end log → anomaly-verdict pipeline — flagship parity with the
+reference's ``end_to_end_prediction.py`` (steps 1-7, ``:216-535``),
+re-expressed as ONE chained Ray Data pipeline with a parquet checkpoint
+where the reference hands files between stages.
+
+  step 1  parse      read_text → label parse → 9-field enrich → digit-mask
+                     template + wildcard params (Drain analog; sources/logs)
+  step 2  preprocess frequency filter on template (J1/A1, strict ``>``
+                     threshold like ``models/preprocessing.py:7-10``) +
+                     optional seeded deterministic sample (P3 analog)
+  step 3  features   :class:`HashedNgramFeaturizer` actor pool — the T2
+                     slot (the reference lazily loads CodeBERT once per
+                     process, ``models/feature_extraction.py:37-43``; here
+                     a torch-free deterministic hashed-token projection
+                     builds its matrix ONCE per actor in ``__init__``.
+                     Any embedding model with the same batch signature
+                     drops in).
+  steps 4-5          SimCLR/VAE latent transforms are torch-specific; the
+                     engine's stateful-transform slot is the same
+                     actor-pool pattern (cf. checks/drift.RowDriftScorer).
+  step 6  score      row-wise L2 norm (M9) + global p95 threshold (A2/M7)
+  step 7  output     keyed final table (label, log, template, score,
+                     prediction) + ``metrics.json`` (A5) — columns carried
+                     through the whole chain, never positionally re-joined
+                     (the reference's fragile ``zip`` join, J2).
+
+The scored rows are CHECKPOINTED to parquet between scoring and
+thresholding: the global quantile needs every score, and re-running the
+lazy pipeline for the verdict pass would recompute features. The
+checkpoint doubles as the resume point (state/checkpoint.py). Threshold
+modes: ``"exact"`` collects the ONE float score column (reference
+semantics, ``np.percentile`` at ``end_to_end_prediction.py:447``);
+``"kll"`` streams a KLL sketch — bounded rank error, collects nothing
+(the 100 TB path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..state import RunState
+
+
+class HashedNgramFeaturizer:
+    """Stateful embedding stage (T2 actor-pool slot): whitespace tokens →
+    hashed bucket counts → fixed random projection, all vectorized
+    (polars token hash + one matmul per batch). The projection matrix is
+    built once per actor in ``__init__`` — the analog of the reference
+    loading CodeBERT weights into process globals."""
+
+    def __init__(self, text_col: str = "template", out_col: str = "embedding", dim: int = 64, n_buckets: int = 1024, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        self.proj = rng.standard_normal((n_buckets, dim)).astype(np.float32) / np.sqrt(dim)
+        self.n_buckets = n_buckets
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        n = batch.num_rows
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = (
+            pl.DataFrame({"i": np.arange(n, dtype=np.int64), "t": pl.Series(col)})
+            .with_columns(pl.col("t").str.extract_all(r"\S+"))
+            .explode("t")
+            .drop_nulls()
+        )
+        counts = np.zeros((n, self.n_buckets), dtype=np.float32)
+        if len(toks):
+            rows = toks["i"].to_numpy()
+            buckets = (toks["t"].hash(seed=1).to_numpy() % self.n_buckets).astype(np.int64)
+            np.add.at(counts, (rows, buckets), 1.0)
+        emb = counts @ self.proj
+        emb_col = pa.FixedSizeListArray.from_arrays(pa.array(emb.ravel(), type=pa.float32()), emb.shape[1])
+        return batch.append_column(self.out_col, emb_col)
+
+
+@dataclass
+class PredictConfig:
+    max_lines: int | None = None
+    sample_ratio: float | None = None  # reference default 0.1; None = all
+    min_sample_rows: int = 1000  # reference floor, end_to_end_prediction.py:271
+    seed: int = 42
+    min_template_count: int = 5  # strict >, end_to_end_prediction.py:677
+    feature_dim: int = 64
+    n_buckets: int = 1024
+    threshold_percentile: float = 95.0
+    threshold_mode: str = "exact"  # "exact" | "kll"
+    concurrency: int | None = None  # featurizer pool; None = auto
+    batch_size: int | None = 4096
+
+
+@dataclass
+class PredictResult:
+    out_dir: str
+    final_path: str
+    threshold: float
+    metrics: dict
+    n_rows: int
+
+
+def _parse_stage(batch: pa.Table) -> pa.Table:
+    """Fused step-1 map: label parse → enrich → template mask → params."""
+    from ..sources.logs import (
+        enrich_structure_batch,
+        extract_template_params,
+        mask_template_batch,
+        parse_label_batch,
+    )
+
+    parsed = parse_label_batch(batch, line_col="text")
+    enriched = enrich_structure_batch(parsed, log_col="log")
+    tpl = mask_template_batch(enriched, content_col="Content", out_col="template")
+    return extract_template_params(tpl, content_col="Content", out_col="params")
+
+
+def end_to_end_predict(
+    log_input,
+    out_dir: str,
+    cfg: PredictConfig | None = None,
+    resume: bool = True,
+) -> PredictResult:
+    """``log_input``: path to a raw log file (read via ``read_text``) or an
+    existing Dataset with a ``text`` line column."""
+    import ray.data as rd
+
+    from .. import tune_shuffle_to_cluster
+    from ..functions.relational import frequency_filter
+    from ..functions.shuffle import default_actor_concurrency
+    from ..functions.vector import l2_norm_batch
+
+    tune_shuffle_to_cluster()
+    cfg = cfg or PredictConfig()
+    state = RunState(out_dir)
+    scored_dir = os.path.join(state.unit_dir("scored"), "parquet")
+
+    if not (resume and state.is_done("scored")):
+        if isinstance(log_input, str):
+            from ..sources.logs import read_log_lines
+
+            ds = read_log_lines(log_input, cfg.max_lines)
+        else:
+            ds = log_input.limit(cfg.max_lines) if cfg.max_lines else log_input
+        ds = ds.map_batches(_parse_stage, batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True)
+        ds = frequency_filter(ds, "template", cfg.min_template_count)
+        if cfg.sample_ratio is not None and cfg.sample_ratio < 1.0:
+            # deterministic hash-rate sample (P3 analog): keep rows whose
+            # line hash falls under the ratio — reproducible at any
+            # parallelism, unlike ds.random_sample's per-block RNG. The
+            # reference's min-1000 floor is applied via a count check.
+            import polars as pl
+
+            ratio = cfg.sample_ratio
+            seed = cfg.seed
+            n_total = ds.count()
+            if n_total * ratio >= cfg.min_sample_rows:
+
+                def hash_keep(batch: pa.Table) -> pa.Table:
+                    col = batch["log"]
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    h = pl.Series(col).hash(seed=seed).to_numpy()
+                    return batch.filter(pa.array((h / 2**64) < ratio))
+
+                ds = ds.map_batches(hash_keep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        ds = ds.map_batches(
+            HashedNgramFeaturizer,
+            fn_constructor_kwargs={
+                "text_col": "template",
+                "dim": cfg.feature_dim,
+                "n_buckets": cfg.n_buckets,
+                "seed": cfg.seed,
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.concurrency or default_actor_concurrency(),
+        )
+        ds = ds.map_batches(l2_norm_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        # checkpoint WITHOUT the wide embedding column: downstream needs
+        # only the score; keys/labels/template travel as named columns
+        ds = ds.drop_columns(["embedding"])
+        os.makedirs(scored_dir, exist_ok=True)
+        ds.write_parquet(scored_dir)
+        n_scored = sum(
+            pq.read_metadata(os.path.join(scored_dir, f)).num_rows
+            for f in os.listdir(scored_dir)
+            if f.endswith(".parquet")
+        )
+        state.mark_done("scored", {"rows": n_scored})
+
+    scored = rd.read_parquet(scored_dir)
+    phi = cfg.threshold_percentile / 100.0
+    if cfg.threshold_mode == "kll":
+        from ..sketches import KLL
+
+        sk = KLL(512)
+        for tb in (
+            scored.select_columns(["anomaly_score"])
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        ):
+            sk = sk.update(np.asarray(tb["anomaly_score"], dtype=np.float64))
+        threshold = float(sk.quantile(phi))
+    else:
+        col = scored.select_columns(["anomaly_score"]).to_pandas()["anomaly_score"].to_numpy()
+        threshold = float(np.percentile(col, cfg.threshold_percentile)) if len(col) else float("inf")
+
+    final_dir = os.path.join(state.unit_dir("final"), "parquet")
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        pred = pc.cast(pc.greater(batch["anomaly_score"], pa.scalar(threshold)), pa.int32())
+        return batch.append_column("anomaly_prediction", pred)
+
+    final = scored.map_batches(verdict, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    os.makedirs(final_dir, exist_ok=True)
+    final.write_parquet(final_dir)
+
+    # evaluation metrics vs the labels parsed from the data itself (A5,
+    # end_to_end_prediction.py:459-472) — computed from the small written
+    # result via streaming partial sums
+    from ..functions.metrics import classification_metrics
+
+    final_ds = rd.read_parquet(final_dir, columns=["label", "anomaly_score", "anomaly_prediction"])
+    metrics = classification_metrics(final_ds, "label", "anomaly_prediction")
+    n_rows = int(metrics["tp"] + metrics["fp"] + metrics["tn"] + metrics["fn"])
+    metrics["threshold"] = threshold
+    metrics["anomaly_count"] = int(metrics["tp"] + metrics["fp"])
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2, sort_keys=True)
+    state.mark_done("final", {"rows": n_rows, "threshold": threshold})
+    return PredictResult(out_dir=out_dir, final_path=final_dir, threshold=threshold, metrics=metrics, n_rows=n_rows)

@@ -742,6 +742,33 @@ def media_image_features(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _synth_bgl_lines(batch: pa.Table) -> pa.Table:
+    """Deterministic BGL-format line synthesis from (doc_id, text):
+    doc_id % 5 == 0 rows get the ALARM marker (anomaly label 1)."""
+    did = batch["doc_id"]
+    did_np = did.to_numpy(zero_copy_only=False)
+    mod5 = pa.array(did_np % 5 == 0)
+    marker = pc.if_else(mod5, "ALARM", "-")
+    level = pc.if_else(mod5, "FATAL", "INFO")
+    node = pc.binary_join_element_wise(
+        "R02-M1-N", pa.array((did_np % 8).astype(str), type=pa.string()), ""
+    )
+    line = pc.binary_join_element_wise(
+        marker,
+        pc.cast(did, pa.string()),
+        "2005.06.03",
+        node,
+        "15.42.50",
+        node,
+        "RAS",
+        "KERNEL",
+        level,
+        pc.coalesce(batch["text"], ""),
+        " ",
+    )
+    return pa.Table.from_pydict({"text": line})
+
+
 @register(
     "bgl_parse_roundtrip",
     r"""
@@ -776,30 +803,7 @@ def bgl_parse_roundtrip(sf_dir: str):
     from ..sources.logs import enrich_structure_batch, parse_label_batch
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def build_lines(batch: pa.Table) -> pa.Table:
-        did = batch["doc_id"]
-        did_np = did.to_numpy(zero_copy_only=False)
-        mod5 = pa.array(did_np % 5 == 0)
-        marker = pc.if_else(mod5, "ALARM", "-")
-        level = pc.if_else(mod5, "FATAL", "INFO")
-        node = pc.binary_join_element_wise(
-            "R02-M1-N", pa.array((did_np % 8).astype(str), type=pa.string()), ""
-        )
-        line = pc.binary_join_element_wise(
-            marker,
-            pc.cast(did, pa.string()),
-            "2005.06.03",
-            node,
-            "15.42.50",
-            node,
-            "RAS",
-            "KERNEL",
-            level,
-            pc.coalesce(batch["text"], ""),
-            " ",
-        )
-        return pa.Table.from_pydict({"text": line})
+    build_lines = _synth_bgl_lines
 
     def parse(batch: pa.Table) -> pa.Table:
         parsed = parse_label_batch(batch, line_col="text")
@@ -840,6 +844,32 @@ def log_template_counts(sf_dir: str):
         zero_copy_batch=True,
     )
     return key_counts(tpl, ["template"])
+
+
+@register("end_to_end_log_predict", None)
+def end_to_end_log_predict(sf_dir: str):
+    """The reference's flagship chain end-to-end (``run_pipeline``,
+    ``end_to_end_prediction.py:657-664``) on BGL lines synthesized from
+    the documents table: label parse → 9-field enrich → template mask →
+    frequency filter → hashed-feature actor pool (T2 slot) → L2 score →
+    global p95 verdict → keyed final table + eval metrics. Rows-only
+    check: the hashed projection is not SQL-expressible."""
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from .predict import PredictConfig, end_to_end_predict
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    lines = docs.map_batches(_synth_bgl_lines, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    out = tempfile.mkdtemp(prefix="adray_e2e_")
+    # prose documents mask to near-unique templates; threshold 0 keeps all
+    res = end_to_end_predict(lines, out, PredictConfig(min_template_count=0), resume=False)
+    final = _pq.read_table(res.final_path).select(
+        ["label", "template", "anomaly_score", "anomaly_prediction"]
+    )
+    df = final.to_pandas().sort_values(["template", "anomaly_score"]).reset_index(drop=True)
+    return _round_pd(df, {"anomaly_score": 6})
 
 
 # ---------------------------------------------------------------------------

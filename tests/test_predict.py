@@ -1,0 +1,141 @@
+"""End-to-end log → anomaly pipeline tests (reference flagship parity,
+`end_to_end_prediction.py` steps 1-7) plus the CLI wrapper."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_log(path: str, n: int = 3000, seed: int = 7) -> dict:
+    """Deterministic BGL-ish log: `-` marker = normal, `ALARM` = anomaly.
+    Templates repeat (so the frequency filter keeps them); anomalies carry
+    a rare verbose tail so hashed-feature L2 norms separate classes."""
+    rng = np.random.default_rng(seed)
+    n_anom = 0
+    lines = []
+    for i in range(n):
+        anom = rng.random() < 0.05
+        node = f"R{i % 4:02d}-M1-N{i % 8}"
+        ts = 1117838570 + i
+        if anom:
+            n_anom += 1
+            content = (
+                f"data TLB error interrupt rptr {i} fault address {i * 7} "
+                "machine check interrupt storm detected on torus sender x plus unit"
+            )
+            marker = "ALARM"
+        else:
+            content = f"instruction cache parity error corrected count {i % 3}"
+            marker = "-"
+        lines.append(
+            f"{marker} {ts} 2005.06.03 {node} 2005-06-03-15.42.50 {node} RAS KERNEL "
+            f"{'FATAL' if anom else 'INFO'} {content}"
+        )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return {"n": n, "n_anom": n_anom}
+
+
+@pytest.fixture(scope="module")
+def log_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("logs")
+    path = str(d / "bgl.log")
+    info = _write_log(path)
+    return path, info
+
+
+def test_end_to_end_predict(ray_session, log_file, tmp_path):
+    from anomalydetection_ray.pipelines.predict import PredictConfig, end_to_end_predict
+
+    path, info = log_file
+    out = str(tmp_path / "out")
+    res = end_to_end_predict(path, out, PredictConfig())
+    assert res.n_rows == info["n"]  # frequency filter keeps repeated templates
+    final = pq.read_table(res.final_path).to_pandas()
+    assert {"label", "log", "template", "params", "anomaly_score", "anomaly_prediction"} <= set(final.columns)
+    # p95 threshold → ~5% flagged
+    rate = final["anomaly_prediction"].mean()
+    assert 0.02 < rate < 0.08, rate
+    # the verbose rare anomaly templates score above the common one
+    assert res.metrics["recall"] > 0.9, res.metrics
+    assert res.metrics["precision"] > 0.9, res.metrics
+    # metrics.json written with eval keys (A5 parity)
+    with open(os.path.join(out, "metrics.json")) as f:
+        m = json.load(f)
+    assert {"accuracy", "precision", "recall", "f1_score", "threshold"} <= set(m)
+
+
+def test_predict_deterministic_and_resume(ray_session, log_file, tmp_path):
+    from anomalydetection_ray.pipelines.predict import PredictConfig, end_to_end_predict
+
+    path, _ = log_file
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    r1 = end_to_end_predict(path, out1, PredictConfig())
+    r2 = end_to_end_predict(path, out2, PredictConfig())
+    assert r1.threshold == r2.threshold
+    f1 = pq.read_table(r1.final_path).to_pandas().sort_values("log").reset_index(drop=True)
+    f2 = pq.read_table(r2.final_path).to_pandas().sort_values("log").reset_index(drop=True)
+    assert f1.equals(f2)
+
+    # resume: scored checkpoint reused, same threshold/result
+    scored = os.path.join(out1, "scored", "parquet")
+    t0 = max(os.path.getmtime(os.path.join(scored, f)) for f in os.listdir(scored))
+    r3 = end_to_end_predict(path, out1, PredictConfig())
+    t1 = max(os.path.getmtime(os.path.join(scored, f)) for f in os.listdir(scored))
+    assert t0 == t1 and r3.threshold == r1.threshold
+
+
+def test_predict_kll_threshold_close_to_exact(ray_session, log_file, tmp_path):
+    from anomalydetection_ray.pipelines.predict import PredictConfig, end_to_end_predict
+
+    path, _ = log_file
+    r_exact = end_to_end_predict(path, str(tmp_path / "e"), PredictConfig(threshold_mode="exact"))
+    r_kll = end_to_end_predict(path, str(tmp_path / "k"), PredictConfig(threshold_mode="kll"))
+    # KLL(512) rank error ≪ 1%; thresholds must be near-identical ranks
+    scores = pq.read_table(r_exact.final_path, columns=["anomaly_score"]).to_pandas()["anomaly_score"].to_numpy()
+    rank_exact = (scores <= r_exact.threshold).mean()
+    rank_kll = (scores <= r_kll.threshold).mean()
+    assert abs(rank_exact - rank_kll) < 0.02
+
+
+def test_predict_sampling_and_limits(ray_session, log_file, tmp_path):
+    from anomalydetection_ray.pipelines.predict import PredictConfig, end_to_end_predict
+
+    path, info = log_file
+    res = end_to_end_predict(
+        path, str(tmp_path / "s"), PredictConfig(sample_ratio=0.5, min_sample_rows=10)
+    )
+    assert 0.35 * info["n"] < res.n_rows < 0.65 * info["n"]
+    # below the min-rows floor the sample is skipped entirely (reference
+    # floor semantics, end_to_end_prediction.py:271)
+    res2 = end_to_end_predict(
+        path, str(tmp_path / "f"), PredictConfig(sample_ratio=0.5, min_sample_rows=10**9)
+    )
+    assert res2.n_rows == info["n"]
+
+
+def test_cli_predict_and_validate(ray_session, log_file, tmp_path):
+    """CLI smoke: reuses the running Ray session (no shutdown on exit)."""
+    import ray
+
+    from anomalydetection_ray.__main__ import main
+    from anomalydetection_ray.corpus import generate_corpus
+
+    path, _ = log_file
+    rc = main(["predict", str(path), "--out", str(tmp_path / "p"), "--max-lines", "500"])
+    assert rc == 0 and ray.is_initialized()
+    assert os.path.exists(tmp_path / "p" / "metrics.json")
+
+    d = str(tmp_path / "corpus")
+    generate_corpus(d, n_rows=800, n_repos=40, seed=3, rows_per_file=200)
+    rc = main([
+        "validate", f"{d}/corpus", "--out", str(tmp_path / "v"),
+        "--repos-dim", f"{d}/repos.parquet", "--sharded", "--n-shards", "2",
+    ])
+    assert rc == 0 and ray.is_initialized()
+    assert os.path.exists(tmp_path / "v" / "verdicts.parquet")
