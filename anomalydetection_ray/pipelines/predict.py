@@ -135,7 +135,6 @@ def end_to_end_predict(
     import ray.data as rd
 
     from .. import tune_shuffle_to_cluster
-    from ..functions.relational import frequency_filter
     from ..functions.shuffle import default_actor_concurrency
     from ..functions.vector import l2_norm_batch
 
@@ -152,17 +151,27 @@ def end_to_end_predict(
         else:
             ds = log_input.limit(cfg.max_lines) if cfg.max_lines else log_input
         ds = ds.map_batches(_parse_stage, batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True)
-        ds = frequency_filter(ds, "template", cfg.min_template_count)
+        # frequency filter inlined (vs functions.relational.frequency_filter)
+        # so its per-template counts ALSO give the post-filter row count —
+        # the sample-floor check below would otherwise cost a third full
+        # execution of the lazy parse stage
+        from ..checks.uniqueness import key_counts
+        from ..functions.relational import broadcast_value_filter
+
+        counts = key_counts(ds, ["template"]).to_pandas()
+        kept_mask = counts["cnt"] > cfg.min_template_count
+        ds = broadcast_value_filter(ds, "template", counts.loc[kept_mask, "template"].to_numpy())
+        n_total = int(counts.loc[kept_mask, "cnt"].sum())
         if cfg.sample_ratio is not None and cfg.sample_ratio < 1.0:
             # deterministic hash-rate sample (P3 analog): keep rows whose
             # line hash falls under the ratio — reproducible at any
             # parallelism, unlike ds.random_sample's per-block RNG. The
-            # reference's min-1000 floor is applied via a count check.
+            # reference's min-1000 floor is applied via the count from the
+            # frequency pass.
             import polars as pl
 
             ratio = cfg.sample_ratio
             seed = cfg.seed
-            n_total = ds.count()
             if n_total * ratio >= cfg.min_sample_rows:
 
                 def hash_keep(batch: pa.Table) -> pa.Table:
