@@ -10,20 +10,23 @@ checkpoints with lineage + metrics (state/checkpoint.py) — per-check in
 Pass layout (each pass prunes columns at the read — the wide ``content``
 column is never shuffled, SURVEY.md M6/§7.4):
 
-  stats        read all cols    map partials → tree reduce (NO keyed shuffle)
   uniqueness   key cols only    per-block combiner → hash shuffle of int64
                                 (key-hash, cnt) pairs only → dup-hash set
-  rowpass      key+lang+content ONE combined scan: null-lang / empty-content
-               (+repo if ref)   row rules, dup-key row recovery (broadcast
-                                dup-hash probe, exact post-verify), Bloom
-                                referential probe; violating rows leave the
-                                scan as (key, partition, sha256, kind)
+  fused scan   all columns      ONE content scan computing BOTH the
+                                per-partition stats partials (moments +
+                                HLL/KLL/histogram sketches, worker-side
+                                n-ary combine) AND every row-level check:
+                                null-lang / empty-content rules, dup-key
+                                row recovery (broadcast dup-hash probe,
+                                exact post-verify), Bloom referential
+                                probe; violating rows leave the scan as
+                                (key, partition, sha256, kind)
   drift        (stats output)   PSI/KS vs baseline snapshot, driver-side on
                                 the small merged table
 
-Wall-clock is dominated by the two content-bearing scans (stats, rowpass),
-which pipeline against the read; every shuffle moves kilobytes-per-block
-partials, never data rows.
+Content — the dominant corpus bytes — is read and decompressed exactly
+ONCE per suite run; every exchange moves kilobytes-per-block partials or
+16-byte key-hash pairs, never data rows.
 """
 
 from __future__ import annotations
@@ -241,6 +244,79 @@ def make_row_violations_fn(cfg: SuiteConfig, refs: _RowpassRefs):
     return row_violations
 
 
+def _fused_scan(ds, cfg: SuiteConfig, refs: _RowpassRefs, all_cols: list[str]):
+    """ONE content scan computing BOTH the stats partials and the row
+    violations — the corpus's dominant cost is reading/decompressing the
+    wide ``content`` column, so the per-check version's two content scans
+    (stats, rowpass) fuse into one union-schema map:
+
+      map: batch → [stat partial rows (tagged 's')] ∪ [violation rows
+           (tagged 'v', columns prefixed to avoid any name collision)]
+      combine: per block, collapse stat rows to one per (part, column)
+           (worker-side n-ary sketch merge), pass violation rows through
+      driver: split by tag → merge partials → (stats_df, violations)
+
+    Returns ``(stats_df, viol_all)``.
+    """
+    from ..checks.stats import (
+        PARTIAL_SCHEMA,
+        make_stats_partial_fn,
+        merge_partial_rows,
+        merge_partials_to_stats,
+    )
+
+    stats_fn = make_stats_partial_fn(
+        all_cols, [cfg.partition_by], cfg.hll_p, cfg.kll_k, {cfg.content_col: cfg.hist_edges}
+    )
+    row_fn = make_row_violations_fn(cfg, refs)
+    viol_names = refs.out_cols + ["content_sha256", "violation_kind"]
+    pref_names = [f"viol__{c}" for c in viol_names]
+    partial_names = [f.name for f in PARTIAL_SCHEMA]
+
+    def to_union(st: pa.Table, vtp: pa.Table) -> pa.Table:
+        n_s, n_v = st.num_rows, vtp.num_rows
+        data: dict = {"rec": pa.array(["s"] * n_s + ["v"] * n_v, type=pa.string())}
+        for f in PARTIAL_SCHEMA:
+            col = st[f.name].combine_chunks() if n_s else pa.nulls(0, f.type)
+            data[f.name] = pa.concat_arrays([col.cast(f.type), pa.nulls(n_v, f.type)])
+        for c in pref_names:
+            t = vtp.schema.field(c).type
+            col = vtp[c].combine_chunks() if n_v else pa.nulls(0, t)
+            data[c] = pa.concat_arrays([pa.nulls(n_s, t), col])
+        return pa.table(data)
+
+    def fused(batch: pa.Table) -> pa.Table:
+        vt = row_fn(batch)
+        return to_union(stats_fn(batch), vt.rename_columns(pref_names))
+
+    def combine_stage(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return tb
+        s_mask = pc.equal(tb["rec"], "s")
+        st = merge_partial_rows(tb.filter(s_mask).select(partial_names).cast(PARTIAL_SCHEMA))
+        return to_union(st, tb.filter(pc.invert(s_mask)).select(pref_names))
+
+    fused_ds = ds.map_batches(
+        fused, batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True
+    ).map_batches(combine_stage, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+    stats_parts: list[pa.Table] = []
+    viol_parts: list[pa.Table] = []
+    for tb in fused_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        if tb.num_rows == 0:
+            continue
+        s_mask = pc.equal(tb["rec"], "s")
+        stats_parts.append(tb.filter(s_mask).select(partial_names).cast(PARTIAL_SCHEMA))
+        viol_parts.append(tb.filter(pc.invert(s_mask)).select(pref_names).rename_columns(viol_names))
+    stats_df = merge_partials_to_stats(stats_parts)
+    viol_all = (
+        pa.concat_tables(viol_parts)
+        if viol_parts
+        else pa.Table.from_pydict({c: [] for c in viol_names})
+    )
+    return stats_df, viol_all
+
+
 def _verify_dup_candidates(viol_all: pa.Table, key: list[str]) -> pa.Table:
     """Exact dup verification: candidate rows carry their REAL keys, so a
     per-key recount here drops 64-bit hash-collision artifacts — the
@@ -427,77 +503,56 @@ def run_suite(
     def corpus(columns: list[str] | None = None, num_blocks: int | None = None):
         return rd.read_parquet(corpus_path, columns=columns, override_num_blocks=num_blocks)
 
-    # ------- stats + uniqueness key detection: CONCURRENT pipelines -------
-    # the two passes are independent (stats reads all columns; uniqueness
-    # reads key columns only), so they execute as two simultaneous Ray Data
-    # pipelines driven from two threads — the streaming executor interleaves
-    # their tasks, overlapping the uniqueness shuffle's idle wait with
-    # stats compute instead of serializing two fixed startup costs.
+    # ---------------- pass 1: uniqueness key detection ----------------
+    # key columns ONLY — the wide content column is untouched, so this
+    # pass is cheap relative to the scan it gates (the fused scan needs
+    # the global duplicate-hash set as a broadcast input).
     from .queries import as_table
     from ..checks.uniqueness import duplicate_key_hashes
 
-    stats_path = os.path.join(state.unit_dir("stats"), "stats.parquet")
     uqk_path = os.path.join(state.unit_dir("uniqueness"), "dup_key_hashes.parquet")
     uniq_reused = resume and state.is_done("uniqueness")
-
-    def stats_work() -> pd.DataFrame:
-        if resume and state.is_done("stats"):
-            return pq.read_table(stats_path).to_pandas()
-        all_cols = [f.name for f in _corpus_schema(corpus_path)]
-        df = column_stats(
-            corpus(num_blocks=default_num_blocks()),
-            columns=all_cols,
-            partition_by=[part],
-            hll_p=cfg.hll_p,
-            kll_k=cfg.kll_k,
-            hist_edges={cfg.content_col: cfg.hist_edges},
-            batch_size=cfg.batch_size,
-        ).to_pandas()
-        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), stats_path)
-        state.mark_done("stats", {"partitions": int(df["part"].nunique()), "rows_seen": int(df[df["column"] == cfg.content_col]["count"].sum())})
-        return df
-
-    def uniq_work() -> pa.Table:
-        if uniq_reused:
-            return pq.read_table(uqk_path)
+    if uniq_reused:
+        dup_hash_tbl = pq.read_table(uqk_path)
+    else:
         # coalesce the key-only read to ~2 blocks/CPU: many tiny source
         # files otherwise fan the 16-byte/row shuffle into thousands of
         # mini-objects (measured 2× slower than the coalesced read)
-        tbl = as_table(duplicate_key_hashes(corpus(key, num_blocks=default_num_blocks()), key))
-        pq.write_table(tbl, uqk_path)
-        state.mark_done("uniqueness", {"duplicate_key_hashes": tbl.num_rows})
-        return tbl
+        dup_hash_tbl = as_table(duplicate_key_hashes(corpus(key, num_blocks=default_num_blocks()), key))
+        pq.write_table(dup_hash_tbl, uqk_path)
+        state.mark_done("uniqueness", {"duplicate_key_hashes": dup_hash_tbl.num_rows})
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_stats = pool.submit(stats_work)
-        f_uniq = pool.submit(uniq_work)
-        stats_df = f_stats.result()
-        dup_hash_tbl = f_uniq.result()
-
-    _mark("stats_and_uniqueness")
+    _mark("uniqueness")
     dup_hashes = np.sort(dup_hash_tbl["h"].to_numpy(zero_copy_only=False))
 
-    # ---------------- combined row pass: ONE content scan -----------------
-    rp_path = os.path.join(state.unit_dir("rowpass"), "violations.parquet")
-    if resume and uniq_reused and state.is_done("rowpass"):
-        viol_all = pq.read_table(rp_path)
+    # ---------------- pass 2: ONE fused content scan ----------------
+    # stats partials + all row-level checks in the same scan: content is
+    # read and decompressed ONCE per suite run (it dominates corpus bytes;
+    # the earlier separate stats/rowpass scans each paid the full read).
+    stats_path = os.path.join(state.unit_dir("scan"), "stats.parquet")
+    sc_path = os.path.join(state.unit_dir("scan"), "violations.parquet")
+    if resume and uniq_reused and state.is_done("scan"):
+        stats_df = pq.read_table(stats_path).to_pandas()
+        viol_all = pq.read_table(sc_path)
     else:
+        all_cols = [f.name for f in _corpus_schema(corpus_path)]
         refs = _prepare_rowpass_refs(cfg, dup_hashes)
-        viol_all = as_table(
-            corpus(refs.need, num_blocks=default_num_blocks()).map_batches(
-                make_row_violations_fn(cfg, refs),
-                batch_format="pyarrow",
-                batch_size=None,
-                zero_copy_batch=True,
-            )
+        stats_df, viol_all = _fused_scan(
+            corpus(num_blocks=default_num_blocks()), cfg, refs, all_cols
         )
         viol_all = _sort_violations(_verify_dup_candidates(viol_all, key), refs.out_cols)
-        pq.write_table(viol_all, rp_path)
-        state.mark_done("rowpass", {"violations": viol_all.num_rows})
+        pq.write_table(pa.Table.from_pandas(stats_df, preserve_index=False), stats_path)
+        pq.write_table(viol_all, sc_path)
+        state.mark_done(
+            "scan",
+            {
+                "violations": viol_all.num_rows,
+                "partitions": int(stats_df["part"].nunique()) if len(stats_df) else 0,
+                "rows_seen": int(stats_df.loc[stats_df["column"] == cfg.content_col, "count"].sum()) if len(stats_df) else 0,
+            },
+        )
 
-    _mark("rowpass")
+    _mark("fused_scan")
     result = _finalize_suite(state, out_dir, cfg, stats_df, viol_all, baseline_snapshot)
     _mark("drift_and_verdicts")
     if os.environ.get("ADRAY_TIMINGS"):

@@ -62,6 +62,27 @@ class FixedHistogram:
         p = self.counts / t
         return np.clip(p, eps, None)
 
+    @classmethod
+    def merge_many_bytes(cls, blobs) -> "FixedHistogram":
+        """n-ary merge from serialized form. Edge equality is checked once
+        against the first histogram (suite partials share edges by
+        construction); the pairwise path's per-merge ``np.allclose`` over
+        the full edge vector dominated large driver merges."""
+        import pickle
+
+        blobs = list(blobs)
+        edges, counts, n_nan = pickle.loads(blobs[0])
+        h = cls(edges)
+        h.counts = counts.copy()
+        h.n_nan = n_nan
+        for b in blobs[1:]:
+            e2, c2, nn2 = pickle.loads(b)
+            if len(e2) != len(edges):
+                raise ValueError("histograms have different bin edges")
+            h.counts += c2
+            h.n_nan += nn2
+        return h
+
     def to_bytes(self) -> bytes:
         import pickle
 

@@ -126,6 +126,24 @@ class HyperLogLog:
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
+    @classmethod
+    def merge_many_bytes(cls, blobs) -> "HyperLogLog":
+        """n-ary merge straight from serialized form: one (n, m) register
+        matrix max-reduce instead of n deserialize+merge round-trips —
+        the driver merges tens of thousands of per-block partials, where
+        the pairwise path was ~50× slower (see checks/stats.py)."""
+        blobs = list(blobs)
+        if not blobs:
+            return cls()
+        p = blobs[0][0]
+        m = 1 << p
+        if any(b[0] != p for b in blobs):
+            raise ValueError("cannot merge HLLs of different precision")
+        mat = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(len(blobs), m + 1)
+        sk = cls(p)
+        sk.registers = mat[:, 1:].max(axis=0).copy()
+        return sk
+
     def estimate(self) -> float:
         m = float(self.m)
         if self.p == 4:

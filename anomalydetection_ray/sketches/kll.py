@@ -92,6 +92,31 @@ class KLL:
         self._compress()
         return self
 
+    @classmethod
+    def merge_many(cls, sketches) -> "KLL":
+        """n-ary merge: concatenate all sketches per level, then compress
+        ONCE — same error guarantees as pairwise merging (compaction only
+        sees larger levels, never more of them), but n× fewer sort/compact
+        passes. The driver-side stats merge folds thousands of per-block
+        partials per group; pairwise merging dominated its runtime."""
+        sks = list(sketches)
+        live = [s for s in sks if s.n]
+        if not live:
+            return cls(sks[0].k if sks else 256)
+        out = cls(live[0].k)
+        depth = max(len(s.levels) for s in live)
+        out.levels = [
+            np.concatenate(
+                [s.levels[i] for s in live if i < len(s.levels) and len(s.levels[i])]
+                or [np.empty(0, dtype=np.float64)]
+            )
+            for i in range(depth)
+        ]
+        out.toggles = [False] * depth
+        out.n = sum(s.n for s in live)
+        out._compress()
+        return out
+
     def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
         vals, wts = [], []
         for i, lv in enumerate(self.levels):

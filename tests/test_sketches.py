@@ -221,3 +221,39 @@ def test_simhash_near_vs_far():
 def test_popcount():
     x = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
     assert popcount64(x).tolist() == [0, 1, 2, 64]
+
+
+def test_hll_merge_many_bytes_equals_pairwise():
+    import numpy as np
+
+    from anomalydetection_ray.sketches import HyperLogLog
+
+    rng = np.random.default_rng(5)
+    parts = [rng.integers(0, 50_000, size=20_000) for _ in range(8)]
+    sks = [HyperLogLog(12).update(p) for p in parts]
+    pairwise = HyperLogLog(12)
+    for s in sks:
+        pairwise.merge(s)
+    nary = HyperLogLog.merge_many_bytes([s.to_bytes() for s in sks])
+    assert (nary.registers == pairwise.registers).all()
+    assert HyperLogLog.merge_many_bytes([]).estimate() == 0.0
+
+
+def test_kll_merge_many_rank_bound():
+    import numpy as np
+
+    from anomalydetection_ray.sketches import KLL
+
+    rng = np.random.default_rng(11)
+    data = rng.lognormal(3, 1.5, size=200_000)
+    chunks = np.array_split(data, 137)
+    merged = KLL.merge_many([KLL(256).update(c) for c in chunks])
+    assert merged.n == len(data)
+    srt = np.sort(data)
+    for q in (0.1, 0.5, 0.95, 0.99):
+        est = merged.quantile(q)
+        rank = np.searchsorted(srt, est, side="right") / len(srt)
+        assert abs(rank - q) < 2.5 / 256, (q, rank)
+    # empty-input edges
+    assert np.isnan(KLL.merge_many([]).quantile(0.5))
+    assert np.isnan(KLL.merge_many([KLL(256)]).quantile(0.5))

@@ -144,19 +144,28 @@ def test_resume_skips_done_checks(ray_session, clean_corpus, tmp_path):
     cfg = SuiteConfig(repos_dim_path=f"{d}/repos.parquet")
     res1 = run_suite(f"{d}/corpus", out, cfg)
     state = RunState(out)
-    t0 = os.path.getmtime(os.path.join(out, "stats", "stats.parquet"))
+    uqk = os.path.join(out, "uniqueness", "dup_key_hashes.parquet")
+    t0 = os.path.getmtime(uqk)
 
-    # simulate a crash after stats: wipe uniqueness marker only
-    shutil.rmtree(os.path.join(out, "uniqueness"))
+    # simulate a crash after uniqueness: wipe the scan unit only
+    shutil.rmtree(os.path.join(out, "scan"))
     res2 = run_suite(f"{d}/corpus", out, cfg)
-    t1 = os.path.getmtime(os.path.join(out, "stats", "stats.parquet"))
-    assert t0 == t1  # stats NOT recomputed
-    assert state.is_done("uniqueness")  # uniqueness redone
+    assert os.path.getmtime(uqk) == t0  # uniqueness NOT recomputed
+    assert state.is_done("scan")  # scan redone
     assert res2.verdicts.equals(res1.verdicts)  # identical final output
+
+    # a recomputed uniqueness pass invalidates the scan checkpoint (its
+    # broadcast dup-hash input may have changed)
+    scan_path = os.path.join(out, "scan", "violations.parquet")
+    t_scan = os.path.getmtime(scan_path)
+    shutil.rmtree(os.path.join(out, "uniqueness"))
+    res3 = run_suite(f"{d}/corpus", out, cfg)
+    assert os.path.getmtime(scan_path) > t_scan  # scan recomputed
+    assert res3.verdicts.equals(res1.verdicts)
 
     # lineage recorded every completed unit
     units = [r["unit"] for r in state.lineage()]
-    assert "stats" in units and units.count("uniqueness") >= 2
+    assert units.count("scan") >= 2 and units.count("uniqueness") >= 2
 
 
 def test_sharded_suite_matches_per_check_suite(ray_session, dirty_corpus, tmp_path):
