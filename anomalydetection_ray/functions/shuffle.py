@@ -86,6 +86,78 @@ def local_group_map(ds, keys: list[str], block_fn, num_blocks: int | None = None
     )
 
 
+def driver_grouped_agg(
+    ds,
+    keys: list[str],
+    spec: dict[str, tuple[str | None, str]],
+    batch_size: int | None = None,
+):
+    """Low-cardinality grouped aggregate with NO shuffle.
+
+    ``spec``: ``alias -> (column, op)`` with op in
+    {"sum", "mean", "min", "max", "count"} ("count" ignores the column).
+
+    Per-block polars partials (sum/count/min/max — mean decomposes into
+    sum+count) stream to the driver and merge there in one grouped pass.
+    This is the scale-correct plan whenever distinct(keys) is
+    small-bounded (the FINAL table must fit one machine anyway): the
+    exchange is (blocks × groups) partial rows — kilobytes — while the
+    hash-shuffle path pays a fixed aggregator-actor spawn per pipeline
+    (~3-4 s at 32 CPUs) that dwarfs small inputs. High-cardinality
+    groupbys (dedup keys, templates) use grouped_sum / grouped_min.
+    Returns a pandas DataFrame with columns ``keys + list(spec)``.
+    """
+    import pandas as pd
+
+    partial_exprs = []
+    for alias, (col, op) in spec.items():
+        if op == "sum":
+            partial_exprs.append(pl.col(col).sum().alias(f"{alias}__sum"))
+        elif op == "mean":
+            partial_exprs.append(pl.col(col).sum().alias(f"{alias}__sum"))
+            partial_exprs.append(pl.col(col).count().alias(f"{alias}__cnt"))
+        elif op == "min":
+            partial_exprs.append(pl.col(col).min().alias(f"{alias}__min"))
+        elif op == "max":
+            partial_exprs.append(pl.col(col).max().alias(f"{alias}__max"))
+        elif op == "count":
+            partial_exprs.append(pl.len().alias(f"{alias}__cnt"))
+        else:
+            raise ValueError(f"unsupported op {op!r}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = pl.from_arrow(batch).group_by(keys).agg(partial_exprs)
+        return out.to_arrow()
+
+    need = list(dict.fromkeys(keys + [c for c, op in spec.values() if op != "count" and c]))
+    blocks = [
+        tb
+        for tb in select_if_needed(ds, need)
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if tb.num_rows
+    ]
+    if not blocks:
+        return pd.DataFrame(columns=keys + list(spec))
+    merged = pl.from_arrow(pa.concat_tables(blocks, promote_options="default"))
+    final_exprs = []
+    for alias, (col, op) in spec.items():
+        if op == "sum":
+            final_exprs.append(pl.col(f"{alias}__sum").sum().alias(alias))
+        elif op == "mean":
+            final_exprs.append(
+                (pl.col(f"{alias}__sum").sum() / pl.col(f"{alias}__cnt").sum()).alias(alias)
+            )
+        elif op == "min":
+            final_exprs.append(pl.col(f"{alias}__min").min().alias(alias))
+        elif op == "max":
+            final_exprs.append(pl.col(f"{alias}__max").max().alias(alias))
+        elif op == "count":
+            final_exprs.append(pl.col(f"{alias}__cnt").sum().alias(alias))
+    out = merged.group_by(keys).agg(final_exprs).sort(keys)
+    return out.to_pandas()
+
+
 def grouped_min(ds, keys: list[str], value_col: str, out_col: str, num_blocks: int | None = None):
     """MIN(value) GROUP BY keys for high-cardinality keys (e.g. exact-dedup
     survivor selection: min id per content fingerprint)."""

@@ -20,6 +20,7 @@ from ..checks.referential import orphans_bloom, semi_join
 from ..checks.stats import column_stats
 from ..checks.uniqueness import duplicate_keys, key_counts
 from ..functions.relational import broadcast_join, broadcast_value_filter, frequency_filter
+from ..functions.shuffle import driver_grouped_agg
 from ..functions.text import fingerprint_batch, quality_batch, token_count_batch
 from ..functions.vector import l2_norm_batch
 from ..sources import read_table
@@ -120,8 +121,8 @@ def top_sources_by_chars(sf_dir: str):
     """Top-k by aggregate (A3/P7, ``end_to_end_prediction.py:590-591``):
     groupby-sum → sort desc → limit."""
     ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
-    agg = ds.groupby("source").aggregate(Sum("n_chars", alias_name="sum_chars"))
-    top = agg.sort("sum_chars", descending=True).limit(10).to_pandas()
+    agg = driver_grouped_agg(ds, ["source"], {"sum_chars": ("n_chars", "sum")})
+    top = agg.sort_values("sum_chars", ascending=False).head(10).reset_index(drop=True)
     top["sum_chars"] = top["sum_chars"].astype("int64")
     return top
 
@@ -205,18 +206,18 @@ def pricing_summary(sf_dir: str):
         dp = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
         return batch.append_column("disc_price", dp)
 
-    agg = (
-        ds.map_batches(disc_price, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_extendedprice", alias_name="avg_price"),
-            Count(alias_name="cnt"),
-        )
-        .to_pandas()
+    agg = driver_grouped_agg(
+        ds.map_batches(disc_price, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "avg_qty": ("l_quantity", "mean"),
+            "avg_price": ("l_extendedprice", "mean"),
+            "cnt": (None, "count"),
+        },
     )
+    agg["cnt"] = agg["cnt"].astype("int64")
     return _round_pd(agg, {"sum_qty": 2, "sum_disc_price": 2, "avg_qty": 6, "avg_price": 6})
 
 
@@ -233,12 +234,10 @@ def revenue_by_segment(sf_dir: str):
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
     joined = broadcast_join(orders, "o_custkey", cust, "c_custkey", how="inner")
-    agg = (
-        joined.groupby("c_mktsegment")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
-        .to_pandas()
-        .rename(columns={"c_mktsegment": "segment"})
-    )
+    agg = driver_grouped_agg(
+        joined, ["c_mktsegment"], {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")}
+    ).rename(columns={"c_mktsegment": "segment"})
+    agg["n_orders"] = agg["n_orders"].astype("int64")
     return _round_pd(agg, {"revenue": 2})
 
 
@@ -362,12 +361,12 @@ def hourly_event_counts(sf_dir: str):
         hour = pc.divide(us, pa.scalar(3_600_000_000, type=pa.int64()))
         return batch.append_column("hour_bucket", hour).drop_columns(["ts"])
 
-    agg = (
-        ds.map_batches(bucket, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .groupby(["event_type", "hour_bucket"])
-        .aggregate(Count(alias_name="cnt"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
+    agg = driver_grouped_agg(
+        ds.map_batches(bucket, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        ["event_type", "hour_bucket"],
+        {"cnt": (None, "count"), "sum_value": ("value", "sum")},
     )
+    agg["cnt"] = agg["cnt"].astype("int64")
     return _round_pd(agg, {"sum_value": 4})
 
 
@@ -906,16 +905,15 @@ def props_k_stats(sf_dir: str):
         k = pl.from_arrow(col).str.json_path_match("$.k").cast(pl.Int64).to_arrow()
         return pa.Table.from_pydict({"event_type": batch["event_type"], "k": k.cast(pa.int64())})
 
-    agg = (
-        ds.map_batches(extract, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .groupby("event_type")
-        .aggregate(
-            Count(alias_name="cnt"),
-            Min("k", alias_name="k_min"),
-            Max("k", alias_name="k_max"),
-            Mean("k", alias_name="k_mean"),
-        )
-        .to_pandas()
+    agg = driver_grouped_agg(
+        ds.map_batches(extract, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        ["event_type"],
+        {
+            "cnt": (None, "count"),
+            "k_min": ("k", "min"),
+            "k_max": ("k", "max"),
+            "k_mean": ("k", "mean"),
+        },
     )
     agg["cnt"] = agg["cnt"].astype("int64")
     agg["k_min"] = agg["k_min"].astype("int64")
