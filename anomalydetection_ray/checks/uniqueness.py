@@ -69,7 +69,14 @@ def _hash_combine_fn(keys: list[str], seed: int = 0):
     return combine
 
 
-def duplicate_key_hashes(ds, keys: list[str], min_count: int = 2, batch_size: int | None = 65536, seed: int = 0):
+def duplicate_key_hashes(
+    ds,
+    keys: list[str],
+    min_count: int = 2,
+    batch_size: int | None = 65536,
+    seed: int = 0,
+    driver_merge_max_bytes: int = 8 << 30,
+):
     """int64 hashes of keys appearing >= min_count times.
 
     The scale path for uniqueness: the shuffle moves (hash, cnt) int64
@@ -77,12 +84,43 @@ def duplicate_key_hashes(ds, keys: list[str], min_count: int = 2, batch_size: in
     tuple. Hash collisions can only ADD candidates, never lose a real
     duplicate; callers recover the candidate ROWS (which carry the real
     keys) and drop collision artifacts with an exact per-key recount
-    (pipelines/validate.py does this), so the final result is exact."""
+    (pipelines/validate.py does this), so the final result is exact.
+
+    Cost-based plan choice: when the input's metadata size estimate is
+    under ``driver_merge_max_bytes`` (~20M rows of pairs), the per-block
+    (hash, cnt) partials stream to ONE driver-side polars group-sum —
+    the hash shuffle's fixed aggregator-actor spawn costs more than the
+    entire merge at that scale. Above the threshold the all-to-all
+    engages."""
     from ..functions.shuffle import grouped_sum, select_if_needed
 
     partials = select_if_needed(ds, keys).map_batches(
         _hash_combine_fn(keys, seed), batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
+    est = None
+    try:
+        est = ds.size_bytes()  # parquet-metadata estimate; no execution
+    except Exception:
+        pass
+    if est is not None and est <= driver_merge_max_bytes:
+        import polars as pl
+        import ray.data as rd
+
+        tabs = [
+            t
+            for t in partials.iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ]
+        if not tabs:
+            return rd.from_arrow(pa.Table.from_pydict({"h": [], "cnt": []}, schema=pa.schema([("h", pa.int64()), ("cnt", pa.int64())])))
+        dup = (
+            pl.from_arrow(pa.concat_tables(tabs))
+            .group_by("h")
+            .agg(pl.col("cnt_partial").sum().alias("cnt"))
+            .filter(pl.col("cnt") >= min_count)
+            .sort("h")
+        )
+        return rd.from_arrow(dup.to_arrow().cast(pa.schema([("h", pa.int64()), ("cnt", pa.int64())])))
     counts = grouped_sum(partials, ["h"], "cnt_partial", "cnt")
     thresh = min_count
     return counts.map_batches(

@@ -12,17 +12,44 @@ from ..functions.shuffle import grouped_min
 from ..functions.text import fingerprint_batch
 
 
-def exact_dedup(ds, id_col: str, text_col: str):
+def exact_dedup(ds, id_col: str, text_col: str, driver_merge_max_bytes: int = 1 << 30):
     """Survivors: the min-id row of every distinct text value.
 
     One group per distinct text → high-cardinality, so survivor selection
     uses the hash-shuffle + per-block local min (functions/shuffle.py),
-    never ``groupby().aggregate()``'s per-group Python path."""
+    never ``groupby().aggregate()``'s per-group Python path.
+
+    Cost-based plan choice: when the INPUT's metadata size estimate is
+    under ``driver_merge_max_bytes``, the (fingerprint, id) pairs — tiny
+    relative to the text — stream to one driver-side polars group-min
+    instead, skipping the hash shuffle's fixed aggregator-actor spawn
+    (~4 s at 32 CPUs, which dwarfs small corpora)."""
     fp = ds.map_batches(
         lambda t: fingerprint_batch(t, text_col=text_col),
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
     pairs = fp.select_columns(["fingerprint", id_col])
-    keep = grouped_min(pairs, ["fingerprint"], id_col, "keep_id").to_pandas()["keep_id"].to_numpy()
+    est = None
+    try:
+        est = ds.size_bytes()  # parquet-metadata estimate; no execution
+    except Exception:
+        pass
+    if est is not None and est <= driver_merge_max_bytes:
+        import polars as pl
+        import pyarrow as pa
+
+        tabs = [
+            t for t in pairs.iter_batches(batch_format="pyarrow", batch_size=None) if t.num_rows
+        ]
+        if not tabs:
+            return ds.limit(0)
+        keep = (
+            pl.from_arrow(pa.concat_tables(tabs, promote_options="default"))
+            .group_by("fingerprint")
+            .agg(pl.col(id_col).min().alias("keep_id"))["keep_id"]
+            .to_numpy()
+        )
+    else:
+        keep = grouped_min(pairs, ["fingerprint"], id_col, "keep_id").to_pandas()["keep_id"].to_numpy()
     return broadcast_value_filter(ds, id_col, keep, keep=True)
