@@ -340,6 +340,13 @@ def value_stats_events(sf_dir: str):
     return _round_pd(df, {"vmin": 6, "vmax": 6, "vmean": 6, "vstd": 6})
 
 
+def _hour_bucket(batch: pa.Table) -> pa.Table:
+    """Event-time tumbling bucket: epoch-microsecond ts → hour index."""
+    us = pc.cast(batch["ts"], pa.int64())
+    hour = pc.divide(us, pa.scalar(3_600_000_000, type=pa.int64()))
+    return batch.append_column("hour_bucket", hour).drop_columns(["ts"])
+
+
 @register(
     "hourly_event_counts",
     """
@@ -355,11 +362,7 @@ def hourly_event_counts(sf_dir: str):
     SURVEY.md §2.9): event-time bucketing inside map_batches, then grouped
     partial+final aggregation — no watermarks needed for batch replay."""
     ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
-
-    def bucket(batch: pa.Table) -> pa.Table:
-        us = pc.cast(batch["ts"], pa.int64())
-        hour = pc.divide(us, pa.scalar(3_600_000_000, type=pa.int64()))
-        return batch.append_column("hour_bucket", hour).drop_columns(["ts"])
+    bucket = _hour_bucket
 
     agg = driver_grouped_agg(
         ds.map_batches(bucket, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
@@ -368,6 +371,45 @@ def hourly_event_counts(sf_dir: str):
     )
     agg["cnt"] = agg["cnt"].astype("int64")
     return _round_pd(agg, {"sum_value": 4})
+
+
+@register(
+    "sliding_event_counts",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, hour_bucket
+    )
+    SELECT event_type, hour_bucket,
+           CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY hour_bucket
+                RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_3h
+    FROM h
+    """,
+)
+def sliding_event_counts(sf_dir: str):
+    """SLIDING window (3 h window, 1 h slide) — the streaming §2.9 analog
+    beyond tumbling: tumbling partials first (shuffle-free partial+final,
+    raw events never re-scanned), then a vectorized gap-aware window
+    combine over bucket VALUES (cumsum + searchsorted — RANGE semantics,
+    so missing hours shrink the window exactly like the SQL oracle)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    hourly = driver_grouped_agg(
+        ds.map_batches(_hour_bucket, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        ["event_type", "hour_bucket"],
+        {"cnt": (None, "count")},
+    )
+    pieces = []
+    for _, g in hourly.groupby("event_type", sort=False):
+        g = g.sort_values("hour_bucket")
+        b = g["hour_bucket"].to_numpy()
+        c = g["cnt"].to_numpy(dtype=np.int64)
+        cum = np.concatenate([[0], np.cumsum(c)])
+        lo = np.searchsorted(b, b - 2, side="left")
+        pieces.append(g.assign(cnt_3h=(cum[1 : len(b) + 1] - cum[lo]).astype("int64")))
+    out = pd.concat(pieces).reset_index(drop=True)[["event_type", "hour_bucket", "cnt_3h"]]
+    out["hour_bucket"] = out["hour_bucket"].astype("int64")
+    return out
 
 
 # ---------------------------------------------------------------------------

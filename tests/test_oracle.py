@@ -79,6 +79,32 @@ def test_query_matches_oracle(ray_session, sf_smoke, name, fn, sql):
         assert not mismatch.any(), f"{name}.{c}: first mismatch at {np.nonzero(mismatch)[0][:5]}: {a[mismatch][:5]} vs {b[mismatch][:5]}"
 
 
+def _rows_only_items():
+    from anomalydetection_ray.pipelines.queries import registry
+
+    return [(name, fn) for name, (fn, sql) in registry().items() if sql is None]
+
+
+@pytest.mark.parametrize("name,fn", _rows_only_items(), ids=[n for n, _ in _rows_only_items()])
+def test_rows_only_query_runs(ray_session, sf_smoke, name, fn):
+    """Driver-contract guard for queries WITHOUT a SQL oracle: each must
+    execute at smoke scale and produce a named, non-degenerate schema
+    (the driver records a rows-only check for these)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    res = fn(sf_smoke)
+    if isinstance(res, rd.Dataset):
+        cols, n = res.schema().names, res.count()
+    elif isinstance(res, pa.Table):
+        cols, n = res.column_names, res.num_rows
+    else:
+        cols, n = list(res.columns), len(res)
+    assert len(cols) > 0, name
+    assert n >= 0, name
+
+
 def test_entry_smoke(ray_session):
     import __ray_entry__ as e
 
