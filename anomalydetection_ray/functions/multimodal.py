@@ -115,6 +115,42 @@ class VideoFrameSampleStage:
         )
 
 
+class ImageResizeStage:
+    """binary payload -> resized binary payload + updated width/height.
+
+    ``mode="real"`` is the decode→resize→re-encode integration point (the
+    codec would load once per actor here); the stub emits a deterministic
+    payload of size scaled by the target/source area ratio, so downstream
+    stages see realistic byte-volume reduction and the metadata columns
+    stay consistent (width/height always reflect the payload)."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224, mode: str = "fake", payload_col: str = "payload"):
+        if mode not in ("fake", "real"):
+            raise ValueError("mode must be 'fake' or 'real'")
+        self.tw, self.th, self.mode, self.payload_col = target_w, target_h, mode, payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "real":
+            raise NotImplementedError("image decode unavailable; use mode='fake'")
+        payloads = batch[self.payload_col].to_pylist()
+        ws = batch["width"].to_numpy(zero_copy_only=False)
+        hs = batch["height"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        out_payloads = []
+        for p, w, h in zip(payloads, ws, hs):
+            p = p or b""
+            src_area = max(int(w or 1) * int(h or 1), 1)
+            scale = (self.tw * self.th) / src_area
+            target_len = max(8, int(len(p) * min(scale, 1.0)))
+            digest = hashlib.sha256(b"rsz" + p).digest()
+            reps = target_len // len(digest) + 1
+            out_payloads.append((digest * reps)[:target_len])
+        out = batch.drop_columns([self.payload_col, "width", "height"])
+        out = out.append_column("payload", pa.array(out_payloads, type=pa.binary()))
+        out = out.append_column("width", pa.array(np.full(n, self.tw, dtype=np.int32)))
+        return out.append_column("height", pa.array(np.full(n, self.th, dtype=np.int32)))
+
+
 def media_features(ds, stage_cls, batch_size: int = 32, concurrency: int | None = None, **stage_kwargs):
     """Run a media feature stage as an actor pool with small batches —
     large binary payloads need batch × concurrency sized to worker heaps."""

@@ -780,6 +780,44 @@ def media_image_features(sf_dir: str):
     return as_table(feats.map_batches(norm, batch_format="pyarrow", batch_size=None))
 
 
+@register("media_resize_features", None)
+def media_resize_features(sf_dir: str):
+    """Resize → feature-extract actor-pool CHAIN over binary image
+    payloads: the resize stage rewrites payload + width/height metadata
+    (byte volume drops with target/source area), then the feature stage
+    consumes the resized payloads — both stages hold their state per
+    actor. Decode kernels stubbed deterministically (no image libs here);
+    the Ray plumbing (schemas, small batches, actor pools, chaining) is
+    real."""
+    import ray.data as rd
+
+    from ..functions.multimodal import (
+        ImageFeatureStage,
+        ImageResizeStage,
+        media_features,
+        synthesize_media_table,
+    )
+
+    # one actor per pool: TWO chained pools must fit the cluster alongside
+    # the upstream tasks — 2×2 actors starves a 4-CPU session into deadlock
+    media = rd.from_arrow(synthesize_media_table(200)).filter(expr="media_type == 'image'")
+    rsz = media_features(media, ImageResizeStage, batch_size=32, concurrency=1, target_w=64, target_h=64)
+    feats = media_features(rsz, ImageFeatureStage, batch_size=32, concurrency=1, dim=16)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch["image_feat"].combine_chunks().flatten()).reshape(-1, 16)
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch["media_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "feat_norm": pa.array(np.round(np.linalg.norm(m, axis=1), 6)),
+            }
+        )
+
+    return as_table(feats.map_batches(norm, batch_format="pyarrow", batch_size=None))
+
+
 # ---------------------------------------------------------------------------
 # Log-front-end parity (SURVEY.md S1/M1/M2/T1-analog; sources/logs.py)
 # ---------------------------------------------------------------------------

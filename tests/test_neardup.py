@@ -212,6 +212,21 @@ def test_media_stub_stages(ray_session):
     vid = media_features(rd.from_arrow(tbl), VideoFrameSampleStage, batch_size=16, concurrency=2, dim=4).take_all()
     assert all(r["n_frames_sampled"] >= 1 for r in vid)
 
+    from anomalydetection_ray.functions.multimodal import ImageResizeStage
+
+    rsz = media_features(
+        rd.from_arrow(tbl), ImageResizeStage, batch_size=16, concurrency=2, target_w=32, target_h=32
+    ).take_all()
+    assert all(r["width"] == 32 and r["height"] == 32 for r in rsz)
+    assert all(len(r["payload"]) >= 8 for r in rsz)
+    # resize composes with feature extraction (payload column preserved);
+    # one actor per pool so the two chained pools + tasks fit 4 CPUs
+    chained = media_features(
+        media_features(rd.from_arrow(tbl), ImageResizeStage, batch_size=16, concurrency=1, target_w=32, target_h=32),
+        ImageFeatureStage, batch_size=16, concurrency=1, dim=8,
+    ).take_all()
+    assert len(chained) == 64 and all(len(r["image_feat"]) == 8 for r in chained)
+
     with pytest.raises(Exception):  # NotImplementedError surfaces as UserCodeException
         media_features(rd.from_arrow(tbl), ImageFeatureStage, batch_size=16, concurrency=2, mode="real").take_all()
 
