@@ -257,3 +257,38 @@ def test_kll_merge_many_rank_bound():
     # empty-input edges
     assert np.isnan(KLL.merge_many([]).quantile(0.5))
     assert np.isnan(KLL.merge_many([KLL(256)]).quantile(0.5))
+
+
+def test_stats_partials_merge_grouping_invariance():
+    """Exact stat fields must be identical no matter how the partial rows
+    are grouped into tables before merging (the property per-shard
+    checkpointing relies on)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from anomalydetection_ray.checks.stats import (
+        PARTIAL_SCHEMA,
+        make_stats_partial_fn,
+        merge_partials_to_stats,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    tbl = pa.table(
+        {
+            "lang": pa.array(np.array(["py", "go", "rs"], dtype=object)[rng.integers(0, 3, n)]),
+            "content": pa.array([("x" * int(k)) or None for k in rng.integers(0, 50, n)]),
+        }
+    )
+    fn = make_stats_partial_fn(["content"], ["lang"])
+    # batching A: 7 uneven slices; batching B: 23 slices
+    def partials(n_slices):
+        bounds = np.linspace(0, n, n_slices + 1).astype(int)
+        return [fn(tbl.slice(bounds[i], bounds[i + 1] - bounds[i])) for i in range(n_slices)]
+
+    a = merge_partials_to_stats(partials(7))
+    b = merge_partials_to_stats(partials(23))
+    exact = ["part", "column", "count", "nulls", "null_rate", "distinct_est", "vmin", "vmax", "smin", "smax"]
+    assert a[exact].equals(b[exact])
+    assert np.allclose(a["mean"], b["mean"], rtol=1e-12)
+    assert np.allclose(a["std"], b["std"], rtol=1e-9)

@@ -261,3 +261,25 @@ def test_row_drift_scorer_actor(ray_session, clean_corpus, dirty_corpus, tmp_pat
     drifted = scored[scored["lang"] == man.drift_lang]["drift_score"].mean()
     normal = scored[scored["lang"] == "python"]["drift_score"].mean()
     assert drifted > normal + 0.15, (drifted, normal)
+
+
+def test_salted_key_counts_match_unsalted(ray_session):
+    """Skew path: the two-phase salted count must equal the plain count on
+    a Zipfian-hot key distribution (SURVEY.md §7.3)."""
+    import numpy as np
+    import ray.data as rdata
+
+    from anomalydetection_ray.checks.uniqueness import key_counts, salted_key_counts
+
+    rng = np.random.default_rng(9)
+    # one giant hot key + a long tail
+    keys = np.concatenate([
+        np.full(20_000, "hotlang"),
+        np.array([f"k{i}" for i in rng.integers(0, 500, 5_000)]),
+    ])
+    rng.shuffle(keys)
+    ds = rdata.from_items([{"k": str(k)} for k in keys])
+    plain = key_counts(ds, ["k"]).to_pandas().sort_values("k").reset_index(drop=True)
+    salted = salted_key_counts(ds, ["k"], n_salt=8).to_pandas().sort_values("k").reset_index(drop=True)
+    assert plain.equals(salted)
+    assert int(plain.loc[plain["k"] == "hotlang", "cnt"].iloc[0]) == 20_000
