@@ -49,6 +49,13 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--sharded", action="store_true", help="per-input-shard checkpoints")
     v.add_argument("--n-shards", type=int, default=None)
     v.add_argument("--no-resume", action="store_true")
+    v.add_argument(
+        "--tolerance",
+        action="append",
+        default=[],
+        metavar="METRIC[:MIN][:MAX][:COLUMN]",
+        help="stat constraint, repeatable — e.g. 'null_rate::0.01' (max) or 'p95:10:5000:content'",
+    )
 
     b = sub.add_parser("baseline", help="write the drift baseline snapshot")
     b.add_argument("corpus")
@@ -71,9 +78,22 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if args.cmd == "validate":
+            from .checks import Tolerance
             from .pipelines.validate import SuiteConfig, run_suite, run_suite_sharded
 
-            cfg = SuiteConfig(repos_dim_path=args.repos_dim)
+            tols = []
+            for spec in args.tolerance:
+                parts = (spec.split(":") + ["", "", ""])[:4]
+                metric, lo, hi, col = parts
+                tols.append(
+                    Tolerance(
+                        metric,
+                        min_value=float(lo) if lo else None,
+                        max_value=float(hi) if hi else None,
+                        column=col or None,
+                    )
+                )
+            cfg = SuiteConfig(repos_dim_path=args.repos_dim, stat_tolerances=tuple(tols))
             runner = run_suite_sharded if args.sharded else run_suite
             kwargs = {"n_shards": args.n_shards} if args.sharded else {}
             res = runner(

@@ -1,17 +1,14 @@
-"""Check protocol + shared result types.
+"""User-composable constraint surface (SURVEY.md §2.10).
 
-A Check is the engine's unit of validation work (the analog of one
-reference pipeline step, `end_to_end_prediction.py:216-535`, but
-declarative and composable). The lifecycle is:
-
-    partials = ds.map_batches(check.partial_fn, batch_format="pyarrow", batch_size=None)
-    merged   = partials.groupby(keys).map_groups(check.merge_fn)
-    verdicts = check.verdict(merged_small_table, tolerances)   # driver-side, tiny
-    violations = check.violations(ds)                          # optional second pass
-
-Partials are tiny (rows ~= blocks × partitions × columns), so the merge
-groupby shuffles kilobytes, never data rows. Verdict evaluation happens on
-the merged stat table, which is small by construction.
+The reference's extension surface is a chain of pipeline-step methods
+(`step1..step7` on `EndToEndPipeline`, `end_to_end_prediction.py:216-535`).
+Here the composable unit is a :class:`Tolerance`: a declarative bound on
+any per-(partition, column) statistic the suite's fused scan already
+computes (count, null_rate, distinct_est, vmin/vmax, mean, std,
+p50/p95/p99). ``SuiteConfig.stat_tolerances`` evaluates each one against
+the merged stats table — driver-side, tiny — and every (tolerance,
+partition, column) becomes a verdict row, so adding a constraint never
+adds a scan.
 """
 
 from __future__ import annotations
@@ -22,11 +19,17 @@ from typing import Any
 
 @dataclass
 class Tolerance:
-    """Bounds a per-partition metric must satisfy (inclusive)."""
+    """Bounds a per-partition statistic must satisfy (inclusive).
+
+    ``metric``: a column of the suite's stats table. ``column``: restrict
+    to rows of one input column (None = every column). NaN / missing
+    values FAIL the tolerance — an absent statistic is not evidence of
+    compliance."""
 
     metric: str
     min_value: float | None = None
     max_value: float | None = None
+    column: str | None = None
 
     def passes(self, value: float | None) -> bool:
         if value is None:
@@ -36,26 +39,3 @@ class Tolerance:
         if self.max_value is not None and value > self.max_value:
             return False
         return True
-
-
-@dataclass
-class CheckResult:
-    """Outcome of one check over one run.
-
-    verdicts: one dict per (partition) with at least
-      {"check", "partition", "passed", "metrics": {...}}
-    violations: optional Dataset / pyarrow.Table of exact offending rows
-      (schema: input key columns + violation_kind + detail) — the analog of
-      the reference's anomaly rows (`end_to_end_prediction.py:590-591`).
-    """
-
-    check: str
-    verdicts: list[dict] = field(default_factory=list)
-    violations: Any = None
-
-    @property
-    def passed(self) -> bool:
-        return all(v.get("passed", False) for v in self.verdicts)
-
-    def failed_partitions(self) -> list[str]:
-        return [v["partition"] for v in self.verdicts if not v.get("passed", False)]

@@ -90,6 +90,10 @@ class SuiteConfig:
         default_factory=lambda: np.concatenate([[0.0], np.logspace(0, 5, 40)])
     )
     batch_size: int | None = None  # None = whole blocks, no rebatching copies
+    # user-composable constraints (checks/base.py Tolerance): each bounds a
+    # stats-table metric per (partition, column); evaluated driver-side
+    # against the fused scan's output — adding one never adds a scan
+    stat_tolerances: tuple = ()
 
 
 @dataclass
@@ -377,6 +381,22 @@ def _finalize_suite(
                 "detail": "; ".join(issues),
             }
         )
+    for tol in cfg.stat_tolerances:
+        sub = stats_df if tol.column is None else stats_df[stats_df["column"] == tol.column]
+        for _, r in sub.iterrows():
+            raw = r.get(tol.metric)
+            val = None if raw is None or (isinstance(raw, float) and np.isnan(raw)) else float(raw)
+            ok = tol.passes(val)
+            verdict_rows.append(
+                {
+                    "check": f"tolerance:{tol.metric}",
+                    "partition": r["part"],
+                    "column": r["column"],
+                    "passed": ok,
+                    "metric": val if val is not None else np.nan,
+                    "detail": "" if ok else f"{tol.metric}={raw} outside [{tol.min_value}, {tol.max_value}]",
+                }
+            )
     part_counts = (
         stats_df[stats_df["column"] == cfg.content_col][["part", "count"]]
         .set_index("part")["count"]

@@ -139,3 +139,17 @@ def test_cli_predict_and_validate(ray_session, log_file, tmp_path):
     ])
     assert rc == 0 and ray.is_initialized()
     assert os.path.exists(tmp_path / "v" / "verdicts.parquet")
+
+
+def test_cli_validate_tolerance_flag(ray_session, tmp_path):
+    from anomalydetection_ray.__main__ import main
+    from anomalydetection_ray.corpus import generate_corpus
+
+    d = str(tmp_path / "c")
+    generate_corpus(d, n_rows=600, n_repos=30, seed=5, rows_per_file=300)
+    # absurd p95 bound must fail the suite (exit code 1)
+    rc = main([
+        "validate", f"{d}/corpus", "--out", str(tmp_path / "v"),
+        "--tolerance", "p95:0:1.0:content",
+    ])
+    assert rc == 1

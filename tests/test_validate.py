@@ -283,3 +283,25 @@ def test_salted_key_counts_match_unsalted(ray_session):
     salted = salted_key_counts(ds, ["k"], n_salt=8).to_pandas().sort_values("k").reset_index(drop=True)
     assert plain.equals(salted)
     assert int(plain.loc[plain["k"] == "hotlang", "cnt"].iloc[0]) == 20_000
+
+
+def test_stat_tolerances_compose(ray_session, clean_corpus, tmp_path):
+    """User-composable Tolerance constraints (§2.10 surface): bounds on
+    any stats-table metric become per-(partition, column) verdicts."""
+    from anomalydetection_ray.checks import Tolerance
+    from anomalydetection_ray.pipelines.validate import SuiteConfig, run_suite
+
+    d, _ = clean_corpus
+    cfg = SuiteConfig(
+        stat_tolerances=(
+            Tolerance("p95", max_value=1.0, column="content"),  # absurd: must fail
+            Tolerance("distinct_est", min_value=0.0),  # trivially passes everywhere
+        )
+    )
+    res = run_suite(f"{d}/corpus", str(tmp_path / "out"), cfg, resume=False)
+    tol_p95 = res.verdicts[res.verdicts["check"] == "tolerance:p95"]
+    assert len(tol_p95) and not tol_p95["passed"].any()  # every partition over 1 char p95
+    assert (tol_p95["column"] == "content").all()
+    tol_d = res.verdicts[res.verdicts["check"] == "tolerance:distinct_est"]
+    assert len(tol_d) and tol_d["passed"].all()
+    assert not res.passed  # tolerance failures fail the suite
