@@ -14,8 +14,10 @@ Top-level layout
                   log parsing + digit-mask template mining).
 - ``checks/``     the constraint checks (stats, uniqueness, referential,
                   drift) powering the validation suite.
-- ``pipelines/``  end-to-end pipelines (``validate.run_suite`` flagship,
-                  driver-contract query registry).
+- ``pipelines/``  end-to-end pipelines (``validate.run_suite`` flagship +
+                  per-shard ``run_suite_sharded``, ``predict`` log→anomaly
+                  chain, driver-contract query registry).
+- ``__main__``    CLI: validate / baseline / predict subcommands.
 - ``dedup/``      exact / MinHash-LSH / SimHash / n-gram-Jaccard /
                   embedding-cosine dedup and near-dup pair mining.
 - ``functions/``  batch kernels: text analysis, vectors, ANN similarity
