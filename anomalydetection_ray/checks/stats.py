@@ -288,39 +288,6 @@ def column_stats(
     return rd.from_pandas(out) if len(out) else rd.from_items([])
 
 
-def stats_partial_table(
-    ds,
-    columns: list[str],
-    partition_by: list[str] | None = None,
-    hll_p: int = 12,
-    kll_k: int = 256,
-    hist_edges: dict[str, np.ndarray] | None = None,
-    batch_size: int | None = None,
-) -> pa.Table:
-    """One PARTIAL_SCHEMA table for a dataset slice — the checkpointable
-    unit of the sharded stats pass (pipelines/validate.py): partial tables
-    from different shard groups merge associatively at any later time."""
-    from ..functions.shuffle import select_if_needed
-
-    need = list(dict.fromkeys(columns + (partition_by or [])))
-    partials = select_if_needed(ds, need).map_batches(
-        make_stats_partial_fn(columns, partition_by, hll_p, kll_k, hist_edges),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        zero_copy_batch=True,
-    ).map_batches(  # worker-side combine (see column_stats)
-        merge_partial_rows, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
-    tabs = [
-        tb
-        for tb in partials.iter_batches(batch_format="pyarrow", batch_size=None)
-        if tb.num_rows
-    ]
-    if not tabs:
-        return pa.Table.from_pydict({f.name: [] for f in PARTIAL_SCHEMA}, schema=PARTIAL_SCHEMA)
-    return pa.concat_tables(tabs).cast(PARTIAL_SCHEMA)
-
-
 def merge_partials_to_stats(partial_tables) -> pd.DataFrame:
     """Associatively merge PARTIAL_SCHEMA tables (any order, any grouping)
     into the final one-row-per-(part, column) stats frame.

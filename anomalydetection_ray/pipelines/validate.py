@@ -44,7 +44,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..checks.drift import partition_drift, write_snapshot
-from ..checks.stats import column_stats, merge_partials_to_stats, stats_partial_table
+from ..checks.stats import column_stats, merge_partials_to_stats
 from ..functions.text import sha256_hex_batch
 from ..state import RunState
 
@@ -258,15 +258,16 @@ def _fused_scan(ds, cfg: SuiteConfig, refs: _RowpassRefs, all_cols: list[str]):
            (tagged 'v', columns prefixed to avoid any name collision)]
       combine: per block, collapse stat rows to one per (part, column)
            (worker-side n-ary sketch merge), pass violation rows through
-      driver: split by tag → merge partials → (stats_df, violations)
+      driver: split by tag → (stats PARTIAL_SCHEMA table, violations)
 
-    Returns ``(stats_df, viol_all)``.
+    Returns ``(stats_partials, viol_all)`` — partials stay unmerged so the
+    sharded suite can checkpoint them associatively; callers merge via
+    ``merge_partials_to_stats``.
     """
     from ..checks.stats import (
         PARTIAL_SCHEMA,
         make_stats_partial_fn,
         merge_partial_rows,
-        merge_partials_to_stats,
     )
 
     stats_fn = make_stats_partial_fn(
@@ -312,13 +313,17 @@ def _fused_scan(ds, cfg: SuiteConfig, refs: _RowpassRefs, all_cols: list[str]):
         s_mask = pc.equal(tb["rec"], "s")
         stats_parts.append(tb.filter(s_mask).select(partial_names).cast(PARTIAL_SCHEMA))
         viol_parts.append(tb.filter(pc.invert(s_mask)).select(pref_names).rename_columns(viol_names))
-    stats_df = merge_partials_to_stats(stats_parts)
+    stats_partials = (
+        pa.concat_tables(stats_parts)
+        if stats_parts
+        else pa.Table.from_pydict({f.name: [] for f in PARTIAL_SCHEMA}, schema=PARTIAL_SCHEMA)
+    )
     viol_all = (
         pa.concat_tables(viol_parts)
         if viol_parts
         else pa.Table.from_pydict({c: [] for c in viol_names})
     )
-    return stats_df, viol_all
+    return stats_partials, viol_all
 
 
 def _verify_dup_candidates(viol_all: pa.Table, key: list[str]) -> pa.Table:
@@ -557,9 +562,10 @@ def run_suite(
     else:
         all_cols = [f.name for f in _corpus_schema(corpus_path)]
         refs = _prepare_rowpass_refs(cfg, dup_hashes)
-        stats_df, viol_all = _fused_scan(
+        stats_partials, viol_all = _fused_scan(
             corpus(num_blocks=default_num_blocks()), cfg, refs, all_cols
         )
+        stats_df = merge_partials_to_stats([stats_partials])
         viol_all = _sort_violations(_verify_dup_candidates(viol_all, key), refs.out_cols)
         pq.write_table(pa.Table.from_pandas(stats_df, preserve_index=False), stats_path)
         pq.write_table(viol_all, sc_path)
@@ -585,6 +591,45 @@ def run_suite(
 # ---------------------------------------------------------------------------
 
 
+def make_dup_recovery_fn(cfg: SuiteConfig, dup_ref, out_cols: list[str]):
+    """Phase-B map for the sharded suite: ONLY duplicate-key candidate
+    recovery (broadcast sorted-hash probe + sha256 of recovered rows) —
+    every other row check already ran inside the shard's fused phase-A
+    scan."""
+    import ray
+
+    from ..checks.uniqueness import hash_key_rows
+
+    key = list(cfg.key)
+
+    def recover(batch: pa.Table) -> pa.Table:
+        dh = ray.get(dup_ref)
+        rh = hash_key_rows(batch, key)
+        dup = np.zeros(batch.num_rows, dtype=bool)
+        if len(dh):
+            idx = np.clip(np.searchsorted(dh, rh), 0, len(dh) - 1)
+            dup = dh[idx] == rh
+        if not dup.any():
+            return pa.Table.from_pydict(
+                {**{c: pa.array([], type=batch.schema.field(c).type) for c in out_cols},
+                 "content_sha256": pa.array([], type=pa.string()),
+                 "violation_kind": pa.array([], type=pa.string())}
+            )
+        sub = sha256_hex_batch(batch.filter(pa.array(dup)), cfg.content_col, "content_sha256")
+        sub = sub.select(out_cols + ["content_sha256"])
+        return sub.append_column("violation_kind", pa.array(["duplicate_key"] * sub.num_rows))
+
+    return recover
+
+
+def _shard_has_dup_candidates(uniq_partial: pa.Table, dup_hashes: np.ndarray) -> bool:
+    if len(dup_hashes) == 0 or uniq_partial.num_rows == 0:
+        return False
+    h = uniq_partial["h"].to_numpy(zero_copy_only=False)
+    idx = np.clip(np.searchsorted(dup_hashes, h), 0, len(dup_hashes) - 1)
+    return bool((dup_hashes[idx] == h).any())
+
+
 def run_suite_sharded(
     corpus_path: str,
     out_dir: str,
@@ -594,26 +639,31 @@ def run_suite_sharded(
     n_shards: int | None = None,
 ) -> SuiteResult:
     """Same checks and identical final output as :func:`run_suite`, but
-    checkpointed per input shard instead of per check — the resume
+    checkpointed per input shard instead of per pass — the resume
     granularity for long runs over many-file corpora.
 
     Shard = contiguous group of the sorted input files (stable across
     reruns). Two phases, both sharded:
 
-      A  per shard: stats PARTIAL_SCHEMA table + uniqueness (key-hash,
-         cnt) pairs — associatively mergeable, so completed shards never
-         recompute regardless of which shards remain.
+      A  per shard: ONE fused content scan (stats PARTIAL_SCHEMA rows +
+         every dup-independent row violation: row rules, Bloom
+         referential) plus a key-columns-only uniqueness partial — all
+         associatively mergeable, so completed shards never recompute
+         regardless of which shards remain.
       merge (driver, kilobytes): stats partials → stats table; hash
          partials → global duplicate-hash set.
-      B  per shard: the combined row pass probing the broadcast global
-         dup-hash set → per-shard violation rows.
+      B  duplicate-row recovery ONLY, and only over shards whose
+         uniqueness partial intersects the global dup-hash set — with
+         rare duplicates most shards never re-read content (each shard's
+         partial carries exactly the hash set needed for the pruning
+         decision).
 
     Phase B checkpoints are trusted only when EVERY phase A shard was
-    reused: the global dup set is an input to every phase B shard, so any
-    recomputed partial invalidates downstream shard outputs (same guard as
+    reused: the global dup set is an input to phase B, so any recomputed
+    partial invalidates downstream shard outputs (same guard as
     run_suite's ``uniq_reused``). Exact dup verification and deterministic
     sorting happen once, on the concatenated result, so sharded and
-    per-check runs are byte-identical.
+    per-pass runs are byte-identical.
     """
     from .. import tune_shuffle_to_cluster
     from .queries import as_table
@@ -623,7 +673,6 @@ def run_suite_sharded(
     cfg = cfg or SuiteConfig()
     state = RunState(out_dir)
     key = list(cfg.key)
-    part = cfg.partition_by
     files = _corpus_files(corpus_path)
     if n_shards is None:
         n_shards = min(len(files), 16)
@@ -632,66 +681,71 @@ def run_suite_sharded(
     shards = [files[bounds[i]:bounds[i + 1]] for i in range(n_shards)]
     all_cols = [f.name for f in _corpus_schema(corpus_path)]
 
-    # ---------------- phase A: per-shard partials ----------------
+    # ---------------- phase A: per-shard fused scan + key partials ------
+    empty_refs = _prepare_rowpass_refs(cfg, np.array([], dtype=np.int64))
     partials_reused = True
     stats_parts: list[pa.Table] = []
     uniq_parts: list[pa.Table] = []
+    local_viols: list[pa.Table] = []
     for i, shard_files in enumerate(shards):
         unit = f"shard-{i:04d}-partials"
         udir = state.unit_dir(unit)
         sp = os.path.join(udir, "stats_partials.parquet")
         up = os.path.join(udir, "uniq_partials.parquet")
+        vp = os.path.join(udir, "local_violations.parquet")
         if resume and state.is_done(unit):
             stats_parts.append(pq.read_table(sp))
             uniq_parts.append(pq.read_table(up))
+            local_viols.append(pq.read_table(vp))
             continue
         partials_reused = False
-        st = stats_partial_table(
-            rd.read_parquet(shard_files),
-            all_cols,
-            partition_by=[part],
-            hll_p=cfg.hll_p,
-            kll_k=cfg.kll_k,
-            hist_edges={cfg.content_col: cfg.hist_edges},
-            batch_size=cfg.batch_size,
-        )
+        st, vt = _fused_scan(rd.read_parquet(shard_files), cfg, empty_refs, all_cols)
+        vt = _sort_violations(vt, empty_refs.out_cols)  # stable checkpoint bytes
         ut = uniqueness_partial_table(rd.read_parquet(shard_files, columns=key), key)
         pq.write_table(st, sp)
         pq.write_table(ut, up)
+        pq.write_table(vt, vp)
         content_rows = int(
             pc.sum(st.filter(pc.equal(st["column"], cfg.content_col))["count"]).as_py() or 0
         )
-        state.mark_done(unit, {"files": len(shard_files), "rows": content_rows})
+        state.mark_done(unit, {"files": len(shard_files), "rows": content_rows, "local_violations": vt.num_rows})
         stats_parts.append(st)
         uniq_parts.append(ut)
+        local_viols.append(vt)
 
     stats_df = merge_partials_to_stats(stats_parts)
     stats_path = os.path.join(state.unit_dir("stats"), "stats.parquet")
     pq.write_table(pa.Table.from_pandas(stats_df, preserve_index=False), stats_path)
     dup_hashes = duplicate_hashes_from_partials(uniq_parts)
 
-    # ---------------- phase B: per-shard row pass ----------------
-    refs = _prepare_rowpass_refs(cfg, dup_hashes)
-    fn = make_row_violations_fn(cfg, refs)
-    viol_tabs: list[pa.Table] = []
-    for i, shard_files in enumerate(shards):
-        unit = f"shard-{i:04d}-rowpass"
-        vp = os.path.join(state.unit_dir(unit), "violations.parquet")
-        if resume and partials_reused and state.is_done(unit):
-            viol_tabs.append(pq.read_table(vp))
-            continue
-        vt = as_table(
-            rd.read_parquet(shard_files, columns=refs.need).map_batches(
-                fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    # ---------------- phase B: pruned duplicate-row recovery ------------
+    viol_tabs: list[pa.Table] = list(local_viols)
+    if len(dup_hashes):
+        import ray
+
+        dup_ref = ray.put(dup_hashes)
+        fn = make_dup_recovery_fn(cfg, dup_ref, empty_refs.out_cols)
+        need = list(dict.fromkeys(key + [cfg.partition_by, cfg.content_col]))
+        for i, shard_files in enumerate(shards):
+            if not _shard_has_dup_candidates(uniq_parts[i], dup_hashes):
+                continue
+            unit = f"shard-{i:04d}-duprec"
+            vp = os.path.join(state.unit_dir(unit), "violations.parquet")
+            if resume and partials_reused and state.is_done(unit):
+                viol_tabs.append(pq.read_table(vp))
+                continue
+            vt = as_table(
+                rd.read_parquet(shard_files, columns=need).map_batches(
+                    fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+                )
             )
-        )
-        vt = _sort_violations(vt, refs.out_cols)  # stable checkpoint bytes
-        pq.write_table(vt, vp)
-        state.mark_done(unit, {"violations": vt.num_rows})
-        viol_tabs.append(vt)
+            vt = _sort_violations(vt, empty_refs.out_cols)
+            pq.write_table(vt, vp)
+            state.mark_done(unit, {"dup_candidate_rows": vt.num_rows})
+            viol_tabs.append(vt)
 
     viol_all = pa.concat_tables(viol_tabs) if viol_tabs else pa.table({})
-    viol_all = _sort_violations(_verify_dup_candidates(viol_all, key), refs.out_cols)
+    viol_all = _sort_violations(_verify_dup_candidates(viol_all, key), empty_refs.out_cols)
     pq.write_table(viol_all, os.path.join(state.unit_dir("rowpass"), "violations.parquet"))
     return _finalize_suite(state, out_dir, cfg, stats_df, viol_all, baseline_snapshot)
 

@@ -223,21 +223,25 @@ def test_sharded_resume_skips_done_shards(ray_session, dirty_corpus, tmp_path):
         os.path.join(out, f"shard-{i:04d}-partials", "stats_partials.parquet") for i in range(4)
     ]
     t_partials = [os.path.getmtime(p) for p in partial_files]
+    # phase B (dup recovery) units exist only for shards holding dup-hash
+    # candidates; the planted duplicates guarantee at least one
+    duprec = sorted(d2 for d2 in os.listdir(out) if d2.endswith("-duprec"))
+    assert duprec, "expected at least one dup-recovery shard unit"
 
-    # crash after phase A + 2 of 4 rowpass shards: wipe two rowpass units
-    shutil.rmtree(os.path.join(out, "shard-0002-rowpass"))
-    shutil.rmtree(os.path.join(out, "shard-0003-rowpass"))
+    # crash after phase A: wipe every dup-recovery unit
+    for u in duprec:
+        shutil.rmtree(os.path.join(out, u))
     res2 = run_suite_sharded(f"{d}/corpus", out, cfg, n_shards=4)
     assert [os.path.getmtime(p) for p in partial_files] == t_partials  # phase A reused
-    assert state.is_done("shard-0002-rowpass") and state.is_done("shard-0003-rowpass")
+    assert all(state.is_done(u) for u in duprec)  # dup recovery redone
     assert res2.verdicts.equals(res1.verdicts)
 
     # a recomputed phase A shard invalidates EVERY phase B checkpoint
-    rp0 = os.path.join(out, "shard-0000-rowpass", "violations.parquet")
+    rp0 = os.path.join(out, duprec[0], "violations.parquet")
     t_rp0 = os.path.getmtime(rp0)
     shutil.rmtree(os.path.join(out, "shard-0001-partials"))
     res3 = run_suite_sharded(f"{d}/corpus", out, cfg, n_shards=4)
-    assert os.path.getmtime(rp0) > t_rp0  # rowpass shard 0 recomputed
+    assert os.path.getmtime(rp0) > t_rp0  # dup recovery recomputed
     assert res3.verdicts.equals(res1.verdicts)
 
 
