@@ -309,3 +309,17 @@ def test_stat_tolerances_compose(ray_session, clean_corpus, tmp_path):
     tol_d = res.verdicts[res.verdicts["check"] == "tolerance:distinct_est"]
     assert len(tol_d) and tol_d["passed"].all()
     assert not res.passed  # tolerance failures fail the suite
+
+
+def test_sharded_single_file_corpus(ray_session, tmp_path):
+    """n_shards clamps to the file count; a single-file corpus runs as one
+    shard and still produces the full verdict set."""
+    from anomalydetection_ray.pipelines.validate import SuiteConfig, run_suite_sharded
+    from anomalydetection_ray.corpus import generate_corpus
+
+    d = str(tmp_path / "c")
+    generate_corpus(d, n_rows=500, n_repos=30, seed=11, rows_per_file=500)  # one file
+    cfg = SuiteConfig(repos_dim_path=f"{d}/repos.parquet")
+    res = run_suite_sharded(f"{d}/corpus", str(tmp_path / "out"), cfg, n_shards=8)
+    assert res.passed
+    assert {"stats", "min_rows", "rowrules", "uniqueness", "referential"} <= set(res.verdicts["check"].str.split(":").str[0])
