@@ -776,31 +776,28 @@ def verify_violation_invariant(
     if violations.num_rows == 0 or "content_sha256" not in violations.column_names:
         return True
     key = list(cfg.key)
-    want = {
-        tuple(r[k] for k in key): r["content_sha256"]
-        for r in violations.to_pylist()
-    }
+    sep = "\x1f"
+    want: dict[str, str] = {}
+    for r in violations.to_pylist():  # violations are small by constraint
+        want[sep.join(str(r[k]) for k in key)] = r["content_sha256"]
     ds = rd.read_parquet(corpus_path, columns=key + [cfg.content_col])
     import ray
 
-    ref = ray.put(set(want.keys()))
+    ref = ray.put(pa.array(sorted(want.keys())))
 
     def pick(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        cols = [np.asarray(pc.cast(batch[k], pa.string())) for k in key]
-        mask = np.fromiter(
-            (tuple(c[i] for c in cols) in keys for i in range(batch.num_rows)),
-            dtype=bool,
-            count=batch.num_rows,
-        )
-        return sha256_hex_batch(batch.filter(pa.array(mask)), cfg.content_col, "content_sha256")
+        value_set = ray.get(ref)
+        parts = [pc.fill_null(pc.cast(batch[k], pa.string()), "None") for k in key]
+        joined = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, sep)
+        mask = pc.is_in(joined, value_set=value_set)
+        return sha256_hex_batch(batch.filter(mask), cfg.content_col, "content_sha256")
 
     from .queries import as_table
 
     got_tbl = as_table(ds.map_batches(pick, batch_format="pyarrow", batch_size=None, zero_copy_batch=True))
-    got: dict[tuple, set] = {}
+    got: dict[str, set] = {}
     for r in got_tbl.to_pylist():
-        got.setdefault(tuple(r[k] for k in key), set()).add(r["content_sha256"])
+        got.setdefault(sep.join(str(r[k]) for k in key), set()).add(r["content_sha256"])
     # duplicate keys may map to >1 content hash; the recorded hash must be
     # among the input hashes for that key
     return all(want[k] in got.get(k, set()) for k in want)
