@@ -345,11 +345,18 @@ def _verify_dup_candidates(viol_all: pa.Table, key: list[str]) -> pa.Table:
 
 
 def _sort_violations(viol_all: pa.Table, out_cols: list[str]) -> pa.Table:
-    """Deterministic byte-stable order regardless of block arrival."""
+    """Deterministic byte-stable order regardless of block arrival.
+
+    content_sha256 is part of the key: the two copies of a duplicated key
+    tie on every other column, and without it their relative order would
+    follow block arrival — nondeterministic across runs and parallelism
+    levels."""
     if viol_all.num_rows == 0:
         return viol_all
     return viol_all.sort_by(
-        [("violation_kind", "ascending")] + [(c, "ascending") for c in out_cols]
+        [("violation_kind", "ascending")]
+        + [(c, "ascending") for c in out_cols]
+        + [("content_sha256", "ascending")]
     )
 
 
