@@ -326,6 +326,16 @@ def _fused_scan(ds, cfg: SuiteConfig, refs: _RowpassRefs, all_cols: list[str]):
     return stats_partials, viol_all
 
 
+def _uniq_ckpt_fmt() -> str:
+    """Format tag for checkpoints embedding polars row hashes: the hash
+    function is not guaranteed stable across polars versions, so a resume
+    under a different build must recompute rather than mix hash spaces
+    (where true duplicates would be silently missed)."""
+    import polars as pl
+
+    return f"uniq-hashes/v2/polars-{pl.__version__}"
+
+
 def _verify_dup_candidates(viol_all: pa.Table, key: list[str]) -> pa.Table:
     """Exact dup verification: candidate rows carry their REAL keys, so a
     per-key recount here drops 64-bit hash-collision artifacts — the
@@ -338,7 +348,10 @@ def _verify_dup_candidates(viol_all: pa.Table, key: list[str]) -> pa.Table:
     if dup_rows.num_rows == 0:
         return viol_all
     keydf = dup_rows.select(list(key)).to_pandas()
-    sizes = keydf.groupby(list(key))[key[0]].transform("size")
+    # dropna=False: a duplicate whose key tuple contains a null must still
+    # form a group and be recounted — the default dropna=True gives those
+    # rows size=NaN and silently drops genuine violations.
+    sizes = keydf.groupby(list(key), dropna=False)[key[0]].transform("size")
     keep = pa.array((sizes >= 2).to_numpy())
     verified = dup_rows.filter(keep)
     return pa.concat_tables([viol_all.filter(pc.invert(dup_mask)), verified])
@@ -397,7 +410,23 @@ def _finalize_suite(
         sub = stats_df if tol.column is None else stats_df[stats_df["column"] == tol.column]
         for _, r in sub.iterrows():
             raw = r.get(tol.metric)
-            val = None if raw is None or (isinstance(raw, float) and np.isnan(raw)) else float(raw)
+            # A tolerance may name a non-numeric stats column (smin/smax/
+            # dtype — freely specifiable via the CLI); emit a failed verdict
+            # rather than crashing the suite after the expensive scans.
+            try:
+                val = None if raw is None or (isinstance(raw, float) and np.isnan(raw)) else float(raw)
+            except (TypeError, ValueError):
+                verdict_rows.append(
+                    {
+                        "check": f"tolerance:{tol.metric}",
+                        "partition": r["part"],
+                        "column": r["column"],
+                        "passed": False,
+                        "metric": np.nan,
+                        "detail": f"{tol.metric}={raw!r} is not numeric; tolerance not evaluable",
+                    }
+                )
+                continue
             ok = tol.passes(val)
             verdict_rows.append(
                 {
@@ -543,7 +572,12 @@ def run_suite(
     from ..checks.uniqueness import duplicate_key_hashes
 
     uqk_path = os.path.join(state.unit_dir("uniqueness"), "dup_key_hashes.parquet")
-    uniq_reused = resume and state.is_done("uniqueness")
+    # the checkpoint embeds polars row hashes (not guaranteed stable
+    # across polars builds) — the fmt tag invalidates a checkpoint written
+    # under a different layout or hash environment instead of misreading it
+    uniq_reused = resume and state.is_done_compat(
+        "uniqueness", files=("dup_key_hashes.parquet",), fmt=_uniq_ckpt_fmt()
+    )
     if uniq_reused:
         dup_hash_tbl = pq.read_table(uqk_path)
     else:
@@ -552,7 +586,9 @@ def run_suite(
         # mini-objects (measured 2× slower than the coalesced read)
         dup_hash_tbl = as_table(duplicate_key_hashes(corpus(key, num_blocks=default_num_blocks()), key))
         pq.write_table(dup_hash_tbl, uqk_path)
-        state.mark_done("uniqueness", {"duplicate_key_hashes": dup_hash_tbl.num_rows})
+        state.mark_done(
+            "uniqueness", {"duplicate_key_hashes": dup_hash_tbl.num_rows}, fmt=_uniq_ckpt_fmt()
+        )
 
     _mark("uniqueness")
     dup_hashes = np.sort(dup_hash_tbl["h"].to_numpy(zero_copy_only=False))
@@ -563,7 +599,9 @@ def run_suite(
     # the earlier separate stats/rowpass scans each paid the full read).
     stats_path = os.path.join(state.unit_dir("scan"), "stats.parquet")
     sc_path = os.path.join(state.unit_dir("scan"), "violations.parquet")
-    if resume and uniq_reused and state.is_done("scan"):
+    if resume and uniq_reused and state.is_done_compat(
+        "scan", files=("stats.parquet", "violations.parquet")
+    ):
         stats_df = pq.read_table(stats_path).to_pandas()
         viol_all = pq.read_table(sc_path)
     else:
@@ -700,7 +738,11 @@ def run_suite_sharded(
         sp = os.path.join(udir, "stats_partials.parquet")
         up = os.path.join(udir, "uniq_partials.parquet")
         vp = os.path.join(udir, "local_violations.parquet")
-        if resume and state.is_done(unit):
+        if resume and state.is_done_compat(
+            unit,
+            files=("stats_partials.parquet", "uniq_partials.parquet", "local_violations.parquet"),
+            fmt=_uniq_ckpt_fmt(),
+        ):
             stats_parts.append(pq.read_table(sp))
             uniq_parts.append(pq.read_table(up))
             local_viols.append(pq.read_table(vp))
@@ -715,7 +757,11 @@ def run_suite_sharded(
         content_rows = int(
             pc.sum(st.filter(pc.equal(st["column"], cfg.content_col))["count"]).as_py() or 0
         )
-        state.mark_done(unit, {"files": len(shard_files), "rows": content_rows, "local_violations": vt.num_rows})
+        state.mark_done(
+            unit,
+            {"files": len(shard_files), "rows": content_rows, "local_violations": vt.num_rows},
+            fmt=_uniq_ckpt_fmt(),
+        )
         stats_parts.append(st)
         uniq_parts.append(ut)
         local_viols.append(vt)
@@ -738,7 +784,9 @@ def run_suite_sharded(
                 continue
             unit = f"shard-{i:04d}-duprec"
             vp = os.path.join(state.unit_dir(unit), "violations.parquet")
-            if resume and partials_reused and state.is_done(unit):
+            if resume and partials_reused and state.is_done_compat(
+                unit, files=("violations.parquet",), fmt=_uniq_ckpt_fmt()
+            ):
                 viol_tabs.append(pq.read_table(vp))
                 continue
             vt = as_table(
@@ -748,7 +796,7 @@ def run_suite_sharded(
             )
             vt = _sort_violations(vt, empty_refs.out_cols)
             pq.write_table(vt, vp)
-            state.mark_done(unit, {"dup_candidate_rows": vt.num_rows})
+            state.mark_done(unit, {"dup_candidate_rows": vt.num_rows}, fmt=_uniq_ckpt_fmt())
             viol_tabs.append(vt)
 
     viol_all = pa.concat_tables(viol_tabs) if viol_tabs else pa.table({})

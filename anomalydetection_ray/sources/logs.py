@@ -36,8 +36,14 @@ def read_log_lines(path: str, max_lines: int | None = None):
 
 
 def parse_label_batch(batch: pa.Table, line_col: str = "text") -> pa.Table:
-    """line -> (label:int32, log:string); drops payload-less lines."""
-    parts = pc.split_pattern(pc.coalesce(batch[line_col], ""), " ", max_splits=1)
+    """line -> (label:int32, log:string); drops payload-less lines.
+
+    Lines are whitespace-stripped BEFORE the split (reference parity:
+    ``models/drain.py:17`` does ``line.strip()`` then ``split(" ", 1)``) —
+    without it a leading-space line yields an empty token 0 and gets
+    mislabeled anomalous with the marker left inside the payload."""
+    stripped = pc.utf8_trim_whitespace(pc.coalesce(batch[line_col], ""))
+    parts = pc.split_pattern(stripped, " ", max_splits=1)
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
     has_payload = pc.equal(pc.list_value_length(parts), 2)

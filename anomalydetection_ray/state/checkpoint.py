@@ -28,16 +28,33 @@ class RunState:
     def is_done(self, unit: str) -> bool:
         return os.path.exists(self._marker(unit))
 
+    def is_done_compat(self, unit: str, files: tuple[str, ...] = (), fmt: str | None = None) -> bool:
+        """Resume-safe done check: the marker must exist, its recorded
+        ``format`` tag must match ``fmt`` (layout/version — e.g. the
+        polars build whose row hashes the payload embeds), and every
+        expected payload file must be present. A marker from an older
+        layout or a different hash environment triggers recompute instead
+        of a FileNotFoundError / silently-misread checkpoint."""
+        meta = self.done_metrics(unit)
+        if meta is None:
+            return False
+        if fmt is not None and meta.get("format") != fmt:
+            return False
+        d = os.path.join(self.out_dir, unit.replace("/", "_"))
+        return all(os.path.exists(os.path.join(d, f)) for f in files)
+
     def unit_dir(self, unit: str) -> str:
         d = os.path.join(self.out_dir, unit.replace("/", "_"))
         os.makedirs(d, exist_ok=True)
         return d
 
-    def mark_done(self, unit: str, metrics: dict | None = None) -> None:
+    def mark_done(self, unit: str, metrics: dict | None = None, fmt: str | None = None) -> None:
         """Atomic: write to tmp then rename, so a crash never leaves a
         half-written marker that a resume would trust."""
         d = self.unit_dir(unit)
         payload = {"unit": unit, "completed_at": time.time(), "metrics": metrics or {}}
+        if fmt is not None:
+            payload["format"] = fmt
         tmp = os.path.join(d, "_DONE.tmp")
         with open(tmp, "w") as f:
             json.dump(payload, f)

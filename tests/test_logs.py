@@ -66,3 +66,12 @@ def test_mask_template():
     tpl = out["template"].to_pylist()
     assert tpl[0] == tpl[1] == "core file <*> at <*>x<*>a"
     assert tpl[2] == "no digits"
+
+
+def test_parse_label_strips_leading_whitespace():
+    """Reference parity (models/drain.py:17 strips before splitting): a
+    leading-space '-' line is NORMAL, not an empty-token-0 anomaly."""
+    batch = pa.table({"text": ["   - indented normal line", "\t- tabbed normal", "  ALARM bad"]})
+    out = parse_label_batch(batch)
+    assert out["label"].to_pylist() == [0, 0, 1]
+    assert out["log"].to_pylist() == ["indented normal line", "tabbed normal", "bad"]

@@ -323,3 +323,78 @@ def test_sharded_single_file_corpus(ray_session, tmp_path):
     res = run_suite_sharded(f"{d}/corpus", str(tmp_path / "out"), cfg, n_shards=8)
     assert res.passed
     assert {"stats", "min_rows", "rowrules", "uniqueness", "referential"} <= set(res.verdicts["check"].str.split(":").str[0])
+
+
+def test_null_key_duplicates_reported(ray_session, tmp_path):
+    """A duplicate whose key tuple contains a null must still be reported:
+    the exact-verify recount groups with dropna=False (a default-dropna
+    groupby gives null-key rows size=NaN and silently drops them)."""
+    import pyarrow as pa
+    from anomalydetection_ray.pipelines.validate import SuiteConfig, run_suite
+
+    d = tmp_path / "c"
+    d.mkdir()
+    t = pa.table(
+        {
+            "repo": ["r1", "r1", "r2", "r3", "r4", "r5"],
+            "path": ["a.py", "a.py", "b.py", "c.py", "d.py", "e.py"],
+            "commit": [None, None, "c2", "c3", "c4", "c5"],
+            "lang": ["python"] * 6,
+            "content": [f"content {i}" for i in range(6)],
+        }
+    )
+    pq.write_table(t, str(d / "part-00000.parquet"))
+    cfg = SuiteConfig(max_null_rate=1.0)  # nulls in commit are allowed; the dup is the defect
+    res = run_suite(str(d), str(tmp_path / "out"), cfg, resume=False)
+    uq = res.violations["uniqueness"].to_pandas()
+    assert len(uq) == 2
+    assert (uq["repo"] == "r1").all() and uq["commit"].isna().all()
+
+
+def test_nonnumeric_tolerance_fails_gracefully(ray_session, clean_corpus, tmp_path):
+    """A tolerance naming a non-numeric stats column (smin/smax/dtype are
+    user-specifiable via the CLI) must produce failed verdicts, not crash
+    the suite after the scans."""
+    from anomalydetection_ray.checks import Tolerance
+    from anomalydetection_ray.pipelines.validate import SuiteConfig, run_suite
+
+    d, _ = clean_corpus
+    cfg = SuiteConfig(stat_tolerances=(Tolerance("smin", min_value=0.0),))
+    res = run_suite(f"{d}/corpus", str(tmp_path / "out"), cfg, resume=False)
+    tol = res.verdicts[res.verdicts["check"] == "tolerance:smin"]
+    assert len(tol)
+    bad = tol[~tol["passed"]]
+    assert len(bad) and bad["detail"].str.contains("not numeric").all()
+    assert not res.passed
+
+
+def test_resume_recomputes_on_missing_or_stale_checkpoint(ray_session, clean_corpus, tmp_path):
+    """A _DONE marker whose payload file is missing, or whose format tag
+    differs (old layout / different polars hash build), triggers recompute
+    instead of FileNotFoundError or a misread checkpoint."""
+    import json
+
+    from anomalydetection_ray.pipelines.validate import SuiteConfig, run_suite
+
+    d, _ = clean_corpus
+    out = str(tmp_path / "out")
+    cfg = SuiteConfig(repos_dim_path=f"{d}/repos.parquet")
+    first = run_suite(f"{d}/corpus", out, cfg)
+
+    # payload file removed -> recompute cleanly
+    os.remove(os.path.join(out, "uniqueness", "dup_key_hashes.parquet"))
+    again = run_suite(f"{d}/corpus", out, cfg, resume=True)
+    assert again.passed == first.passed
+    assert os.path.exists(os.path.join(out, "uniqueness", "dup_key_hashes.parquet"))
+
+    # stale format tag (e.g. checkpoint from another polars build) -> recompute
+    marker = os.path.join(out, "uniqueness", "_DONE")
+    with open(marker) as f:
+        payload = json.load(f)
+    payload["format"] = "uniq-hashes/v1/polars-0.0.0"
+    with open(marker, "w") as f:
+        json.dump(payload, f)
+    third = run_suite(f"{d}/corpus", out, cfg, resume=True)
+    assert third.passed == first.passed
+    with open(marker) as f:
+        assert json.load(f)["format"] != "uniq-hashes/v1/polars-0.0.0"
