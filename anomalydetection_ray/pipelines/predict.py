@@ -92,6 +92,12 @@ class PredictConfig:
     min_sample_rows: int = 1000  # reference floor, end_to_end_prediction.py:271
     seed: int = 42
     min_template_count: int = 5  # strict >, end_to_end_prediction.py:677
+    # "mask": digit-run masking (order-independent Drain stand-in).
+    # "mined": the sharded evolving miner (sources/miner.py) — Drain's
+    # (token-count, first-token) grouping with positionwise-agreement
+    # merge; structurally closest to the reference's mined templates.
+    # Costs one extra pass over the lazy parse stage (mine, then assign).
+    template_mode: str = "mask"
     feature_dim: int = 64
     n_buckets: int = 1024
     threshold_percentile: float = 95.0
@@ -151,6 +157,24 @@ def end_to_end_predict(
         else:
             ds = log_input.limit(cfg.max_lines) if cfg.max_lines else log_input
         ds = ds.map_batches(_parse_stage, batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True)
+        if cfg.template_mode == "mined":
+            # sharded evolving miner: mine group partials (small-bounded),
+            # broadcast them once, overwrite the mask template per line
+            import ray
+
+            from ..sources.miner import assign_template_batch, mine_group_partials
+
+            partial_ref = ray.put(mine_group_partials(ds, content_col="Content"))
+
+            def reassign(batch: pa.Table) -> pa.Table:
+                return assign_template_batch(
+                    batch.drop_columns(["template"]),
+                    ray.get(partial_ref),
+                    content_col="Content",
+                    out_col="template",
+                )
+
+            ds = ds.map_batches(reassign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         # frequency filter inlined (vs functions.relational.frequency_filter)
         # so its per-template counts ALSO give the post-filter row count —
         # the sample-floor check below would otherwise cost a third full

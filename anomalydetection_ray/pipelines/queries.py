@@ -927,6 +927,40 @@ def log_template_counts(sf_dir: str):
     return key_counts(tpl, ["template"])
 
 
+@register(
+    "mined_template_counts",
+    r"""
+    WITH toks AS (
+      SELECT regexp_extract_all(regexp_replace(COALESCE(text, ''), '[0-9]+', '<*>', 'g'), '\S+') AS t
+      FROM documents),
+    grp AS (
+      SELECT t, len(t) AS n, CASE WHEN len(t) = 0 THEN '' ELSE t[1] END AS first FROM toks),
+    pos AS (
+      SELECT n, first, unnest(t) AS tok, unnest(range(1, n + 1)) AS pos FROM grp WHERE n > 0),
+    ptoks AS (
+      SELECT n, first, pos,
+             CASE WHEN COUNT(DISTINCT tok) = 1 THEN MIN(tok) ELSE '<*>' END AS ptok
+      FROM pos GROUP BY n, first, pos),
+    tmpl AS (
+      SELECT n, first, string_agg(ptok, ' ' ORDER BY pos) AS template FROM ptoks GROUP BY n, first),
+    cnts AS (SELECT n, first, COUNT(*) AS c FROM grp GROUP BY n, first)
+    SELECT COALESCE(t.template, '') AS template, CAST(SUM(c.c) AS BIGINT) AS cnt
+    FROM cnts c LEFT JOIN tmpl t ON t.n = c.n AND t.first = c.first
+    GROUP BY COALESCE(t.template, '')
+    """,
+)
+def mined_template_counts(sf_dir: str):
+    """Sharded evolving template miner (T1, ``models/drain.py:48-67``
+    analog): Drain's (token-count, first-token) grouping heuristic with an
+    order-independent positionwise-agreement merge — a semilattice, so the
+    deterministic rule is SQL-expressible and shard boundaries never change
+    the mined templates (sources/miner.py)."""
+    from ..sources.miner import mine_templates
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return mine_templates(docs)
+
+
 @register("end_to_end_log_predict", None)
 def end_to_end_log_predict(sf_dir: str):
     """The reference's flagship chain end-to-end (``run_pipeline``,

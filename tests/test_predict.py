@@ -153,3 +153,24 @@ def test_cli_validate_tolerance_flag(ray_session, tmp_path):
         "--tolerance", "p95:0:1.0:content",
     ])
     assert rc == 1
+
+
+def test_predict_mined_template_mode(ray_session, log_file, tmp_path):
+    """template_mode="mined" routes step 1 through the sharded evolving
+    miner: per-line templates are the group-merged ones, and the pipeline
+    still separates classes."""
+    from anomalydetection_ray.pipelines.predict import PredictConfig, end_to_end_predict
+
+    path, info = log_file
+    res = end_to_end_predict(
+        path, str(tmp_path / "out"), PredictConfig(template_mode="mined"), resume=False
+    )
+    assert res.n_rows == info["n"]
+    final = pq.read_table(res.final_path).to_pandas()
+    tpls = set(final["template"])
+    # the normal generator's varying count digit is wildcarded by the
+    # miner exactly as by the mask; the anomalous tail mines to one
+    # template with wildcards at the varying numeric positions
+    assert any("instruction cache parity error corrected count <*>" in t for t in tpls)
+    mined_anom = final.loc[final["label"] == 1, "template"].unique()
+    assert len(mined_anom) == 1 and "<*>" in mined_anom[0]
