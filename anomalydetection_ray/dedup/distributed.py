@@ -1,0 +1,258 @@
+"""Distributed primitives for the near-dup family: partitioned pair
+verification, min-label-propagation clustering, and a shuffle anti-join.
+
+These remove the one scale-killer the driver-side near-dup path has
+(VERDICT round 1): at adversarial duplicate rates the candidate edge set
+and the gathered candidate payloads (texts / vectors) no longer fit on
+the driver. Here nothing is ever gathered:
+
+- :func:`pair_payload_join` resolves candidate ``(a, b)`` pairs against
+  their rows' payloads with TWO reduce-side hash joins (union the tagged
+  sides → hash-partition by key → vectorized polars join per block), and
+  runs the caller's exact verification inside the second join's block —
+  each payload crosses the wire at most twice, pairs at most twice, and
+  the driver sees only the verified edge stream.
+- :func:`label_propagate_min` clusters the verified edge graph by
+  iterated min-label exchange (labels only ever decrease, so the global
+  label sum is a monotone convergence witness — one cheap aggregate per
+  round instead of a changed-row join). Equivalent to union-find's
+  "survivor = cluster min" semantics at any scale.
+- :func:`shuffle_anti_join` drops a distributed id set from a dataset by
+  co-partitioning both sides — the distributed analog of
+  ``broadcast_value_filter(..., keep=False)``.
+
+The driver paths in ``dedup/neardup.py`` remain the fast plan for the
+normal regime (dup rate ≪ 100%: a broadcast id filter + one driver
+union-find beats three shuffles); callers switch on a cost threshold
+(``driver_max_edges``), the same plan-choice pattern as
+``checks/uniqueness.duplicate_key_hashes``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from ..functions.shuffle import local_group_map, select_if_needed
+
+_SIDE = "__side"
+_KEY = "__k"
+
+
+def _norm(batch: pa.Table, schema: pa.Schema, values: dict) -> pa.Table:
+    """Build a block in the shared union schema; ``values`` maps column →
+    array; every other column is nulls of the right type."""
+    n = len(next(iter(values.values())))
+    cols = []
+    for f in schema:
+        if f.name in values:
+            arr = values[f.name]
+            cols.append(arr if isinstance(arr, (pa.Array, pa.ChunkedArray)) else pa.array(arr, type=f.type))
+        else:
+            cols.append(pa.nulls(n, type=f.type))
+    return pa.Table.from_arrays(cols, schema=schema)
+
+
+def pair_payload_join(
+    payload_ds,
+    pairs_ds,
+    id_col: str,
+    payload_col: str,
+    verify_block,
+    payload_type: pa.DataType | None = None,
+    num_blocks: int | None = None,
+):
+    """Candidate ``(a, b)`` pairs + per-id payloads → verified edges, fully
+    distributed.
+
+    ``verify_block(a: np.ndarray, pa_payload: list, pb_payload: list) ->
+    np.ndarray[bool]`` runs inside the second join's block over the
+    co-located (a, b, payload_a, payload_b) rows and returns the keep
+    mask. Pairs are globally deduplicated in the first join (all pairs
+    sharing ``a`` are co-located there). Returns a Dataset of (a, b)
+    edges with a < b ordering preserved from the input pairs.
+
+    Scale: the full payload column shuffles twice (by a-key, then b-key).
+    That is the floor for exact verification when the candidate set does
+    not fit a broadcast — and precisely the regime this path is chosen
+    for; below it, the broadcast gather in ``dedup/neardup.py`` is
+    cheaper and callers use that instead.
+    """
+    if payload_type is None:
+        payload_type = payload_ds.schema().base_schema.field(payload_col).type
+    s1 = pa.schema(
+        [(_KEY, pa.int64()), ("a", pa.int64()), ("b", pa.int64()), ("__p", payload_type), (_SIDE, pa.int8())]
+    )
+    s2 = pa.schema(
+        [(_KEY, pa.int64()), ("a", pa.int64()), ("b", pa.int64()), ("__pa", payload_type), ("__p", payload_type), (_SIDE, pa.int8())]
+    )
+
+    def pairs_to_s1(tb: pa.Table) -> pa.Table:
+        return _norm(tb, s1, {_KEY: tb["a"], "a": tb["a"], "b": tb["b"], _SIDE: pa.nulls(tb.num_rows, pa.int8()).fill_null(0)})
+
+    def payload_to_s1(tb: pa.Table) -> pa.Table:
+        return _norm(tb, s1, {_KEY: tb[id_col], "__p": tb[payload_col], _SIDE: pa.nulls(tb.num_rows, pa.int8()).fill_null(1)})
+
+    def join1(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({c: [] for c in ["a", "b", "__pa"]}, schema=pa.schema([("a", pa.int64()), ("b", pa.int64()), ("__pa", payload_type)]))
+        df = pl.from_arrow(tb)
+        p = df.filter(pl.col(_SIDE) == 0).select([_KEY, "a", "b"]).unique(subset=["a", "b"])
+        x = df.filter(pl.col(_SIDE) == 1).select([_KEY, "__p"]).unique(subset=[_KEY])
+        out = p.join(x, on=_KEY, how="inner").rename({"__p": "__pa"}).select(["a", "b", "__pa"])
+        return out.to_arrow().cast(pa.schema([("a", pa.int64()), ("b", pa.int64()), ("__pa", payload_type)]))
+
+    stage1_pairs = pairs_ds.map_batches(pairs_to_s1, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    stage1_payload = select_if_needed(payload_ds, [id_col, payload_col]).map_batches(
+        payload_to_s1, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    with_pa = local_group_map(stage1_pairs.union(stage1_payload), [_KEY], join1, num_blocks)
+
+    def halfpairs_to_s2(tb: pa.Table) -> pa.Table:
+        return _norm(tb, s2, {_KEY: tb["b"], "a": tb["a"], "b": tb["b"], "__pa": tb["__pa"], _SIDE: pa.nulls(tb.num_rows, pa.int8()).fill_null(0)})
+
+    def payload_to_s2(tb: pa.Table) -> pa.Table:
+        return _norm(tb, s2, {_KEY: tb[id_col], "__p": tb[payload_col], _SIDE: pa.nulls(tb.num_rows, pa.int8()).fill_null(1)})
+
+    edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def join2_verify(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({"a": [], "b": []}, schema=edge_schema)
+        df = pl.from_arrow(tb)
+        p = df.filter(pl.col(_SIDE) == 0).select([_KEY, "a", "b", "__pa"])
+        x = df.filter(pl.col(_SIDE) == 1).select([_KEY, "__p"]).unique(subset=[_KEY])
+        j = p.join(x, on=_KEY, how="inner")
+        if j.height == 0:
+            return pa.Table.from_pydict({"a": [], "b": []}, schema=edge_schema)
+        a = j["a"].to_numpy()
+        keep = np.asarray(
+            verify_block(a, j["__pa"].to_list(), j["__p"].to_list()), dtype=bool
+        )
+        return pa.Table.from_pydict({"a": pa.array(a[keep]), "b": pa.array(j["b"].to_numpy()[keep])}, schema=edge_schema)
+
+    stage2_pairs = with_pa.map_batches(halfpairs_to_s2, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    stage2_payload = select_if_needed(payload_ds, [id_col, payload_col]).map_batches(
+        payload_to_s2, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return local_group_map(stage2_pairs.union(stage2_payload), [_KEY], join2_verify, num_blocks)
+
+
+_LABEL_SCHEMA = pa.schema([("id", pa.int64()), ("label", pa.int64())])
+
+
+def label_propagate_min(edges_ds, max_iters: int = 64, num_blocks: int | None = None):
+    """Edge graph → (id, label) Dataset where label = min id of the
+    connected component (union-find's survivor rule, distributed).
+
+    Each round: every node sends its current label to every neighbor
+    (reduce-side join of symmetrized edges with labels), then takes the
+    min of received + own labels. Labels are monotonically non-increasing,
+    so the global label sum strictly decreases until the fixpoint — ONE
+    ``sum()`` aggregate per round is the convergence test. Rounds needed =
+    graph diameter (near-dup clusters are dense, typically 2-3).
+
+    The labels Dataset is materialized each round: iteration over a lazy
+    lineage would re-execute every prior round per consumption.
+    """
+    from ..functions.shuffle import grouped_min
+
+    # symmetric edge list, materialized once — it is static across rounds
+    def sym(tb: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "src": pa.concat_arrays([tb["a"].combine_chunks(), tb["b"].combine_chunks()]),
+                "dst": pa.concat_arrays([tb["b"].combine_chunks(), tb["a"].combine_chunks()]),
+            },
+            schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        )
+
+    sym_edges = edges_ds.map_batches(sym, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).materialize()
+
+    def init_labels(tb: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"id": tb["src"], "label": tb["src"]}, schema=_LABEL_SCHEMA)
+
+    labels = grouped_min(
+        sym_edges.map_batches(init_labels, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        ["id"], "label", "label", num_blocks,
+    ).materialize()
+    prev_sum = None
+
+    js = pa.schema([("__k", pa.int64()), ("dst", pa.int64()), ("label", pa.int64()), ("__side", pa.int8())])
+
+    def edges_to_j(tb: pa.Table) -> pa.Table:
+        return _norm(tb, js, {"__k": tb["src"], "dst": tb["dst"], "__side": pa.nulls(tb.num_rows, pa.int8()).fill_null(0)})
+
+    def labels_to_j(tb: pa.Table) -> pa.Table:
+        return _norm(tb, js, {"__k": tb["id"], "label": tb["label"], "__side": pa.nulls(tb.num_rows, pa.int8()).fill_null(1)})
+
+    def send(tb: pa.Table) -> pa.Table:
+        """Messages: (dst, label-of-src), pre-collapsed to min per dst."""
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({"id": [], "label": []}, schema=_LABEL_SCHEMA)
+        df = pl.from_arrow(tb)
+        e = df.filter(pl.col("__side") == 0).select(["__k", "dst"])
+        l = df.filter(pl.col("__side") == 1).select(["__k", "label"])
+        msg = e.join(l, on="__k", how="inner").group_by("dst").agg(pl.col("label").min())
+        return msg.rename({"dst": "id"}).select(["id", "label"]).to_arrow().cast(_LABEL_SCHEMA)
+
+    for _ in range(max_iters):
+        tagged = sym_edges.map_batches(edges_to_j, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).union(
+            labels.map_batches(labels_to_j, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        )
+        messages = local_group_map(tagged, ["__k"], send, num_blocks)
+        labels = grouped_min(messages.union(labels), ["id"], "label", "label", num_blocks).materialize()
+        s = labels.sum("label")
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
+def cluster_drop_ids(edges_ds, max_iters: int = 64, num_blocks: int | None = None):
+    """Verified edges → Dataset of ids to DROP (every non-min member of
+    each connected component) — the distributed replacement for the
+    driver union-find in ``dedup/neardup.py``."""
+    import pyarrow.compute as pc
+
+    labels = label_propagate_min(edges_ds, max_iters, num_blocks)
+
+    def non_min(tb: pa.Table) -> pa.Table:
+        keep = pc.not_equal(tb["id"], tb["label"])
+        return pa.Table.from_pydict({"id": tb.filter(keep)["id"]}, schema=pa.schema([("id", pa.int64())]))
+
+    return labels.map_batches(non_min, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def shuffle_anti_join(ds, id_col: str, drop_ids_ds, num_blocks: int | None = None):
+    """Rows of ``ds`` whose ``id_col`` is NOT in the (distributed) drop-id
+    set: both sides co-partition by id hash, each block filters locally.
+    The payload crosses the wire once; no driver materialization of
+    either side."""
+    base = ds.schema().base_schema
+    marker = "__drop_marker"
+    schema = pa.schema(list(base) + [pa.field(marker, pa.int8())])
+
+    def rows_to_u(tb: pa.Table) -> pa.Table:
+        return _norm(tb, schema, {**{c: tb[c] for c in tb.column_names}, marker: pa.nulls(tb.num_rows, pa.int8()).fill_null(0)})
+
+    def drops_to_u(tb: pa.Table) -> pa.Table:
+        return _norm(tb, schema, {id_col: tb["id"], marker: pa.nulls(tb.num_rows, pa.int8()).fill_null(1)})
+
+    def anti(tb: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if tb.num_rows == 0:
+            return tb.select([f.name for f in base])
+        is_drop = pc.equal(tb[marker], 1)
+        drop_keys = tb.filter(is_drop)[id_col].combine_chunks()
+        rows = tb.filter(pc.invert(is_drop))
+        if len(drop_keys):
+            rows = rows.filter(pc.invert(pc.is_in(rows[id_col], value_set=pc.unique(drop_keys))))
+        return rows.select([f.name for f in base])
+
+    tagged = ds.map_batches(rows_to_u, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).union(
+        drop_ids_ds.map_batches(drops_to_u, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+    return local_group_map(tagged, [id_col], anti, num_blocks)

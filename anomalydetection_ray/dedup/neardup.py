@@ -11,13 +11,17 @@ Scale shape (100 TB):
 - ONLY (id, band, key) int64 triples shuffle — never text/embeddings;
 - bucket groups emit candidate EDGES (id -> bucket-min) via ``map_groups``,
   so the all-to-all moves kilobytes per million rows;
-- edges are resolved to clusters with a driver-side union-find. This
-  assumes the edge set (≈ #near-dup rows × bands) fits on the driver —
-  true when dup rate ≪ 100%; for adversarial inputs swap the final step
-  for iterative label propagation, the partitioning stays identical.
-- optional exact verification re-gathers ONLY candidate rows (broadcast
-  id-set filter) and checks true Jaccard ≥ threshold, so LSH false
-  positives never merge clusters.
+- the tail (verify + cluster + drop) is COST-BASED (``_dedup_via_edges``):
+  small edge sets (the normal regime, dup rate ≪ 100%) take the driver
+  plan — collect int64 edges, broadcast-gather only candidate payloads
+  for exact verification, union-find, broadcast drop filter. Above
+  ``driver_max_edges`` the fully-distributed plan engages
+  (dedup/distributed.py): partitioned pair verification (payloads
+  SHUFFLE to their pairs, never gather), min-label-propagation
+  clustering, shuffle anti-join — nothing corpus-sized ever touches the
+  driver, so adversarial (e.g. 50%-duplicate) corpora stream through.
+  Both plans produce identical results (tests/test_neardup.py asserts
+  equality with the threshold forced to 0).
 """
 
 from __future__ import annotations
@@ -169,6 +173,89 @@ def _survivors_from_edges(all_ids_ds_or_none, edges: list[tuple]) -> set:
     return drop
 
 
+def _jaccard_verify_block(threshold: float, shingle: str, k: int):
+    """verify_block for pair_payload_join: exact n-gram Jaccard per
+    co-located candidate pair (token-less texts never match)."""
+
+    def verify(_a_ids: np.ndarray, ta: list, tb: list) -> np.ndarray:
+        out = np.zeros(len(ta), dtype=bool)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            hx, hy = _real_hashes(x, shingle, k), _real_hashes(y, shingle, k)
+            out[i] = bool(hx.size and hy.size and exact_jaccard(hx, hy) >= threshold)
+        return out
+
+    return verify
+
+
+def _cosine_verify_block(threshold: float):
+    """verify_block for pair_payload_join: exact cosine per pair."""
+
+    def verify(_a_ids: np.ndarray, va: list, vb: list) -> np.ndarray:
+        ma = np.asarray(va, dtype=np.float64)
+        mb = np.asarray(vb, dtype=np.float64)
+        if ma.size == 0:
+            return np.zeros(0, dtype=bool)
+        denom = np.maximum(np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1), 1e-12)
+        return (np.einsum("ij,ij->i", ma, mb) / denom) >= threshold
+
+    return verify
+
+
+# above this many candidate edges the driver gather/union-find plan is
+# abandoned for the fully-distributed shuffle plan (dedup/distributed.py)
+DRIVER_MAX_EDGES = 2_000_000
+
+
+def _edges_to_pairs(edges_ds):
+    """(id, rep) edge stream → (a, b) pairs with a = rep < b = id."""
+
+    def conv(tb: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"a": tb["rep"], "b": tb["id"]}, schema=pa.schema([("a", pa.int64()), ("b", pa.int64())])
+        )
+
+    return edges_ds.map_batches(conv, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def _dedup_via_edges(
+    ds,
+    id_col: str,
+    payload_col: str,
+    edges_ds,
+    verify_block,
+    driver_max_edges: int,
+    driver_verify,
+):
+    """Shared dedup tail with cost-based plan choice.
+
+    Small candidate graphs (the normal regime — dup rate ≪ 100%) take the
+    driver plan: collect int64 edges, broadcast-gather ONLY candidate
+    payloads for exact verification, union-find, broadcast drop filter.
+    Above ``driver_max_edges`` the distributed plan engages: partitioned
+    pair verification (payload shuffles, never gathers), min-label
+    propagation, shuffle anti-join — nothing corpus-sized ever touches
+    the driver (the round-1 scale-killer at adversarial dup rates)."""
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return ds
+    if n_edges <= driver_max_edges:
+        edges = _collect_edges(edges_ds)
+        if driver_verify is not None:
+            edges = driver_verify(edges)
+        drop = _survivors_from_edges(None, edges)
+        if not drop:
+            return ds
+        return broadcast_value_filter(ds, id_col, np.array(sorted(drop)), keep=False)
+    from .distributed import cluster_drop_ids, pair_payload_join, shuffle_anti_join
+
+    pairs = _edges_to_pairs(edges_ds)
+    if verify_block is not None:
+        pairs = pair_payload_join(ds, pairs, id_col, payload_col, verify_block)
+    drop_ids = cluster_drop_ids(pairs)
+    return shuffle_anti_join(ds, id_col, drop_ids)
+
+
 def minhash_lsh_dedup(
     ds,
     id_col: str,
@@ -179,20 +266,26 @@ def minhash_lsh_dedup(
     k: int = 5,
     seed: int = 42,
     verify_threshold: float | None = None,
+    driver_max_edges: int = DRIVER_MAX_EDGES,
 ):
     """Near-dup dedup: keep the min-id representative of each LSH cluster.
 
     ``verify_threshold`` switches on exact n-gram-Jaccard edge verification
     (the "n-gram Jaccard dedup" operator): only candidate pairs whose TRUE
-    Jaccard ≥ threshold merge.
+    Jaccard ≥ threshold merge. Above ``driver_max_edges`` candidate edges
+    the fully-distributed verify/cluster plan replaces the driver path
+    (see :func:`_dedup_via_edges`).
     """
-    edges = _collect_edges(lsh_candidate_edges(ds, id_col, text_col, num_perm, bands, shingle, k, seed))
-    if verify_threshold is not None:
-        edges = _verify_edges(ds, id_col, text_col, edges, verify_threshold, shingle, k)
-    drop = _survivors_from_edges(None, edges)
-    if not drop:
-        return ds
-    return broadcast_value_filter(ds, id_col, np.array(sorted(drop)), keep=False)
+    edges_ds = lsh_candidate_edges(ds, id_col, text_col, num_perm, bands, shingle, k, seed)
+    verify_block = (
+        _jaccard_verify_block(verify_threshold, shingle, k) if verify_threshold is not None else None
+    )
+    driver_verify = (
+        (lambda e: _verify_edges(ds, id_col, text_col, e, verify_threshold, shingle, k))
+        if verify_threshold is not None
+        else None
+    )
+    return _dedup_via_edges(ds, id_col, text_col, edges_ds, verify_block, driver_max_edges, driver_verify)
 
 
 def neardup_pairs(
@@ -205,6 +298,7 @@ def neardup_pairs(
     shingle: str = "word",
     k: int = 5,
     seed: int = 42,
+    driver_max_pairs: int = DRIVER_MAX_EDGES,
 ):
     """All (id_a < id_b) pairs with exact Jaccard ≥ threshold, found via
     LSH candidates + exact verification. With these parameters the LSH
@@ -236,9 +330,18 @@ def neardup_pairs(
         zero_copy_batch=True,
         concurrency=default_actor_concurrency(),
     )
-    pairs_ds = local_group_map(triples, ["band", "key"], block_pairs)
+    pairs_ds = local_group_map(triples, ["band", "key"], block_pairs).materialize()
     from ..pipelines.queries import as_table
 
+    if pairs_ds.count() > driver_max_pairs:
+        # distributed exact verification: candidate payloads shuffle to
+        # their pairs instead of gathering to the driver
+        from .distributed import pair_payload_join
+
+        verified = pair_payload_join(
+            ds, pairs_ds, id_col, text_col, _jaccard_verify_block(threshold, shingle, k)
+        )
+        return as_table(verified).sort_by([("a", "ascending"), ("b", "ascending")])
     t = as_table(pairs_ds)
     cand = list(
         {(int(a), int(b)) for a, b in zip(t["a"].to_numpy(zero_copy_only=False), t["b"].to_numpy(zero_copy_only=False))}
@@ -273,7 +376,7 @@ def simhash_fingerprints(ds, id_col: str, text_col: str):
     return _sel(ds, [id_col, text_col]).map_batches(fp, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
-def simhash_dedup(ds, id_col: str, text_col: str, max_hamming: int = 3, n_blocks: int = 4):
+def simhash_dedup(ds, id_col: str, text_col: str, max_hamming: int = 3, n_blocks: int = 4, driver_max_edges: int = DRIVER_MAX_EDGES):
     """Near-dup dedup via SimHash: Manku-style prefix-block grouping finds
     every pair within ``max_hamming`` (requires max_hamming < n_blocks);
     within-bucket pairs are verified by exact Hamming distance."""
@@ -322,11 +425,9 @@ def simhash_dedup(ds, id_col: str, text_col: str, max_hamming: int = 3, n_blocks
         ["block", "key"],
         block_bucket_edges,
     )
-    edges = _collect_edges(edges_ds)
-    drop = _survivors_from_edges(None, edges)
-    if not drop:
-        return ds
-    return broadcast_value_filter(ds, id_col, np.array(sorted(drop)), keep=False)
+    # edges are already exact-Hamming-verified inside the buckets, so the
+    # tail needs only clustering + drop (no payload re-verification)
+    return _dedup_via_edges(ds, id_col, text_col, edges_ds, None, driver_max_edges, None)
 
 
 # ---------------------------------------------------------------------------
@@ -363,7 +464,7 @@ class HyperplaneLSHStage:
 
 
 def embedding_neardup_pairs(
-    ds, id_col: str, vec_col: str, dim: int, threshold: float = 0.95, n_bits: int = 128, bands: int = 16, seed: int = 42
+    ds, id_col: str, vec_col: str, dim: int, threshold: float = 0.95, n_bits: int = 128, bands: int = 16, seed: int = 42, driver_max_edges: int = DRIVER_MAX_EDGES
 ) -> pa.Table:
     """All (a < b) pairs with exact cosine ≥ threshold: hyperplane-LSH
     candidates (all-pairs per bucket) + exact verification over the
@@ -390,9 +491,14 @@ def embedding_neardup_pairs(
         zero_copy_batch=True,
         concurrency=default_actor_concurrency(),
     )
-    pairs_tbl = local_group_map(triples, ["band", "key"], block_pairs)
+    pairs_tbl = local_group_map(triples, ["band", "key"], block_pairs).materialize()
     from ..pipelines.queries import as_table
 
+    if pairs_tbl.count() > driver_max_edges:
+        from .distributed import pair_payload_join
+
+        verified = pair_payload_join(ds, pairs_tbl, id_col, vec_col, _cosine_verify_block(threshold))
+        return as_table(verified).sort_by([("a", "ascending"), ("b", "ascending")])
     t = as_table(pairs_tbl)
     cand_pairs = list(
         {(int(a), int(b)) for a, b in zip(t["a"].to_numpy(zero_copy_only=False), t["b"].to_numpy(zero_copy_only=False))}
@@ -412,9 +518,11 @@ def embedding_neardup_pairs(
     )
 
 
-def embedding_cosine_dedup(ds, id_col: str, vec_col: str, dim: int, threshold: float = 0.95, n_bits: int = 128, bands: int = 16, seed: int = 42):
+def embedding_cosine_dedup(ds, id_col: str, vec_col: str, dim: int, threshold: float = 0.95, n_bits: int = 128, bands: int = 16, seed: int = 42, driver_max_edges: int = DRIVER_MAX_EDGES):
     """Near-dup on embeddings: hyperplane-LSH buckets -> candidate edges ->
-    exact cosine verification over gathered candidates -> keep cluster min."""
+    exact cosine verification -> keep cluster min. Cost-based tail: above
+    ``driver_max_edges`` the verification shuffles vectors to their pairs
+    and clusters by label propagation instead of the driver gather."""
     triples = _sel(ds, [id_col, vec_col]).map_batches(
         HyperplaneLSHStage,
         fn_constructor_args=(id_col, vec_col, dim, n_bits, bands, seed),
@@ -423,8 +531,10 @@ def embedding_cosine_dedup(ds, id_col: str, vec_col: str, dim: int, threshold: f
         concurrency=default_actor_concurrency(),
     )
     edges_ds = local_group_map(triples, ["band", "key"], _block_edges)
-    edges = _collect_edges(edges_ds)
-    if edges:
+
+    def driver_verify(edges: list[tuple]) -> list[tuple]:
+        if not edges:
+            return edges
         cand = sorted({i for e in edges for i in e})
         rows = broadcast_value_filter(_sel(ds, [id_col, vec_col]), id_col, np.array(cand), keep=True)
         from ..pipelines.queries import as_table
@@ -434,8 +544,8 @@ def embedding_cosine_dedup(ds, id_col: str, vec_col: str, dim: int, threshold: f
         ids = t[id_col].to_numpy(zero_copy_only=False)
         norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         vec = {int(i): norm[j] for j, i in enumerate(ids)}
-        edges = [(a, b) for a, b in edges if float(vec[a] @ vec[b]) >= threshold]
-    drop = _survivors_from_edges(None, edges)
-    if not drop:
-        return ds
-    return broadcast_value_filter(ds, id_col, np.array(sorted(drop)), keep=False)
+        return [(a, b) for a, b in edges if float(vec[a] @ vec[b]) >= threshold]
+
+    return _dedup_via_edges(
+        ds, id_col, vec_col, edges_ds, _cosine_verify_block(threshold), driver_max_edges, driver_verify
+    )
