@@ -1,15 +1,17 @@
 """Exact deduplication: content-hash partition + keep-first.
 
-Pattern (ray_guide): add a sha256 fingerprint in a vectorized map_batches,
-shuffle ONLY (fingerprint, id) pairs — the wide text column never moves —
-take min(id) per fingerprint, broadcast the survivor-id set, stream-filter.
+Pattern (ray_guide): add a 128-bit vectorized content hash in a
+map_batches (two independent polars xxhash64 lanes — the per-row Python
+sha256 this replaced dominated the whole dedup pass), shuffle ONLY
+(h1, h2, id) triples — the wide text column never moves — take min(id)
+per hash, broadcast the survivor-id set, stream-filter.
 """
 
 from __future__ import annotations
 
 from ..functions.relational import broadcast_value_filter
 from ..functions.shuffle import grouped_min
-from ..functions.text import fingerprint_batch
+from ..functions.text import content_hash128_batch
 
 
 def exact_dedup(ds, id_col: str, text_col: str, driver_merge_max_bytes: int = 1 << 30):
@@ -20,16 +22,16 @@ def exact_dedup(ds, id_col: str, text_col: str, driver_merge_max_bytes: int = 1 
     never ``groupby().aggregate()``'s per-group Python path.
 
     Cost-based plan choice: when the INPUT's metadata size estimate is
-    under ``driver_merge_max_bytes``, the (fingerprint, id) pairs — tiny
+    under ``driver_merge_max_bytes``, the (h1, h2, id) triples — tiny
     relative to the text — stream to one driver-side polars group-min
     instead, skipping the hash shuffle's fixed aggregator-actor spawn
     (~4 s at 32 CPUs, which dwarfs small corpora)."""
     fp = ds.map_batches(
-        lambda t: fingerprint_batch(t, text_col=text_col),
+        lambda t: content_hash128_batch(t, text_col),
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
-    pairs = fp.select_columns(["fingerprint", id_col])
+    pairs = fp.select_columns(["h1", "h2", id_col])
     est = None
     try:
         est = ds.size_bytes()  # parquet-metadata estimate; no execution
@@ -46,10 +48,10 @@ def exact_dedup(ds, id_col: str, text_col: str, driver_merge_max_bytes: int = 1 
             return ds.limit(0)
         keep = (
             pl.from_arrow(pa.concat_tables(tabs, promote_options="default"))
-            .group_by("fingerprint")
+            .group_by(["h1", "h2"])
             .agg(pl.col(id_col).min().alias("keep_id"))["keep_id"]
             .to_numpy()
         )
     else:
-        keep = grouped_min(pairs, ["fingerprint"], id_col, "keep_id").to_pandas()["keep_id"].to_numpy()
+        keep = grouped_min(pairs, ["h1", "h2"], id_col, "keep_id").to_pandas()["keep_id"].to_numpy()
     return broadcast_value_filter(ds, id_col, keep, keep=True)

@@ -54,40 +54,42 @@ def parse_label_batch(batch: pa.Table, line_col: str = "text") -> pa.Table:
     return pa.table({"label": label, "log": pc.list_element(kept_parts, 1)})
 
 
-def _tokenize_np(texts: np.ndarray) -> list[list[str]]:
-    return [(t.split() if t else []) for t in texts]
-
-
 def enrich_structure_batch(batch: pa.Table, log_col: str = "log") -> pa.Table:
     """log -> 9 positional fields + malformed flag.
 
-    Token extraction uses one numpy/Python pass over the (already small,
-    line-sized) strings — Arrow's list kernels can't express "join the
-    tail tokens" without materializing per-row lists anyway. Whitespace
-    semantics match ``str.split()`` exactly (the reference's tokenizer,
-    ``models/drain.py:27``).
+    Fully vectorized (polars list kernels — no Python row loop in this
+    flagship-predict-path stage). Whitespace semantics match
+    ``str.split()`` exactly (the reference's tokenizer,
+    ``models/drain.py:27``): tokens are ``\\S+`` runs, the Content tail
+    re-joins with single spaces; null logs are malformed.
     """
-    texts = batch[log_col].to_numpy(zero_copy_only=False)
-    toks = _tokenize_np(texts)
-    n = len(texts)
-    cols: dict[str, np.ndarray] = {f: np.empty(n, dtype=object) for f in FIELDS}
-    content = np.empty(n, dtype=object)
-    malformed = np.zeros(n, dtype=bool)
-    for i, s in enumerate(toks):
-        if len(s) < 9:
-            for f in FIELDS:
-                cols[f][i] = ""
-            content[i] = ""
-            malformed[i] = True
-        else:
-            for j, f in enumerate(FIELDS):
-                cols[f][i] = s[j]
-            content[i] = " ".join(s[8:])
+    import polars as pl
+
+    col = batch[log_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pl.from_arrow(pa.table({"c": col}))["c"].fill_null("").str.extract_all(r"\S+")
+    df = pl.DataFrame({"toks": toks}).with_columns(n=pl.col("toks").list.len())
+    ok = pl.col("n") >= 9
+    exprs = [
+        pl.when(ok)
+        .then(pl.col("toks").list.get(j, null_on_oob=True))
+        .otherwise(pl.lit(""))
+        .alias(f)
+        for j, f in enumerate(FIELDS)
+    ]
+    exprs.append(
+        pl.when(ok)
+        .then(pl.col("toks").list.slice(8).list.join(" "))
+        .otherwise(pl.lit(""))
+        .alias("Content")
+    )
+    exprs.append((~ok).alias("malformed"))
+    res = df.select(exprs)
     out = {c: batch[c] for c in batch.column_names}
-    for f in FIELDS:
-        out[f] = pa.array(cols[f], type=pa.string())
-    out["Content"] = pa.array(content, type=pa.string())
-    out["malformed"] = pa.array(malformed)
+    for f in FIELDS + ["Content"]:
+        out[f] = res[f].to_arrow().cast(pa.string())
+    out["malformed"] = res["malformed"].to_arrow()
     return pa.table(out)
 
 
