@@ -49,22 +49,36 @@ def frequency_filter(ds, col: str, min_count: int):
     return broadcast_value_filter(ds, col, keep, keep=True)
 
 
-def broadcast_join(fact_ds, fact_key: str, dim: pd.DataFrame, dim_key: str, how: str = "inner"):
-    """Join a streaming fact Dataset against a small pandas dim table.
+def broadcast_join(fact_ds, fact_key: str, dim, dim_key: str, how: str = "inner"):
+    """Join a streaming fact Dataset against a small dim table.
 
-    The dim is ``ray.put`` once; every batch does a vectorized pandas merge
-    against it. ``how`` ∈ {"inner", "left"}. For dim sides too large to
-    broadcast, use a partitioned hash join (bucket both sides) instead —
-    see SURVEY.md §7.3.
+    Arrow-native: the dim (pandas DataFrame or pyarrow Table) ships once
+    as an Arrow table via ``ray.put``; every batch runs ONE vectorized
+    polars hash join on the zero-copy Arrow block — no pandas round-trip
+    in the hot path (the round-1 version converted Arrow→pandas→Arrow per
+    batch). ``how`` ∈ {"inner", "left"}; the dim key column is dropped
+    from the output (standard join semantics — it equals the fact key on
+    matches). For dim sides too large to broadcast, use a partitioned
+    hash join (bucket both sides) instead — see SURVEY.md §7.3.
     """
+    import polars as pl
     import ray
 
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
-    ref = ray.put(dim)
+    dim_tbl = pa.Table.from_pandas(dim, preserve_index=False) if isinstance(dim, pd.DataFrame) else dim
+    ref = ray.put(dim_tbl)
 
-    def join(batch: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(ref)
-        return batch.merge(d, how=how, left_on=fact_key, right_on=dim_key)
+    dim_out = [f for f in dim_tbl.schema if f.name != dim_key]
 
-    return fact_ds.map_batches(join, batch_format="pandas")
+    def join(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(ray.get(ref))
+        out = pl.from_arrow(batch).join(
+            d, left_on=fact_key, right_on=dim_key, how=how, coalesce=True
+        )
+        # stable output schema: fact columns keep their exact types,
+        # dim columns theirs (polars round-trips string → large_string)
+        want = pa.schema(list(batch.schema) + dim_out)
+        return out.select([f.name for f in want]).to_arrow().cast(want)
+
+    return fact_ds.map_batches(join, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -241,6 +241,40 @@ def revenue_by_segment(sf_dir: str):
     return _round_pd(agg, {"revenue": 2})
 
 
+@register(
+    "left_join_lineitem_parts",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(p_name) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN p_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+    FROM lineitem LEFT JOIN (SELECT p_partkey, p_name FROM part WHERE p_partkey % 3 <> 0) d
+    ON l_partkey = d.p_partkey
+    """,
+)
+def left_join_lineitem_parts(sf_dir: str):
+    """LEFT broadcast join (J2 family): the dim is restricted so ~1/3 of
+    fact rows are genuinely unmatched — unmatched rows survive with null
+    dim columns (left semantics), verified by the matched/unmatched
+    aggregate. Dim ships once via ray.put; per-batch polars hash join."""
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_name"]).to_pandas()
+    dim = part[part["p_partkey"] % 3 != 0]
+    joined = broadcast_join(li, "l_partkey", dim, "p_partkey", how="left")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        matched = pc.sum(pc.cast(pc.is_valid(batch["p_name"]), pa.int64())).as_py() or 0
+        return pa.table(
+            {"n": pa.array([batch.num_rows], type=pa.int64()), "m": pa.array([matched], type=pa.int64())}
+        )
+
+    parts = as_table(
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+    n = int(pc.sum(parts["n"]).as_py() or 0)
+    m = int(pc.sum(parts["m"]).as_py() or 0)
+    return pd.DataFrame({"n_rows": [n], "n_matched": [m], "n_unmatched": [n - m]})
+
+
 # ---------------------------------------------------------------------------
 # Uniqueness / referential (north-rule checks)
 # ---------------------------------------------------------------------------
