@@ -1,0 +1,107 @@
+"""Generic embedding-model actor adapter — the T2 slot.
+
+The reference lazily loads a 125M-param CodeBERT once into process
+globals and reuses it across batches with a GPU-sized micro-batch loop
+(``models/feature_extraction.py:37-43`` load-once, ``:53-73`` batch loop,
+VRAM-scaled batch size at ``end_to_end_prediction.py:302-308``). This
+adapter is the engine's drop-in version of that pattern for ANY model:
+
+- ``model_factory`` is a picklable zero-arg callable (a class, a
+  ``functools.partial``, an importable function) returning the model —
+  invoked ONCE per actor in ``__init__`` (weights load once per worker,
+  never per batch);
+- the model itself is ``callable(list[str]) -> np.ndarray (n, dim)``;
+- ``model_batch_size`` is the inner micro-batch knob (a GPU model's
+  memory ceiling is independent of the Arrow block size Ray hands the
+  actor);
+- the output is a zero-copy Arrow ``FixedSizeList<float32>`` column.
+
+A torch/HF model drops in as
+``partial(MyCodeBertWrapper, name="microsoft/codebert-base")`` with no
+engine changes; the engine's torch-free default is
+:class:`HashedNgramModel`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class HashedNgramModel:
+    """Deterministic torch-free embedding model: whitespace tokens →
+    hashed bucket counts → fixed random projection (one polars token-hash
+    pass + one matmul per call). State (the projection matrix) is built
+    at construction — i.e. once per actor under the adapter."""
+
+    def __init__(self, dim: int = 64, n_buckets: int = 1024, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        self.proj = rng.standard_normal((n_buckets, dim)).astype(np.float32) / np.sqrt(dim)
+        self.n_buckets = n_buckets
+        self.dim = dim
+
+    def __call__(self, texts: list[str]) -> np.ndarray:
+        import polars as pl
+
+        n = len(texts)
+        counts = np.zeros((n, self.n_buckets), dtype=np.float32)
+        if n:
+            toks = (
+                pl.DataFrame({"i": np.arange(n, dtype=np.int64), "t": pl.Series(texts, dtype=pl.String)})
+                .with_columns(pl.col("t").str.extract_all(r"\S+"))
+                .explode("t")
+                .drop_nulls()
+            )
+            if len(toks):
+                rows = toks["i"].to_numpy()
+                buckets = (toks["t"].hash(seed=1).to_numpy() % self.n_buckets).astype(np.int64)
+                np.add.at(counts, (rows, buckets), 1.0)
+        return counts @ self.proj
+
+
+class EmbeddingModelStage:
+    """Actor-pool ``map_batches`` stage wrapping any embedding model.
+
+    Use as::
+
+        ds.map_batches(
+            EmbeddingModelStage,
+            fn_constructor_kwargs={
+                "model_factory": partial(HashedNgramModel, dim=64),
+                "text_col": "template",
+                "model_batch_size": 256,
+            },
+            batch_format="pyarrow", concurrency=N,
+        )
+    """
+
+    def __init__(
+        self,
+        model_factory,
+        text_col: str = "template",
+        out_col: str = "embedding",
+        model_batch_size: int = 256,
+    ):
+        self.model = model_factory()  # once per actor — the T2 contract
+        self.text_col, self.out_col = text_col, out_col
+        self.model_batch_size = max(1, int(model_batch_size))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        texts = ["" if t is None else t for t in col.to_pylist()]
+        outs = [
+            np.asarray(self.model(texts[i : i + self.model_batch_size]), dtype=np.float32)
+            for i in range(0, len(texts), self.model_batch_size)
+        ]
+        emb = np.vstack(outs) if outs else np.zeros((0, 0), dtype=np.float32)
+        if emb.ndim != 2 or (len(texts) and emb.shape[0] != len(texts)):
+            raise ValueError(
+                f"model returned shape {emb.shape}; expected ({len(texts)}, dim)"
+            )
+        dim = emb.shape[1] if emb.size else getattr(self.model, "dim", 0)
+        emb_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.ravel(), type=pa.float32()), dim or 1
+        )
+        return batch.append_column(self.out_col, emb_col)

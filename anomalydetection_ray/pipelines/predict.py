@@ -8,13 +8,15 @@ where the reference hands files between stages.
   step 2  preprocess frequency filter on template (J1/A1, strict ``>``
                      threshold like ``models/preprocessing.py:7-10``) +
                      optional seeded deterministic sample (P3 analog)
-  step 3  features   :class:`HashedNgramFeaturizer` actor pool — the T2
-                     slot (the reference lazily loads CodeBERT once per
-                     process, ``models/feature_extraction.py:37-43``; here
-                     a torch-free deterministic hashed-token projection
-                     builds its matrix ONCE per actor in ``__init__``.
-                     Any embedding model with the same batch signature
-                     drops in).
+  step 3  features   generic :class:`EmbeddingModelStage` actor pool —
+                     the T2 slot (the reference lazily loads CodeBERT
+                     once per process, ``models/feature_extraction.py:
+                     37-43``): ``cfg.model_factory`` loads ONCE per actor
+                     in ``__init__``, embeds per micro-batch in
+                     ``__call__`` (``cfg.model_batch_size`` = the GPU
+                     memory knob). Default model: torch-free
+                     :class:`HashedNgramModel`; any
+                     ``callable(list[str]) -> (n, dim)`` drops in.
   steps 4-5          SimCLR/VAE latent transforms are torch-specific; the
                      engine's stateful-transform slot is the same
                      actor-pool pattern (cf. checks/drift.RowDriftScorer).
@@ -39,50 +41,28 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from ..functions.embedding import EmbeddingModelStage, HashedNgramModel
 from ..state import RunState
 
 
-class HashedNgramFeaturizer:
-    """Stateful embedding stage (T2 actor-pool slot): whitespace tokens →
-    hashed bucket counts → fixed random projection, all vectorized
-    (polars token hash + one matmul per batch). The projection matrix is
-    built once per actor in ``__init__`` — the analog of the reference
-    loading CodeBERT weights into process globals."""
+class HashedNgramFeaturizer(EmbeddingModelStage):
+    """Back-compat T2 stage: the torch-free hashed-ngram model under the
+    generic :class:`~anomalydetection_ray.functions.embedding.
+    EmbeddingModelStage` adapter (model built once per actor)."""
 
     def __init__(self, text_col: str = "template", out_col: str = "embedding", dim: int = 64, n_buckets: int = 1024, seed: int = 0):
-        rng = np.random.default_rng(seed)
-        self.proj = rng.standard_normal((n_buckets, dim)).astype(np.float32) / np.sqrt(dim)
-        self.n_buckets = n_buckets
-        self.text_col = text_col
-        self.out_col = out_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import polars as pl
-
-        n = batch.num_rows
-        col = batch[self.text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        toks = (
-            pl.DataFrame({"i": np.arange(n, dtype=np.int64), "t": pl.Series(col)})
-            .with_columns(pl.col("t").str.extract_all(r"\S+"))
-            .explode("t")
-            .drop_nulls()
+        super().__init__(
+            model_factory=partial(HashedNgramModel, dim=dim, n_buckets=n_buckets, seed=seed),
+            text_col=text_col,
+            out_col=out_col,
         )
-        counts = np.zeros((n, self.n_buckets), dtype=np.float32)
-        if len(toks):
-            rows = toks["i"].to_numpy()
-            buckets = (toks["t"].hash(seed=1).to_numpy() % self.n_buckets).astype(np.int64)
-            np.add.at(counts, (rows, buckets), 1.0)
-        emb = counts @ self.proj
-        emb_col = pa.FixedSizeListArray.from_arrays(pa.array(emb.ravel(), type=pa.float32()), emb.shape[1])
-        return batch.append_column(self.out_col, emb_col)
 
 
 @dataclass
@@ -100,6 +80,11 @@ class PredictConfig:
     template_mode: str = "mask"
     feature_dim: int = 64
     n_buckets: int = 1024
+    # T2 slot: None = the torch-free HashedNgramModel; any picklable
+    # zero-arg factory returning callable(list[str]) -> (n, dim) float
+    # array drops in (functions/embedding.EmbeddingModelStage)
+    model_factory: object | None = None
+    model_batch_size: int = 256  # inner micro-batch (GPU memory knob)
     threshold_percentile: float = 95.0
     threshold_mode: str = "exact"  # "exact" | "kll"
     concurrency: int | None = None  # featurizer pool; None = auto
@@ -206,13 +191,15 @@ def end_to_end_predict(
                     return batch.filter(pa.array((h / 2**64) < ratio))
 
                 ds = ds.map_batches(hash_keep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        factory = cfg.model_factory or partial(
+            HashedNgramModel, dim=cfg.feature_dim, n_buckets=cfg.n_buckets, seed=cfg.seed
+        )
         ds = ds.map_batches(
-            HashedNgramFeaturizer,
+            EmbeddingModelStage,
             fn_constructor_kwargs={
+                "model_factory": factory,
                 "text_col": "template",
-                "dim": cfg.feature_dim,
-                "n_buckets": cfg.n_buckets,
-                "seed": cfg.seed,
+                "model_batch_size": cfg.model_batch_size,
             },
             batch_format="pyarrow",
             batch_size=cfg.batch_size,

@@ -1133,8 +1133,12 @@ def auc_scores_approx(sf_dir: str):
     scored = ds.map_batches(l2_norm_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).map_batches(
         binarize, batch_format="pyarrow", batch_size=None
     )
-    lohi = scored.select_columns(["anomaly_score"]).to_pandas()["anomaly_score"]
-    auc = auc_streaming(scored, "label", "anomaly_score", float(lohi.min()), float(lohi.max()) + 1e-9)
+    # score range via streaming aggregates — collecting the full column
+    # just for min/max would materialize it on the driver
+    mm = scored.aggregate(Min("anomaly_score"), Max("anomaly_score"))
+    auc = auc_streaming(
+        scored, "label", "anomaly_score", float(mm["min(anomaly_score)"]), float(mm["max(anomaly_score)"]) + 1e-9
+    )
     return pd.DataFrame([{"auc": round(auc, 4)}])
 
 

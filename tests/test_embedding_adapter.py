@@ -1,0 +1,98 @@
+"""Generic embedding-model actor adapter (functions/embedding.py, the T2
+slot): factory loads once per actor, micro-batching honors the model
+batch-size knob, and a numpy stand-in model runs the whole predict
+pipeline end-to-end."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from anomalydetection_ray.functions.embedding import EmbeddingModelStage, HashedNgramModel
+
+# classes below cross into Ray workers (actor constructor args); the tests
+# package is not importable there, so serialize this module by value
+from ray import cloudpickle as _rcp
+
+_rcp.register_pickle_by_value(sys.modules[__name__])
+
+
+class CountingStubModel:
+    """Numpy stand-in model: records its call micro-batch sizes and emits
+    deterministic 4-dim features (length, tokens, vowels, const)."""
+
+    dim = 4
+
+    def __init__(self):
+        self.call_sizes: list[int] = []
+
+    def __call__(self, texts: list[str]) -> np.ndarray:
+        self.call_sizes.append(len(texts))
+        out = np.zeros((len(texts), 4), dtype=np.float32)
+        for i, t in enumerate(texts):
+            out[i] = [len(t), len(t.split()), sum(c in "aeiou" for c in t), 1.0]
+        return out
+
+
+def test_adapter_micro_batches_and_output():
+    stage = EmbeddingModelStage(
+        model_factory=CountingStubModel, text_col="t", model_batch_size=8
+    )
+    batch = pa.table({"t": [f"word{i} and some text" for i in range(30)]})
+    out = stage(batch)
+    assert out["embedding"].type == pa.list_(pa.float32(), 4)
+    # 30 rows at micro-batch 8 -> 8, 8, 8, 6
+    assert stage.model.call_sizes == [8, 8, 8, 6]
+    first = out["embedding"][0].as_py()
+    assert first == [len("word0 and some text"), 4.0, 5.0, 1.0]
+
+
+def test_adapter_null_texts_and_shape_guard():
+    stage = EmbeddingModelStage(model_factory=CountingStubModel, text_col="t")
+    out = stage(pa.table({"t": pa.array([None, "ab"], type=pa.string())}))
+    assert out["embedding"][0].as_py() == [0.0, 0.0, 0.0, 1.0]  # None -> ""
+
+    class BadModel:
+        def __call__(self, texts):
+            return np.zeros((1, 2), dtype=np.float32)  # wrong row count
+
+    bad = EmbeddingModelStage(model_factory=BadModel, text_col="t")
+    with pytest.raises(ValueError, match="expected"):
+        bad(pa.table({"t": ["x", "y", "z"]}))
+
+
+def test_hashed_ngram_model_deterministic():
+    a = HashedNgramModel(dim=16, seed=3)(["alpha beta", "gamma"])
+    b = HashedNgramModel(dim=16, seed=3)(["alpha beta", "gamma"])
+    assert np.array_equal(a, b)
+    assert a.shape == (2, 16)
+    # same tokens, different order -> same bag-of-buckets embedding
+    c = HashedNgramModel(dim=16, seed=3)(["beta alpha"])
+    assert np.allclose(a[0], c[0])
+
+
+def test_predict_pipeline_with_custom_model(ray_session, tmp_path):
+    """The reference's swappable --model-name surface
+    (end_to_end_prediction.py:681): a user-supplied factory drives the
+    full chain with no engine changes."""
+    from anomalydetection_ray.pipelines.predict import PredictConfig, end_to_end_predict
+
+    lines = []
+    for i in range(400):
+        anom = i % 37 == 0
+        tail = ("verbose fault storm cascade overflow " * 3) if anom else "ok heartbeat"
+        lines.append(
+            f"{'ALARM' if anom else '-'} {1000+i} 2005.06.03 N{i%4} 15.42.50 N{i%4} RAS KERNEL "
+            f"{'FATAL' if anom else 'INFO'} unit {i%5} status {tail}"
+        )
+    p = tmp_path / "log.txt"
+    p.write_text("\n".join(lines))
+    cfg = PredictConfig(
+        min_template_count=0, model_factory=CountingStubModel, model_batch_size=64
+    )
+    res = end_to_end_predict(str(p), str(tmp_path / "out"), cfg, resume=False)
+    assert res.n_rows == 400
+    assert 0.0 < res.threshold < float("inf")
