@@ -1,0 +1,56 @@
+"""Stratified dataset splitting (P5, ``models/feature_extraction.py:
+84-97`` analog).
+
+The reference chains two sklearn ``train_test_split(stratify=label)``
+calls on a collected DataFrame — a driver-side operation. The engine's
+version is a DETERMINISTIC HASH split that never collects: each row's
+64-bit key hash (seeded per split-run) maps to [0, 1), and the row
+belongs to split j iff the hash falls in that split's cumulative
+fraction interval. Stratification comes for free from hash uniformity
+WITHIN each label stratum (the hash is independent of the label), so
+per-label proportions match the requested fractions to sampling noise —
+asserted in tests — while the assignment is reproducible at any
+parallelism, block order, or cluster size (unlike ``random_sample``'s
+per-block RNG) and each split is a streaming filter, never a
+materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _hash_unit(batch: pa.Table, on: str, seed: int) -> np.ndarray:
+    """Per-row hash of ``on`` mapped to [0, 1)."""
+    import polars as pl
+
+    col = batch[on]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=seed).to_numpy()
+    return h / 2.0**64
+
+
+def split_fractions_filter(ds, on: str, lo: float, hi: float, seed: int = 42):
+    """Rows whose unit hash of ``on`` falls in [lo, hi) — one split."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        u = _hash_unit(batch, on, seed)
+        return batch.filter(pa.array((u >= lo) & (u < hi)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def stratified_split(ds, on: str, fractions: list[float], seed: int = 42):
+    """Split ``ds`` into ``len(fractions)`` disjoint, exhaustive datasets
+    by deterministic key hash; proportions hold within every label
+    stratum. Fractions must sum to 1. Each split is lazy (a filter over
+    the input) — consuming all splits scans the input once per split,
+    the streaming-correct trade against materializing N copies."""
+    f = np.asarray(fractions, dtype=np.float64)
+    if f.min() < 0 or abs(f.sum() - 1.0) > 1e-9:
+        raise ValueError("fractions must be non-negative and sum to 1")
+    cum = np.concatenate([[0.0], np.cumsum(f)])
+    cum[-1] = 1.0 + 1e-12  # hash == max stays in the last split
+    return [split_fractions_filter(ds, on, cum[i], cum[i + 1], seed) for i in range(len(f))]

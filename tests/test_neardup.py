@@ -255,3 +255,33 @@ def test_union_find_min_root():
 
     drop = _survivors_from_edges(None, [(5, 3), (3, 1), (9, 8), (2, 7)])
     assert drop == {3, 5, 9, 7}
+
+
+def test_ivf_recall_gate_on_testdata(ray_session):
+    """Recall gate on the REAL sf0.001 embeddings (not synthetic): IVF at
+    the ann_ivf_topk query's settings (n_cells=64, n_probe=32) must keep
+    >= 0.9 of the exact top-10 neighbor sets. Near-uniform embeddings are
+    IVF's worst case, hence the high probe fraction at this tiny scale."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.similarity import ivf_topk_cosine, topk_cosine
+    from anomalydetection_ray.functions.vector import list_column_to_matrix
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    m = list_column_to_matrix(tbl["embedding"]).astype(np.float64)
+    q = m[:8]
+    k = 10
+    exact = topk_cosine(rd.from_arrow(tbl), "vec_id", "embedding", q, k=k)
+    approx = ivf_topk_cosine(
+        rd.from_arrow(tbl), "vec_id", "embedding", q, k=k, n_cells=64, n_probe=32
+    )
+    hits = total = 0
+    for qi in range(len(q)):
+        e = set(exact[exact["query_id"] == qi]["vec_id"].tolist())
+        a = set(approx[approx["query_id"] == qi]["vec_id"].tolist())
+        hits += len(e & a)
+        total += len(e)
+    recall = hits / total
+    assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9 at n_cells=64 n_probe=32"

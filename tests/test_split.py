@@ -1,0 +1,54 @@
+"""Stratified hash split tests (P5): disjoint + exhaustive, per-label
+proportion preservation, determinism across parallelism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from anomalydetection_ray.functions.split import stratified_split
+
+
+def _labeled_table(n: int = 12_000, seed: int = 4) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    labels = rng.choice(["a", "b", "c"], size=n, p=[0.6, 0.3, 0.1])
+    return pa.table(
+        {"row_id": pa.array(range(n), type=pa.int64()), "label": pa.array(labels, type=pa.string())}
+    )
+
+
+def test_split_disjoint_exhaustive_and_stratified(ray_session):
+    import ray.data as rd
+
+    t = _labeled_table()
+    ds = rd.from_arrow(t).repartition(6)
+    splits = stratified_split(ds, "row_id", [0.5, 0.3, 0.2], seed=11)
+    dfs = [s.to_pandas() for s in splits]
+    ids = [set(df["row_id"]) for df in dfs]
+    assert ids[0] | ids[1] | ids[2] == set(range(t.num_rows))
+    assert not (ids[0] & ids[1]) and not (ids[0] & ids[2]) and not (ids[1] & ids[2])
+    # per-label proportions within sampling noise (3 sigma-ish at n=12k)
+    for label, frac_label in (("a", 0.6), ("b", 0.3), ("c", 0.1)):
+        n_label = sum((df["label"] == label).sum() for df in dfs)
+        for df, frac in zip(dfs, (0.5, 0.3, 0.2)):
+            got = (df["label"] == label).sum() / n_label
+            sigma = np.sqrt(frac * (1 - frac) / n_label)
+            assert abs(got - frac) < 4 * sigma, (label, frac, got)
+
+
+def test_split_deterministic_across_parallelism(ray_session):
+    import ray.data as rd
+
+    t = _labeled_table(3000, seed=9)
+    a = stratified_split(rd.from_arrow(t).repartition(2), "row_id", [0.7, 0.3])[0].to_pandas()
+    b = stratified_split(rd.from_arrow(t).repartition(11), "row_id", [0.7, 0.3])[0].to_pandas()
+    assert sorted(a["row_id"]) == sorted(b["row_id"])
+
+
+def test_split_validates_fractions(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_labeled_table(10))
+    with pytest.raises(ValueError):
+        stratified_split(ds, "row_id", [0.5, 0.6])
