@@ -115,6 +115,79 @@ def _parse_stage(batch: pa.Table) -> pa.Table:
     return extract_template_params(tpl, content_col="Content", out_col="params")
 
 
+def _write_report(final_ds, report_dir: str, n_bins: int = 50) -> None:
+    """S9 analog (``end_to_end_prediction.py:537-616``): the reference
+    renders score histograms per class and top-10 frequent templates per
+    predicted class as PNGs; the engine writes the same information as
+    TABULAR artifacts (report-grade, joinable, diffable):
+
+    - ``score_distribution.parquet`` — fixed-bin anomaly-score histogram
+      per (true label × predicted class), from per-block partials (one
+      streaming pass, never collects scores);
+    - ``top_templates.parquet`` — top-10 templates per predicted class
+      (``value_counts().head(10)`` analog, ``:590-591``) via the
+      distributed counts path, only the small count table on the driver.
+    """
+    import polars as pl
+
+    from ray.data.aggregate import Max, Min
+
+    from ..checks.uniqueness import key_counts
+    from .queries import as_table
+
+    os.makedirs(report_dir, exist_ok=True)
+    mm = final_ds.aggregate(Min("anomaly_score"), Max("anomaly_score"))
+    lo = float(mm["min(anomaly_score)"] or 0.0)
+    hi = float(mm["max(anomaly_score)"] or 1.0)
+    hi = hi + 1e-9 if hi > lo else lo + 1.0
+    edges = np.linspace(lo, hi, n_bins + 1)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        s = batch["anomaly_score"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["anomaly_prediction"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = []
+        for yv in np.unique(y):
+            for pv in np.unique(p[y == yv]):
+                h, _ = np.histogram(s[(y == yv) & (p == pv)], bins=edges)
+                rows.append({"label": int(yv), "prediction": int(pv), "counts": h.tobytes()})
+        return pa.Table.from_pylist(rows) if rows else pa.Table.from_pydict(
+            {"label": [], "prediction": [], "counts": []},
+            schema=pa.schema([("label", pa.int64()), ("prediction", pa.int64()), ("counts", pa.binary())]),
+        )
+
+    parts = as_table(
+        final_ds.map_batches(hist_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    ).to_pylist()
+    merged: dict[tuple, np.ndarray] = {}
+    for r in parts:
+        key = (r["label"], r["prediction"])
+        merged[key] = merged.get(key, np.zeros(n_bins, dtype=np.int64)) + np.frombuffer(
+            r["counts"], dtype=np.int64
+        )
+    rows = [
+        {
+            "label": k[0],
+            "prediction": k[1],
+            "bin_lo": float(edges[b]),
+            "bin_hi": float(edges[b + 1]),
+            "count": int(v[b]),
+        }
+        for k, v in sorted(merged.items())
+        for b in range(n_bins)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), os.path.join(report_dir, "score_distribution.parquet"))
+
+    counts = as_table(key_counts(final_ds, ["anomaly_prediction", "template"]))
+    top = (
+        pl.from_arrow(counts)
+        .sort(["anomaly_prediction", "cnt", "template"], descending=[False, True, False])
+        .group_by("anomaly_prediction", maintain_order=True)
+        .head(10)
+    )
+    pq.write_table(top.to_arrow(), os.path.join(report_dir, "top_templates.parquet"))
+
+
 def end_to_end_predict(
     log_input,
     out_dir: str,
@@ -251,6 +324,7 @@ def end_to_end_predict(
 
     final_ds = rd.read_parquet(final_dir, columns=["label", "anomaly_score", "anomaly_prediction"])
     metrics = classification_metrics(final_ds, "label", "anomaly_prediction")
+    _write_report(rd.read_parquet(final_dir), os.path.join(out_dir, "report"))
     n_rows = int(metrics["tp"] + metrics["fp"] + metrics["tn"] + metrics["fn"])
     metrics["threshold"] = threshold
     metrics["anomaly_count"] = int(metrics["tp"] + metrics["fp"])

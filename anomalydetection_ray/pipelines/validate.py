@@ -477,6 +477,10 @@ def _finalize_suite(
             )
 
     # ---------------- drift vs baseline snapshot ----------------
+    # a DIRECTORY means "the latest snapshot under this root" (S7
+    # latest-artifact convention; find_latest_snapshot)
+    if baseline_snapshot and os.path.isdir(baseline_snapshot):
+        baseline_snapshot = find_latest_snapshot(baseline_snapshot)
     if baseline_snapshot:
         drift = partition_drift(
             stats_df,
@@ -803,6 +807,35 @@ def run_suite_sharded(
     viol_all = _sort_violations(_verify_dup_candidates(viol_all, key), empty_refs.out_cols)
     pq.write_table(viol_all, os.path.join(state.unit_dir("rowpass"), "violations.parquet"))
     return _finalize_suite(state, out_dir, cfg, stats_df, viol_all, baseline_snapshot)
+
+
+def find_latest_snapshot(root_dir: str) -> str | None:
+    """Latest-artifact discovery (S7 analog of the reference's
+    search-latest-MLflow-run, ``end_to_end_prediction.py:118-192``):
+    snapshots written by :func:`write_baseline_versioned` are
+    ``baseline-NNNN.parquet`` under one root; the highest index is the
+    current baseline. Returns None when the root has no snapshots."""
+    if not os.path.isdir(root_dir):
+        return None
+    snaps = sorted(
+        f for f in os.listdir(root_dir)
+        if f.startswith("baseline-") and f.endswith(".parquet")
+    )
+    return os.path.join(root_dir, snaps[-1]) if snaps else None
+
+
+def write_baseline_versioned(corpus_path: str, root_dir: str, cfg: SuiteConfig | None = None) -> str:
+    """Write the next ``baseline-NNNN.parquet`` under ``root_dir`` (the
+    append-only snapshot convention :func:`find_latest_snapshot`
+    discovers) and return its path. Existing snapshots are immutable —
+    a re-baseline is a NEW artifact, so drift scores stay reproducible
+    against any historical snapshot."""
+    os.makedirs(root_dir, exist_ok=True)
+    latest = find_latest_snapshot(root_dir)
+    nxt = 0 if latest is None else int(os.path.basename(latest)[len("baseline-"):-len(".parquet")]) + 1
+    path = os.path.join(root_dir, f"baseline-{nxt:04d}.parquet")
+    write_baseline(corpus_path, path, cfg)
+    return path
 
 
 def write_baseline(corpus_path: str, snapshot_path: str, cfg: SuiteConfig | None = None) -> None:

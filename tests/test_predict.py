@@ -174,3 +174,57 @@ def test_predict_mined_template_mode(ray_session, log_file, tmp_path):
     assert any("instruction cache parity error corrected count <*>" in t for t in tpls)
     mined_anom = final.loc[final["label"] == 1, "template"].unique()
     assert len(mined_anom) == 1 and "<*>" in mined_anom[0]
+
+
+def test_report_artifacts(ray_session, log_file, tmp_path):
+    """S9 analog: tabular score-distribution + top-templates report
+    artifacts are written and internally consistent."""
+    import pandas as pd
+    from anomalydetection_ray.pipelines.predict import PredictConfig, end_to_end_predict
+
+    path, info = log_file
+    out = str(tmp_path / "out")
+    res = end_to_end_predict(path, out, PredictConfig(), resume=False)
+    dist = pq.read_table(os.path.join(out, "report", "score_distribution.parquet")).to_pandas()
+    # histogram mass equals row count; every (label, prediction) cell of
+    # the confusion matrix appears
+    assert dist["count"].sum() == res.n_rows
+    cells = set(map(tuple, dist[["label", "prediction"]].drop_duplicates().itertuples(index=False, name=None)))
+    m = res.metrics
+    expect = set()
+    for (y, p), c in {(1, 1): m["tp"], (0, 1): m["fp"], (0, 0): m["tn"], (1, 0): m["fn"]}.items():
+        if c:
+            expect.add((y, p))
+    assert cells == expect
+    per_cell = dist.groupby(["label", "prediction"])["count"].sum().to_dict()
+    assert per_cell.get((1, 1), 0) == m["tp"] and per_cell.get((0, 0), 0) == m["tn"]
+
+    top = pq.read_table(os.path.join(out, "report", "top_templates.parquet")).to_pandas()
+    assert (top.groupby("anomaly_prediction").size() <= 10).all()
+    assert (top["cnt"] > 0).all()
+
+
+def test_versioned_baseline_discovery(ray_session, tmp_path):
+    """S7 analog: versioned snapshots under one root; the suite resolves
+    a directory baseline to the LATEST snapshot."""
+    from anomalydetection_ray.corpus import generate_corpus
+    from anomalydetection_ray.pipelines.validate import (
+        SuiteConfig,
+        find_latest_snapshot,
+        run_suite,
+        write_baseline_versioned,
+    )
+
+    d = str(tmp_path / "c")
+    generate_corpus(d, n_rows=800, n_repos=40, seed=13, rows_per_file=400)
+    root = str(tmp_path / "snapshots")
+    assert find_latest_snapshot(root) is None
+    p0 = write_baseline_versioned(f"{d}/corpus", root)
+    p1 = write_baseline_versioned(f"{d}/corpus", root)
+    assert os.path.basename(p0) == "baseline-0000.parquet"
+    assert os.path.basename(p1) == "baseline-0001.parquet"
+    assert find_latest_snapshot(root) == p1
+    # run_suite accepts the ROOT directory and scores vs the latest
+    res = run_suite(f"{d}/corpus", str(tmp_path / "out"), SuiteConfig(), baseline_snapshot=root)
+    drift = res.verdicts[res.verdicts["check"] == "drift"]
+    assert len(drift) and drift["passed"].all()  # same corpus -> no drift
