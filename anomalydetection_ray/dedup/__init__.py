@@ -7,6 +7,7 @@ from .neardup import (
     embedding_cosine_dedup,
     embedding_neardup_pairs,
     minhash_lsh_dedup,
+    minhash_lsh_dedup_verified,
     neardup_pairs,
     simhash_dedup,
     simhash_fingerprints,
@@ -15,6 +16,7 @@ from .neardup import (
 __all__ = [
     "exact_dedup",
     "minhash_lsh_dedup",
+    "minhash_lsh_dedup_verified",
     "neardup_pairs",
     "simhash_dedup",
     "simhash_fingerprints",

@@ -288,6 +288,85 @@ def minhash_lsh_dedup(
     return _dedup_via_edges(ds, id_col, text_col, edges_ds, verify_block, driver_max_edges, driver_verify)
 
 
+_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def _block_all_pairs(tb: pa.Table) -> pa.Table:
+    """All (a < b) pairs per LSH bucket co-located in this block — unlike
+    ``_block_edges`` no pair is lost to the representative chain, which
+    matters whenever pairs are verified afterwards."""
+    if tb.num_rows == 0:
+        return pa.Table.from_pydict({"a": [], "b": []}, schema=_PAIR_SCHEMA)
+    u = pl.from_arrow(tb).unique(subset=["band", "key", "id"])
+    pairs = (
+        u.join(u.rename({"id": "b"}), on=["band", "key"])
+        .filter(pl.col("id") < pl.col("b"))
+        .select(pl.col("id").alias("a"), "b")
+        .unique()
+    )
+    return pairs.to_arrow().cast(_PAIR_SCHEMA)
+
+
+def _lsh_all_pairs(ds, id_col, text_col, num_perm, bands, shingle, k, seed):
+    """Materialized Dataset of candidate (a < b) pairs from MinHash LSH
+    banding, all-pairs per bucket."""
+    triples = _sel(ds, [id_col, text_col]).map_batches(
+        MinHashBandStage,
+        fn_constructor_args=(id_col, text_col, num_perm, bands, shingle, k, seed),
+        batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+        concurrency=default_actor_concurrency(),
+    )
+    return local_group_map(triples, ["band", "key"], _block_all_pairs).materialize()
+
+
+def minhash_lsh_dedup_verified(
+    ds,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    num_perm: int = 256,
+    bands: int = 64,
+    shingle: str = "word",
+    k: int = 5,
+    seed: int = 42,
+    driver_max_edges: int = DRIVER_MAX_EDGES,
+):
+    """Near-dup dedup with EXACT connectivity semantics: clusters are the
+    connected components of the true Jaccard ≥ threshold pair graph
+    (all-pairs per bucket + per-pair exact verification), survivors are
+    component minima — byte-matchable against a brute-force SQL oracle
+    with a recursive-CTE closure (queries.dedup_minhash_word_docs).
+
+    Contrast :func:`minhash_lsh_dedup` (verify_threshold), which verifies
+    only (member, bucket-min) representative edges — cheaper (O(bucket)
+    vs O(bucket²) candidate edges) but can sever a true pair whose bucket
+    representative resembles neither member; its clusters are a refinement
+    of this function's. Same cost-based driver/distributed tail."""
+    pairs_ds = _lsh_all_pairs(ds, id_col, text_col, num_perm, bands, shingle, k, seed)
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return ds
+    if n_pairs <= driver_max_edges:
+        from ..pipelines.queries import as_table
+
+        t = as_table(pairs_ds)
+        cand = list(
+            {(int(a), int(b)) for a, b in zip(t["a"].to_numpy(zero_copy_only=False), t["b"].to_numpy(zero_copy_only=False))}
+        )
+        kept = _verify_edges(ds, id_col, text_col, cand, threshold, shingle, k)
+        drop = _survivors_from_edges(None, kept)
+        if not drop:
+            return ds
+        return broadcast_value_filter(ds, id_col, np.array(sorted(drop)), keep=False)
+    from .distributed import cluster_drop_ids, pair_payload_join, shuffle_anti_join
+
+    verified = pair_payload_join(
+        ds, pairs_ds, id_col, text_col, _jaccard_verify_block(threshold, shingle, k)
+    )
+    return shuffle_anti_join(ds, id_col, cluster_drop_ids(verified))
+
+
 def neardup_pairs(
     ds,
     id_col: str,
@@ -308,29 +387,7 @@ def neardup_pairs(
     Within-bucket pairing is all-pairs per bucket (not just to the min) so
     no pair is lost to the representative chain.
     """
-
-    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-
-    def block_pairs(tb: pa.Table) -> pa.Table:
-        if tb.num_rows == 0:
-            return pa.Table.from_pydict({"a": [], "b": []}, schema=pair_schema)
-        u = pl.from_arrow(tb).unique(subset=["band", "key", "id"])
-        pairs = (
-            u.join(u.rename({"id": "b"}), on=["band", "key"])
-            .filter(pl.col("id") < pl.col("b"))
-            .select(pl.col("id").alias("a"), "b")
-            .unique()
-        )
-        return pairs.to_arrow().cast(pair_schema)
-
-    triples = _sel(ds, [id_col, text_col]).map_batches(
-        MinHashBandStage,
-        fn_constructor_args=(id_col, text_col, num_perm, bands, shingle, k, seed),
-        batch_format="pyarrow", batch_size=None,
-        zero_copy_batch=True,
-        concurrency=default_actor_concurrency(),
-    )
-    pairs_ds = local_group_map(triples, ["band", "key"], block_pairs).materialize()
+    pairs_ds = _lsh_all_pairs(ds, id_col, text_col, num_perm, bands, shingle, k, seed)
     from ..pipelines.queries import as_table
 
     if pairs_ds.count() > driver_max_pairs:

@@ -1,0 +1,170 @@
+"""Temporal operators Ray Data lacks natively: distributed as-of join
+and gap-based sessionization.
+
+Both compose the engine's hash-shuffle primitive (SURVEY.md §2 "custom
+operators" path (a)): tag-and-union the sides into one schema →
+``repartition(keys=[key])`` co-locates every row of a key → ONE
+vectorized polars kernel per block (sort + ``join_asof`` / gap cumsum).
+The partitioning assumption each relies on: all rows of a join/session
+key fit one block — true whenever no single user/entity dominates the
+corpus; salt hot keys upstream if that breaks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from .shuffle import local_group_map, select_if_needed
+
+_SIDE = "__side"
+
+
+def _tagged_union(left_ds, left_cols: dict, right_ds, right_cols: dict, schema: pa.Schema):
+    """Union two datasets into one shared schema with a side tag; columns
+    absent on a side are typed nulls."""
+
+    def norm(mapping):
+        def fn(tb: pa.Table) -> pa.Table:
+            n = tb.num_rows
+            cols = []
+            for f in schema:
+                if f.name == _SIDE:
+                    cols.append(pa.nulls(n, pa.int8()).fill_null(mapping["__side_val"]))
+                elif f.name in mapping:
+                    cols.append(tb[mapping[f.name]].cast(f.type) if tb[mapping[f.name]].type != f.type else tb[mapping[f.name]])
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            return pa.Table.from_arrays(cols, schema=schema)
+
+        return fn
+
+    lm = dict(left_cols, __side_val=0)
+    rm = dict(right_cols, __side_val=1)
+    return left_ds.map_batches(norm(lm), batch_format="pyarrow", batch_size=None, zero_copy_batch=True).union(
+        right_ds.map_batches(norm(rm), batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    strategy: str = "backward",
+    dedupe_right: bool = True,
+    right_key: str | None = None,
+    num_blocks: int | None = None,
+):
+    """For every left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` (backward; "forward" = least >=) sharing
+    ``key``. Unmatched left rows keep null right values (left-join
+    semantics, like DuckDB's ``ASOF LEFT JOIN``).
+
+    ``dedupe_right=True`` collapses right rows sharing (key, ts) to their
+    per-column MAX first — ties at the as-of instant are otherwise
+    nondeterministic in ANY engine (and break oracle comparison).
+
+    Distributed shape: tag-union → hash-shuffle by key (both sides
+    co-locate) → per-block polars sort + ``join_asof``. Only the named
+    columns travel.
+    """
+    left_schema = left_ds.schema().base_schema
+    right_schema = right_ds.schema().base_schema
+    ts_type = left_schema.field(left_ts).type
+    out_left = [f for f in left_schema]
+    schema = pa.schema(
+        [(_SIDE, pa.int8())]
+        + [(f.name, f.type) for f in out_left]
+        + [("__rts", ts_type)]
+        + [(f"__rv_{c}", right_schema.field(c).type) for c in right_values]
+    )
+    rk = right_key or key
+    left_map = {f.name: f.name for f in out_left}
+    right_map = {key: rk, "__rts": right_ts, **{f"__rv_{c}": c for c in right_values}}
+    tagged = _tagged_union(
+        select_if_needed(left_ds, [f.name for f in out_left]),
+        left_map,
+        select_if_needed(right_ds, [rk, right_ts] + right_values),
+        right_map,
+        schema,
+    )
+    out_schema = pa.schema(
+        [(f.name, f.type) for f in out_left] + [(c, right_schema.field(c).type) for c in right_values]
+    )
+    rename_back = {f"__rv_{c}": c for c in right_values}
+
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
+        df = pl.from_arrow(tb)
+        lhs = df.filter(pl.col(_SIDE) == 0).drop([_SIDE, "__rts"] + list(rename_back))
+        rhs = df.filter(pl.col(_SIDE) == 1).select([key, "__rts"] + list(rename_back))
+        if dedupe_right:
+            rhs = rhs.group_by([key, "__rts"]).agg([pl.col(c).max() for c in rename_back])
+        lhs = lhs.sort(left_ts)
+        rhs = rhs.sort("__rts")
+        j = lhs.join_asof(rhs, left_on=left_ts, right_on="__rts", by=key, strategy=strategy)
+        j = j.rename(rename_back).select([f.name for f in out_schema])
+        return j.to_arrow().cast(out_schema)
+
+    return local_group_map(tagged, [key], block, num_blocks)
+
+
+def sessionize(
+    ds,
+    key: str,
+    ts_col: str,
+    gap,
+    value_col: str | None = None,
+    num_blocks: int | None = None,
+):
+    """Gap-based session windows (§2.9 beyond tumbling/sliding): per key,
+    events sorted by time start a NEW session whenever the gap to the
+    previous event exceeds ``gap`` (a ``datetime.timedelta`` or numpy
+    timedelta). Output: one row per session —
+    (key, session_id 1..n per key in time order, session_start,
+    session_end, n_events[, sum_value]).
+
+    Hash-shuffle by key → per-block polars sort + cumulative gap-break
+    sum. Session numbering is deterministic: ties at the same timestamp
+    share a session regardless of intra-tie order.
+    """
+    need = [key, ts_col] + ([value_col] if value_col else [])
+    ts_type = ds.schema().base_schema.field(ts_col).type
+    out_fields = [
+        (key, ds.schema().base_schema.field(key).type),
+        ("session_id", pa.int64()),
+        ("session_start", ts_type),
+        ("session_end", ts_type),
+        ("n_events", pa.int64()),
+    ]
+    if value_col:
+        out_fields.append(("sum_value", pa.float64()))
+    out_schema = pa.schema(out_fields)
+    gap_us = int(np.timedelta64(gap).astype("timedelta64[us]").astype(np.int64))
+
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
+        df = pl.from_arrow(tb.select(need)).sort([key, ts_col])
+        brk = (
+            (pl.col(ts_col).diff().over(key).dt.total_microseconds() > gap_us)
+            .fill_null(True)
+            .cast(pl.Int64)
+        )
+        df = df.with_columns(session_id=brk.cum_sum().over(key))
+        aggs = [
+            pl.col(ts_col).min().alias("session_start"),
+            pl.col(ts_col).max().alias("session_end"),
+            pl.len().cast(pl.Int64).alias("n_events"),
+        ]
+        if value_col:
+            aggs.append(pl.col(value_col).sum().cast(pl.Float64).alias("sum_value"))
+        out = df.group_by([key, "session_id"]).agg(aggs)
+        return out.select([f.name for f in out_schema]).to_arrow().cast(out_schema)
+
+    return local_group_map(select_if_needed(ds, need), [key], block, num_blocks)

@@ -793,6 +793,122 @@ def distinct_users_by_type(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+@register(
+    "asof_last_order_value",
+    """
+    WITH o1 AS (
+      SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS last_price
+      FROM orders GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, ROUND(COALESCE(o.last_price, 0), 2) AS last_price
+    FROM events e ASOF LEFT JOIN o1 o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_last_order_value(sf_dir: str):
+    """Distributed AS-OF JOIN (a custom operator Ray Data lacks —
+    SURVEY.md §2 path (a)): every event picks the price of that user's
+    most recent order at or before the event time. Tag-union → hash
+    shuffle by user → per-block polars join_asof; right side deduped to
+    (key, ts) max so as-of ties are deterministic on both sides."""
+    from ..functions.temporal import asof_join
+
+    events = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    joined = asof_join(
+        events, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_values=["o_totalprice"], strategy="backward", right_key="o_custkey",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        price = pc.round(pc.coalesce(batch["o_totalprice"], 0.0), 2)
+        return pa.Table.from_pydict(
+            {"event_id": batch["event_id"], "user_id": batch["user_id"], "last_price": price}
+        )
+
+    return as_table(
+        joined.map_batches(finish, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    ).sort_by([("event_id", "ascending")])
+
+
+@register(
+    "session_stats_events",
+    """
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_stats_events(sf_dir: str):
+    """Gap-based session windows (§2.9 beyond tumbling/sliding): a new
+    session starts after a >30-minute silence per user. Hash shuffle by
+    user → per-block sort + cumulative gap-break sum — deterministic
+    session numbering, ties at one timestamp share a session."""
+    import datetime
+
+    from ..functions.temporal import sessionize
+
+    events = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = sessionize(events, key="user_id", ts_col="ts", gap=datetime.timedelta(minutes=30), value_col="value")
+    df = (
+        as_table(out)
+        .sort_by([("user_id", "ascending"), ("session_id", "ascending")])
+        .to_pandas()
+    )
+    return _round_pd(df, {"sum_value": 4})
+
+
+@register(
+    "dedup_minhash_word_docs",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS tok
+      FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS i
+      FROM toks ta JOIN toks tb ON ta.tok = tb.tok AND ta.doc_id < tb.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT i.a, i.b FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a
+      JOIN sizes sb ON sb.doc_id = i.b
+      WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8),
+    edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (SELECT u AS doc_id, MIN(v) AS mn FROM reach GROUP BY u)
+    SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR LEAST(c.doc_id, c.mn) = d.doc_id
+    """,
+)
+def dedup_minhash_word_docs(sf_dir: str):
+    """MinHash-LSH word-level dedup SURVIVORS with a full SQL oracle: the
+    oracle recomputes brute-force Jaccard pairs, closes the edge graph
+    with a recursive CTE, and keeps each component's min doc_id — the
+    exact connectivity semantics of ``minhash_lsh_dedup_verified``
+    (all-pairs per bucket + per-pair verification; the representative-
+    edge variant ``minhash_lsh_dedup`` can sever true pairs and stays
+    rows-only)."""
+    from ..dedup import minhash_lsh_dedup_verified
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = minhash_lsh_dedup_verified(
+        docs, "doc_id", "text", threshold=0.8, num_perm=256, bands=64, shingle="word"
+    )
+    return as_table(out.select_columns(["doc_id"])).sort_by([("doc_id", "ascending")])
+
+
 @register("stratified_split_counts", None)
 def stratified_split_counts(sf_dir: str):
     """Stratified split (P5, ``models/feature_extraction.py:84-97``):

@@ -44,6 +44,7 @@ HEADLINE = [
     "hourly_event_counts",
     "anomaly_scores",
     "dedup_exact_docs",
+    "mined_template_counts",
 ]
 
 

@@ -1,0 +1,125 @@
+"""As-of join and sessionization tests (functions/temporal.py):
+hand-computed expectations, left-join semantics, tie determinism, and
+parallelism invariance."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ts(*args):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=args[0])
+
+
+def test_asof_join_backward_semantics(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import asof_join
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 3], type=pa.int64()),
+            "t": pa.array([_ts(10), _ts(20), _ts(5), _ts(10), _ts(10)], type=pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([1, 1, 2, 2], type=pa.int64()),
+            "rt": pa.array([_ts(8), _ts(15), _ts(10), _ts(10)], type=pa.timestamp("us")),
+            "v": pa.array([100.0, 200.0, 7.0, 9.0]),
+        }
+    )
+    out = as_table(
+        asof_join(
+            rd.from_arrow(left).repartition(3),
+            rd.from_arrow(right).repartition(2),
+            key="k", left_ts="t", right_ts="rt", right_values=["v"], right_key="rk",
+        )
+    ).sort_by([("k", "ascending"), ("t", "ascending")])
+    vals = out["v"].to_pylist()
+    # k=1: t=5 -> no order yet (null); t=10 -> v@8=100; t=20 -> v@15=200
+    # k=2: tie at rt=10 deduped to max -> 9; k=3: no right rows -> null
+    assert vals == [None, 100.0, 200.0, 9.0, None]
+
+
+def test_sessionize_gap_semantics(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import sessionize
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+            "t": pa.array(
+                [_ts(0), _ts(5), _ts(45), _ts(50), _ts(0), _ts(0)], type=pa.timestamp("us")
+            ),
+            "v": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0]),
+        }
+    )
+    out = as_table(
+        sessionize(
+            rd.from_arrow(t).repartition(4), key="u", ts_col="t",
+            gap=datetime.timedelta(minutes=30), value_col="v",
+        )
+    ).to_pandas().sort_values(["u", "session_id"]).reset_index(drop=True)
+    # u=1: [0,5] then gap 40 -> [45,50]; u=2: tied timestamps share one session
+    assert out["session_id"].tolist() == [1, 2, 1]
+    assert out["n_events"].tolist() == [2, 2, 2]
+    assert out["sum_value"].tolist() == [3.0, 12.0, 48.0]
+
+
+def test_asof_and_sessionize_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import asof_join, sessionize
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    rng = np.random.default_rng(6)
+    n = 4000
+    base = datetime.datetime(2024, 1, 1)
+    ev = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 40, n), type=pa.int64()),
+            "t": pa.array(
+                [base + datetime.timedelta(seconds=int(s)) for s in rng.integers(0, 86400, n)],
+                type=pa.timestamp("us"),
+            ),
+            "v": pa.array(rng.random(n)),
+        }
+    )
+    rt = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 40, 300), type=pa.int64()),
+            "t": pa.array(
+                [base + datetime.timedelta(seconds=int(s)) for s in rng.integers(0, 86400, 300)],
+                type=pa.timestamp("us"),
+            ),
+            "w": pa.array(rng.random(300)),
+        }
+    )
+
+    def run(parts):
+        j = as_table(
+            asof_join(
+                rd.from_arrow(ev).repartition(parts), rd.from_arrow(rt).repartition(parts),
+                key="k", left_ts="t", right_ts="t", right_values=["w"],
+            )
+        ).to_pandas().sort_values(["k", "t", "v"]).reset_index(drop=True)
+        s = as_table(
+            sessionize(
+                rd.from_arrow(ev).repartition(parts), key="k", ts_col="t",
+                gap=datetime.timedelta(hours=1), value_col="v",
+            )
+        ).to_pandas().sort_values(["k", "session_id"]).reset_index(drop=True)
+        return j, s
+
+    j2, s2 = run(2)
+    j9, s9 = run(9)
+    assert j2.equals(j9)
+    assert s2.equals(s9)
