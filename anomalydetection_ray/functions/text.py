@@ -57,6 +57,64 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_pattern_counts_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc counts of email / URL / IPv4-shaped substrings — the
+    PII-surface scan a training-data pipeline runs before redaction.
+    Three RE2 kernels per batch (Arrow and DuckDB both use RE2, so the
+    oracle matches byte-exactly)."""
+    text = pc.coalesce(batch[text_col], "")
+    batch = batch.append_column("n_emails", pc.cast(pc.count_substring_regex(text, _EMAIL_RE), pa.int64()))
+    batch = batch.append_column("n_urls", pc.cast(pc.count_substring_regex(text, _URL_RE), pa.int64()))
+    return batch.append_column("n_ips", pc.cast(pc.count_substring_regex(text, _IP_RE), pa.int64()))
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Repetition quality signals: distinct-token ratio and the most
+    frequent token's share — low distinct ratio / high top share mark
+    boilerplate and degenerate generations. One polars tokenize +
+    grouped count per batch."""
+    import polars as pl
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    toks = (
+        pl.DataFrame({"i": np.arange(n, dtype=np.int64), "t": pl.Series(col).fill_null("")})
+        .with_columns(pl.col("t").str.extract_all(_TOKEN_RE))
+        .explode("t")
+        .drop_nulls("t")
+    )
+    n_tok = np.zeros(n, dtype=np.int64)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    top = np.zeros(n, dtype=np.int64)
+    if toks.height:
+        agg = (
+            toks.group_by(["i", "t"])
+            .len()
+            .group_by("i")
+            .agg(
+                n_tok=pl.col("len").sum(),
+                n_distinct=pl.len(),
+                top=pl.col("len").max(),
+            )
+        )
+        idx = agg["i"].to_numpy()
+        n_tok[idx] = agg["n_tok"].to_numpy()
+        n_distinct[idx] = agg["n_distinct"].to_numpy()
+        top[idx] = agg["top"].to_numpy()
+    safe = np.maximum(n_tok, 1).astype(np.float64)
+    batch = batch.append_column("n_tokens_r", pa.array(n_tok))
+    batch = batch.append_column("n_distinct_tokens", pa.array(n_distinct))
+    batch = batch.append_column("distinct_ratio", pa.array(n_distinct / safe))
+    return batch.append_column("top_token_share", pa.array(top / safe))
+
+
 class LangIdModel:
     """Stateful actor stage: stopword tables + char-profile built once per
     actor (`__init__`), scored per batch (`__call__`) — the actor-pool

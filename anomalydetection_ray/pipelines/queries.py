@@ -794,6 +794,132 @@ def distinct_users_by_type(sf_dir: str):
 
 
 @register(
+    "pii_counts_docs",
+    r"""
+    SELECT CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+           CAST(SUM(n_urls) AS BIGINT) AS total_urls,
+           CAST(SUM(n_ips) AS BIGINT) AS total_ips,
+           CAST(SUM(CASE WHEN n_emails + n_urls + n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged
+    FROM (
+      SELECT len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(COALESCE(text, ''), 'https?://[^\s]+')) AS n_urls,
+             len(regexp_extract_all(COALESCE(text, ''), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
+      FROM documents)
+    """,
+)
+def pii_counts_docs(sf_dir: str):
+    """PII-surface scan (training-data pipeline staple): per-doc email /
+    URL / IPv4 pattern counts (three RE2 kernels, functions/text.py)
+    reduced to corpus totals + flagged-doc count via per-block partials."""
+    from ..functions.text import pii_pattern_counts_batch
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = pii_pattern_counts_batch(batch)
+        flagged = pc.sum(
+            pc.cast(
+                pc.greater(pc.add(pc.add(b["n_emails"], b["n_urls"]), b["n_ips"]), 0), pa.int64()
+            )
+        ).as_py() or 0
+        return pa.table(
+            {
+                "e": pa.array([pc.sum(b["n_emails"]).as_py() or 0], type=pa.int64()),
+                "u": pa.array([pc.sum(b["n_urls"]).as_py() or 0], type=pa.int64()),
+                "i": pa.array([pc.sum(b["n_ips"]).as_py() or 0], type=pa.int64()),
+                "f": pa.array([flagged], type=pa.int64()),
+            }
+        )
+
+    parts = as_table(docs.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True))
+    return pd.DataFrame(
+        {
+            "total_emails": [int(pc.sum(parts["e"]).as_py() or 0)],
+            "total_urls": [int(pc.sum(parts["u"]).as_py() or 0)],
+            "total_ips": [int(pc.sum(parts["i"]).as_py() or 0)],
+            "docs_flagged": [int(pc.sum(parts["f"]).as_py() or 0)],
+        }
+    )
+
+
+@register(
+    "doc_repetition",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS t FROM documents),
+    cnts AS (
+      SELECT doc_id, len(t) AS n_tokens_r, len(list_distinct(t)) AS n_distinct_tokens,
+             CASE WHEN len(t) = 0 THEN 0
+                  ELSE (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM unnest(t) AS u(tok) GROUP BY tok))
+             END AS top
+      FROM toks)
+    SELECT doc_id, CAST(n_tokens_r AS BIGINT) AS n_tokens_r,
+           CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+           ROUND(CAST(n_distinct_tokens AS DOUBLE) / GREATEST(n_tokens_r, 1), 6) AS distinct_ratio,
+           ROUND(CAST(top AS DOUBLE) / GREATEST(n_tokens_r, 1), 6) AS top_token_share
+    FROM cnts
+    """,
+)
+def doc_repetition(sf_dir: str):
+    """Repetition quality signals (boilerplate / degenerate-generation
+    detection): distinct-token ratio + most-frequent-token share, one
+    polars tokenize + grouped count per batch (functions/text.py)."""
+    from ..functions.text import repetition_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(
+        lambda t: repetition_batch(t).drop_columns(["text"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    df = as_table(out).sort_by([("doc_id", "ascending")]).to_pandas()
+    return _round_pd(df, {"distinct_ratio": 6, "top_token_share": 6})
+
+
+@register(
+    "users_click_and_purchase",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def users_click_and_purchase(sf_dir: str):
+    """Distributed INTERSECT (set ops absent from both the reference and
+    Ray Data): per-block distinct combiner → one hash shuffle → per-block
+    side-membership group (functions/setops.py)."""
+    from ..functions.setops import intersect_distinct
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    buys = ev.filter(expr="event_type == 'purchase'")
+    return as_table(intersect_distinct(clicks, buys, ["user_id"])).sort_by(
+        [("user_id", "ascending")]
+    )
+
+
+@register(
+    "users_view_not_purchase",
+    """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND user_id < 50
+    """,
+)
+def users_view_not_purchase(sf_dir: str):
+    """Distributed EXCEPT over the same machinery (the subtrahend is
+    range-restricted so the difference is non-empty on the dense synthetic
+    events table — an all-empty EXCEPT would be a vacuous check)."""
+    from ..functions.setops import except_distinct
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    views = ev.filter(expr="event_type == 'view'")
+    buys = ev.filter(expr="event_type == 'purchase' and user_id < 50")
+    return as_table(except_distinct(views, buys, ["user_id"])).sort_by(
+        [("user_id", "ascending")]
+    )
+
+
+@register(
     "asof_last_order_value",
     """
     WITH o1 AS (
