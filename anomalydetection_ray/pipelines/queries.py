@@ -794,6 +794,79 @@ def distinct_users_by_type(sf_dir: str):
 
 
 @register(
+    "lang_length_quantiles",
+    """
+    SELECT lang,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS q50,
+           ROUND(quantile_cont(n_chars, 0.95), 6) AS q95
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_length_quantiles(sf_dir: str):
+    """EXACT per-group quantiles at scale (A2's grouped form): only
+    (lang, n_chars) pairs — 16 bytes/row — shuffle; one vectorized
+    np.percentile per co-located group. Linear interpolation matches SQL
+    quantile_cont; the KLL sketch path stays the one-pass approximate
+    alternative."""
+    from ..functions.shuffle import grouped_exact_quantiles
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    df = as_table(grouped_exact_quantiles(docs, ["lang"], "n_chars", [0.5, 0.95])).to_pandas()
+    return _round_pd(df.sort_values("lang").reset_index(drop=True), {"q50": 6, "q95": 6})
+
+
+@register(
+    "top_docs_per_lang",
+    """
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 3
+    """,
+)
+def top_docs_per_lang(sf_dir: str):
+    """Exact top-k rows per group (windowed ROW_NUMBER <= k): per-batch
+    partial top-k combiner — at most k rows per group per block cross the
+    exchange — then final per-group top-k; doc_id tiebreak keeps the
+    result deterministic."""
+    from ..functions.shuffle import grouped_topk
+
+    docs = read_table(sf_dir, "documents", columns=["lang", "doc_id", "n_chars"])
+    out = as_table(grouped_topk(docs, ["lang"], "n_chars", k=3, tiebreak=["doc_id"]))
+    return out.select(["lang", "doc_id", "n_chars"]).sort_by(
+        [("lang", "ascending"), ("n_chars", "descending"), ("doc_id", "ascending")]
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n_name AS nation, ROUND(SUM(o_totalprice), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(sf_dir: str):
+    """Multi-way join composition: TWO chained broadcast joins (customer,
+    then nation — each dim ships once via ray.put) feeding the
+    no-shuffle driver grouped aggregate."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    j1 = broadcast_join(orders, "o_custkey", cust, "c_custkey", how="inner")
+    j2 = broadcast_join(j1, "c_nationkey", nation, "n_nationkey", how="inner")
+    agg = driver_grouped_agg(
+        j2, ["n_name"], {"revenue": ("o_totalprice", "sum"), "n_orders": (None, "count")}
+    ).rename(columns={"n_name": "nation"})
+    agg["n_orders"] = agg["n_orders"].astype("int64")
+    return _round_pd(agg, {"revenue": 2})
+
+
+@register(
     "pii_counts_docs",
     r"""
     SELECT CAST(SUM(n_emails) AS BIGINT) AS total_emails,

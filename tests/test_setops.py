@@ -47,3 +47,59 @@ def test_set_ops_multi_column_and_parallelism(ray_session):
             )
         )
         assert got == [(1, "a"), (2, "c")]
+
+
+def test_grouped_exact_quantiles_match_numpy(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import grouped_exact_quantiles
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    rng = np.random.default_rng(8)
+    keys = rng.choice(["x", "y", "z"], size=5000)
+    vals = rng.standard_normal(5000) * 100
+    t = pa.table({"g": keys, "v": vals})
+    out = (
+        as_table(grouped_exact_quantiles(rd.from_arrow(t).repartition(7), ["g"], "v", [0.5, 0.9]))
+        .to_pandas()
+        .set_index("g")
+    )
+    for g in ("x", "y", "z"):
+        sub = vals[keys == g]
+        assert np.isclose(out.loc[g, "q50"], np.percentile(sub, 50))
+        assert np.isclose(out.loc[g, "q90"], np.percentile(sub, 90))
+
+
+def test_grouped_topk_exact_and_deterministic(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import grouped_topk
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    t = pa.table(
+        {
+            "g": rng.choice(["a", "b"], size=n),
+            "id": pa.array(range(n), type=pa.int64()),
+            "v": pa.array(rng.integers(0, 50, n), type=pa.int64()),  # many ties
+        }
+    )
+    import pandas as pd
+
+    df = t.to_pandas()
+    expect = (
+        df.sort_values(["v", "id"], ascending=[False, True])
+        .groupby("g", group_keys=False)
+        .head(4)
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    for parts in (2, 9):
+        got = (
+            as_table(grouped_topk(rd.from_arrow(t).repartition(parts), ["g"], "v", k=4, tiebreak=["id"]))
+            .to_pandas()
+            .sort_values(["g", "v", "id"], ascending=[True, False, True])
+            .reset_index(drop=True)[expect.columns.tolist()]
+        )
+        assert got.equals(expect)
