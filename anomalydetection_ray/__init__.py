@@ -32,6 +32,22 @@ Library code never calls ``ray.init``/``ray.shutdown`` — only entry points
 
 __version__ = "0.1.0"
 
+# Cap polars' per-process threadpool in RAY WORKER processes only, BEFORE
+# any (lazy, function-local) polars import. Workers import this package
+# while unpickling UDFs, so the cap lands there first: without it each of
+# N concurrent map tasks spins up a cpu_count-wide rayon pool — measured
+# 7× cpu-time inflation (thread thrash) on many-small-block inputs (the
+# template miner at sf0.1 dropped 2.4 s → 0.85 s with the cap). Ray
+# already owns across-task parallelism; intra-task polars gets a small
+# pool. The DRIVER keeps polars' full pool — its single-process grouped
+# merges (uniqueness pairs) are ~0.8 s faster with it. Respect an
+# explicit user override.
+import os as _os
+import sys as _sys
+
+if "default_worker.py" in (_sys.argv[0] if _sys.argv else ""):
+    _os.environ.setdefault("POLARS_MAX_THREADS", "2")
+
 # High-cardinality grouped operators (uniqueness counts, LSH buckets, exact
 # dedup) rely on repartition(keys=...) which Ray Data only supports under
 # the hash-shuffle strategy; it also scales better than sort-based shuffle
