@@ -114,6 +114,68 @@ def asof_join(
     return local_group_map(tagged, [key], block, num_blocks)
 
 
+def rolling_window_agg(
+    ds,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window,
+    carry: list[str] | None = None,
+    num_blocks: int | None = None,
+):
+    """Per-row trailing time-window aggregate (§2.9): for every event,
+    the count and sum of the SAME KEY's events in ``[ts - window, ts]``
+    (both ends inclusive — SQL ``RANGE BETWEEN window PRECEDING AND
+    CURRENT ROW`` semantics, including same-timestamp peers).
+
+    ``carry`` columns ride along through the shuffle unchanged (e.g. the
+    event id) so callers never need a driver-side re-join. Hash-shuffle
+    by key → per-block sort + two binary searches per row (vectorized
+    ``np.searchsorted`` over the key's sorted timestamps) — O(n log n)
+    per key, no per-row Python loop, no self-join blowup."""
+    carry = carry or []
+    need = list(dict.fromkeys([key, ts_col, value_col] + carry))
+    base = ds.schema().base_schema
+    out_schema = pa.schema(
+        [
+            (key, base.field(key).type),
+            (ts_col, base.field(ts_col).type),
+            (value_col, base.field(value_col).type),
+        ]
+        + [(c, base.field(c).type) for c in carry]
+        + [
+            ("w_count", pa.int64()),
+            ("w_sum", pa.float64()),
+        ]
+    )
+    win_us = int(np.timedelta64(window).astype("timedelta64[us]").astype(np.int64))
+
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
+        df = pl.from_arrow(tb.select(need)).sort([key, ts_col])
+        keys_np = df[key].to_numpy()
+        ts = df[ts_col].cast(pl.Int64).to_numpy()  # µs since epoch
+        vals = df[value_col].cast(pl.Float64).to_numpy()
+        csum = np.concatenate([[0.0], np.cumsum(vals)])
+        w_count = np.empty(len(ts), dtype=np.int64)
+        w_sum = np.empty(len(ts), dtype=np.float64)
+        # group boundaries of the sorted key column
+        bounds = np.flatnonzero(np.concatenate([[True], keys_np[1:] != keys_np[:-1], [True]]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = ts[s:e]
+            lo = s + np.searchsorted(seg, seg - win_us, side="left")
+            hi = s + np.searchsorted(seg, seg, side="right")
+            w_count[s:e] = hi - lo
+            w_sum[s:e] = csum[hi] - csum[lo]
+        out = df.with_columns(
+            w_count=pl.Series(w_count), w_sum=pl.Series(w_sum)
+        )
+        return out.select([f.name for f in out_schema]).to_arrow().cast(out_schema)
+
+    return local_group_map(select_if_needed(ds, need), [key], block, num_blocks)
+
+
 def sessionize(
     ds,
     key: str,

@@ -867,6 +867,85 @@ def revenue_by_nation(sf_dir: str):
 
 
 @register(
+    "rolling_user_value",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS w_count,
+           ROUND(SUM(value) OVER w, 4) AS w_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_user_value(sf_dir: str):
+    """Per-row trailing time-window aggregate (§2.9): each event's count
+    and value-sum over the same user's last hour. Hash shuffle by user →
+    per-block sort + vectorized binary-search window bounds — no
+    self-join blowup, no per-row loop. RANGE semantics (same-timestamp
+    peers included) match the SQL window frame exactly."""
+    import datetime
+
+    from ..functions.temporal import rolling_window_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_window_agg(
+        ev, key="user_id", ts_col="ts", value_col="value",
+        window=datetime.timedelta(hours=1), carry=["event_id"],
+    )
+    df = as_table(out).to_pandas()[["event_id", "user_id", "w_count", "w_sum"]]
+    df = df.sort_values("event_id").reset_index(drop=True)
+    return _round_pd(df, {"w_sum": 4})
+
+
+@register(
+    "top_bigrams_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS p FROM toks WHERE len(t) > 0),
+    big AS (
+      SELECT a.tok || ' ' || b.tok AS bigram
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1)
+    SELECT bigram, COUNT(*) AS cnt FROM big GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+)
+def top_bigrams_docs(sf_dir: str):
+    """Corpus vocabulary statistics (training-data staple): top-20 word
+    bigrams. Per-batch polars explode + within-row shift builds bigrams,
+    the distributed counts path aggregates, deterministic
+    (cnt desc, bigram) tiebreak picks the head."""
+    import polars as pl
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def bigrams(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        df = (
+            pl.DataFrame({"i": np.arange(n, dtype=np.int64), "t": pl.Series(col).fill_null("")})
+            .with_columns(pl.col("t").str.extract_all(r"\S+"))
+            .explode("t")
+            .drop_nulls("t")
+            .with_columns(bigram=pl.col("t") + " " + pl.col("t").shift(-1).over("i"))
+            .drop_nulls("bigram")
+        )
+        return pa.table({"bigram": df["bigram"].to_arrow().cast(pa.string())})
+
+    grams = docs.map_batches(bigrams, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    counts = as_table(key_counts(grams, ["bigram"]))
+    top = (
+        pl.from_arrow(counts)
+        .sort(["cnt", "bigram"], descending=[True, False])
+        .head(20)
+    )
+    return top.to_arrow().cast(pa.schema([("bigram", pa.string()), ("cnt", pa.int64())]))
+
+
+@register(
     "pii_counts_docs",
     r"""
     SELECT CAST(SUM(n_emails) AS BIGINT) AS total_emails,

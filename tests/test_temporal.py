@@ -123,3 +123,71 @@ def test_asof_and_sessionize_parallelism_invariant(ray_session):
     j9, s9 = run(9)
     assert j2.equals(j9)
     assert s2.equals(s9)
+
+
+def test_rolling_window_agg_hand_case(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import rolling_window_agg
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2], type=pa.int64()),
+            "t": pa.array([_ts(0), _ts(30), _ts(61), _ts(61), _ts(0)], type=pa.timestamp("us")),
+            "v": pa.array([1.0, 2.0, 4.0, 8.0, 16.0]),
+            "rid": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        }
+    )
+    out = (
+        as_table(
+            rolling_window_agg(
+                rd.from_arrow(t).repartition(3), key="k", ts_col="t", value_col="v",
+                window=datetime.timedelta(minutes=60), carry=["rid"],
+            )
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    # rid0: only itself; rid1: 0+1; rid2/3: window [1,61] excludes t=0,
+    # includes t=30 and BOTH t=61 peers (RANGE frame peer semantics)
+    assert out["w_count"].tolist() == [1, 2, 3, 3, 1]
+    assert out["w_sum"].tolist() == [1.0, 3.0, 14.0, 14.0, 16.0]
+
+
+def test_rolling_window_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import rolling_window_agg
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    rng = np.random.default_rng(12)
+    n = 3000
+    base = datetime.datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 25, n), type=pa.int64()),
+            "t": pa.array(
+                [base + datetime.timedelta(seconds=int(s)) for s in rng.integers(0, 86400, n)],
+                type=pa.timestamp("us"),
+            ),
+            "v": pa.array(rng.random(n)),
+            "rid": pa.array(range(n), type=pa.int64()),
+        }
+    )
+
+    def run(parts):
+        return (
+            as_table(
+                rolling_window_agg(
+                    rd.from_arrow(t).repartition(parts), key="k", ts_col="t", value_col="v",
+                    window=datetime.timedelta(hours=2), carry=["rid"],
+                )
+            )
+            .to_pandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+
+    assert run(2).equals(run(11))
