@@ -6,10 +6,16 @@ main() :670-710``; ``prediction_pipeline.py main() :592-651``):
       [--repos-dim P] [--baseline SNAP] [--sharded] [--n-shards N]
       [--no-resume]
   python -m anomalydetection_ray baseline CORPUS --out SNAPSHOT
+      [--versioned]          # SNAPSHOT is a root dir; writes baseline-NNNN
   python -m anomalydetection_ray predict LOGFILE --out DIR
       [--sample-ratio R] [--max-lines N] [--min-template-count K]
       [--threshold-percentile P] [--threshold-mode exact|kll]
-      [--feature-dim D] [--no-resume]
+      [--template-mode mask|mined] [--feature-dim D] [--no-resume]
+  python -m anomalydetection_ray dedup PARQUET --out DIR
+      --method exact|minhash|minhash-verified|simhash
+      [--id-col C] [--text-col C] [--threshold J]
+  python -m anomalydetection_ray mine-templates PARQUET --out FILE
+      [--text-col C]
 
 The CLI owns the Ray session (library code never calls ray.init — the
 driver-contract constraint); scripts guard with ``is_initialized``.
@@ -60,6 +66,24 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("baseline", help="write the drift baseline snapshot")
     b.add_argument("corpus")
     b.add_argument("--out", required=True)
+    b.add_argument(
+        "--versioned", action="store_true",
+        help="treat --out as a snapshot ROOT dir; write the next baseline-NNNN.parquet",
+    )
+
+    d = sub.add_parser("dedup", help="deduplicate a parquet table, write survivors")
+    d.add_argument("table")
+    d.add_argument("--out", required=True)
+    d.add_argument("--method", choices=["exact", "minhash", "minhash-verified", "simhash"], default="exact")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--threshold", type=float, default=0.8, help="Jaccard threshold (minhash methods)")
+    d.add_argument("--shingle", choices=["char", "word"], default="word")
+
+    m = sub.add_parser("mine-templates", help="mine log templates, write (template, cnt) parquet")
+    m.add_argument("table")
+    m.add_argument("--out", required=True)
+    m.add_argument("--text-col", default="text")
 
     p = sub.add_parser("predict", help="raw log file -> anomaly verdicts + metrics")
     p.add_argument("logfile")
@@ -69,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-template-count", type=int, default=5)
     p.add_argument("--threshold-percentile", type=float, default=95.0)
     p.add_argument("--threshold-mode", choices=["exact", "kll"], default="exact")
+    p.add_argument("--template-mode", choices=["mask", "mined"], default="mask")
     p.add_argument("--feature-dim", type=int, default=64)
     p.add_argument("--no-resume", action="store_true")
 
@@ -106,10 +131,57 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"passed": res.passed, "verdicts": len(res.verdicts), "violations": n_viol}))
             return 0 if res.passed else 1
         if args.cmd == "baseline":
-            from .pipelines.validate import write_baseline
+            from .pipelines.validate import write_baseline, write_baseline_versioned
 
-            write_baseline(args.corpus, args.out)
-            print(json.dumps({"snapshot": args.out}))
+            if args.versioned:
+                path = write_baseline_versioned(args.corpus, args.out)
+            else:
+                write_baseline(args.corpus, args.out)
+                path = args.out
+            print(json.dumps({"snapshot": path}))
+            return 0
+        if args.cmd == "dedup":
+            import ray.data as rd
+
+            from .pipelines.queries import as_table
+
+            ds = rd.read_parquet(args.table)
+            if args.method == "exact":
+                from .dedup import exact_dedup
+
+                out_ds = exact_dedup(ds, args.id_col, args.text_col)
+            elif args.method == "minhash":
+                from .dedup import minhash_lsh_dedup
+
+                out_ds = minhash_lsh_dedup(
+                    ds, args.id_col, args.text_col, shingle=args.shingle,
+                    verify_threshold=args.threshold,
+                )
+            elif args.method == "minhash-verified":
+                from .dedup import minhash_lsh_dedup_verified
+
+                out_ds = minhash_lsh_dedup_verified(
+                    ds, args.id_col, args.text_col, threshold=args.threshold, shingle=args.shingle
+                )
+            else:
+                from .dedup import simhash_dedup
+
+                out_ds = simhash_dedup(ds, args.id_col, args.text_col)
+            import os
+
+            os.makedirs(args.out, exist_ok=True)
+            out_ds.write_parquet(args.out)
+            print(json.dumps({"out": args.out, "method": args.method}))
+            return 0
+        if args.cmd == "mine-templates":
+            import pyarrow.parquet as pq
+            import ray.data as rd
+
+            from .sources.miner import mine_templates
+
+            tbl = mine_templates(rd.read_parquet(args.table, columns=[args.text_col]), args.text_col)
+            pq.write_table(tbl, args.out)
+            print(json.dumps({"out": args.out, "templates": tbl.num_rows}))
             return 0
         if args.cmd == "predict":
             from .pipelines.predict import PredictConfig, end_to_end_predict
@@ -120,6 +192,7 @@ def main(argv: list[str] | None = None) -> int:
                 min_template_count=args.min_template_count,
                 threshold_percentile=args.threshold_percentile,
                 threshold_mode=args.threshold_mode,
+                template_mode=args.template_mode,
                 feature_dim=args.feature_dim,
             )
             res = end_to_end_predict(args.logfile, args.out, cfg, resume=not args.no_resume)

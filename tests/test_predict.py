@@ -228,3 +228,38 @@ def test_versioned_baseline_discovery(ray_session, tmp_path):
     res = run_suite(f"{d}/corpus", str(tmp_path / "out"), SuiteConfig(), baseline_snapshot=root)
     drift = res.verdicts[res.verdicts["check"] == "drift"]
     assert len(drift) and drift["passed"].all()  # same corpus -> no drift
+
+
+def test_cli_dedup_and_mine_templates(ray_session, tmp_path):
+    """CLI surfaces for the engine-added operators: dedup survivors and
+    mined templates, parquet in → parquet out."""
+    import pyarrow as pa
+    from anomalydetection_ray.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    texts = ["alpha beta gamma delta"] * 3 + ["totally different content here"] + ["core file 1", "core file 2"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(6), type=pa.int64()), "text": texts}), src
+    )
+    out = str(tmp_path / "survivors")
+    assert main(["dedup", src, "--out", out, "--method", "exact"]) == 0
+    surv = pq.read_table(out).to_pandas()
+    assert sorted(surv["doc_id"]) == [0, 3, 4, 5]  # exact dups collapse, near-dups kept
+
+    tout = str(tmp_path / "templates.parquet")
+    assert main(["mine-templates", src, "--out", tout]) == 0
+    tpl = pq.read_table(tout).to_pandas().set_index("template")["cnt"].to_dict()
+    assert tpl["core file <*>"] == 2
+    assert tpl["alpha beta gamma delta"] == 3
+
+
+def test_cli_versioned_baseline(ray_session, tmp_path):
+    from anomalydetection_ray.__main__ import main
+    from anomalydetection_ray.corpus import generate_corpus
+
+    d = str(tmp_path / "c")
+    generate_corpus(d, n_rows=400, n_repos=30, seed=3, rows_per_file=400)
+    root = str(tmp_path / "snaps")
+    assert main(["baseline", f"{d}/corpus", "--out", root, "--versioned"]) == 0
+    assert main(["baseline", f"{d}/corpus", "--out", root, "--versioned"]) == 0
+    assert sorted(os.listdir(root)) == ["baseline-0000.parquet", "baseline-0001.parquet"]
