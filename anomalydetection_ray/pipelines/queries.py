@@ -936,12 +936,22 @@ def top_bigrams_docs(sf_dir: str):
         return pa.table({"bigram": df["bigram"].to_arrow().cast(pa.string())})
 
     grams = docs.map_batches(bigrams, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    counts = as_table(key_counts(grams, ["bigram"]))
-    top = (
-        pl.from_arrow(counts)
-        .sort(["cnt", "bigram"], descending=[True, False])
-        .head(20)
+    counts = key_counts(grams, ["bigram"])
+
+    # distributed top-k: each post-shuffle block holds its bigrams'
+    # EXACT totals, so a per-block partial top-20 is lossless and only
+    # (blocks × 20) rows reach the driver — never the full vocabulary
+    def topk_block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return tb
+        return (
+            pl.from_arrow(tb).sort(["cnt", "bigram"], descending=[True, False]).head(20)
+        ).to_arrow().cast(tb.schema)
+
+    parts = as_table(
+        counts.map_batches(topk_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
+    top = pl.from_arrow(parts).sort(["cnt", "bigram"], descending=[True, False]).head(20)
     return top.to_arrow().cast(pa.schema([("bigram", pa.string()), ("cnt", pa.int64())]))
 
 
