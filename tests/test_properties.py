@@ -1,0 +1,177 @@
+"""Property-based tests (hypothesis) for the engine's algebraic
+contracts — the invariants that make distributed execution correct at
+ANY block boundaries:
+
+- sketch partials merge associatively/commutatively (HLL, KLL);
+- the template miner's partial is a join-semilattice element (any shard
+  split → identical templates);
+- windowed/rolling kernels equal their brute-force per-row definitions;
+- SimHash Hamming candidates via prefix blocks are complete (pigeonhole).
+
+No Ray needed: these exercise the pure kernels the distributed stages
+wrap, so shrinking works and the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_token = st.text(alphabet="ab1 ", min_size=0, max_size=12)
+_lines = st.lists(_token, min_size=0, max_size=40)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_lines, st.integers(min_value=1, max_value=5))
+def test_miner_semilattice_any_split(lines, n_cuts):
+    """Mining shard partials at ANY boundaries and merging them in any
+    grouping equals mining the whole corpus at once."""
+    from anomalydetection_ray.sources.miner import (
+        combine_partials_batch,
+        merge_partial_tables,
+        mine_partial_batch,
+    )
+
+    t = pa.table({"text": pa.array(lines, type=pa.string())})
+    whole = merge_partial_tables([mine_partial_batch(t)])
+    rng = np.random.default_rng(len(lines) * 31 + n_cuts)
+    cuts = sorted({0, len(lines), *map(int, rng.integers(0, len(lines) + 1, n_cuts))})
+    parts = [mine_partial_batch(t.slice(a, b - a)) for a, b in zip(cuts, cuts[1:])]
+    assert merge_partial_tables(parts).equals(whole)
+    if parts:
+        recombined = combine_partials_batch(pa.concat_tables(parts))
+        assert merge_partial_tables([recombined]).equals(whole)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="xyz0189 ", min_size=0, max_size=30), min_size=0, max_size=60))
+def test_hll_merge_order_invariant(texts):
+    from anomalydetection_ray.sketches import HyperLogLog as HLL
+
+    full = HLL(p=10)
+    for t in texts:
+        full = full.update(np.array([t], dtype=object))
+    # split into 3 partials, merge in reverse
+    sks = [HLL(p=10) for _ in range(3)]
+    for i, t in enumerate(texts):
+        sks[i % 3] = sks[i % 3].update(np.array([t], dtype=object))
+    merged = sks[2].merge(sks[1]).merge(sks[0])
+    assert merged.estimate() == full.estimate()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=5),
+)
+def test_kll_merge_matches_single_stream_bounds(values, n_parts):
+    """Merging KLL partials built from any split keeps rank error within
+    the sketch's documented bound vs exact quantiles."""
+    from anomalydetection_ray.sketches import KLL
+
+    arr = np.asarray(values, dtype=np.float64)
+    parts = np.array_split(arr, n_parts)
+    sk = KLL(128)
+    for p in parts[::-1]:
+        other = KLL(128).update(p)
+        sk = sk.merge(other)
+    for q in (0.1, 0.5, 0.9):
+        est = sk.quantile(q)
+        # duplicates make the rank of est an INTERVAL [(arr < est), (arr <= est)];
+        # the estimate is correct if that interval comes within the bound of q
+        r_lo = (arr < est).mean()
+        r_hi = (arr <= est).mean()
+        assert r_lo - q <= 0.15 and q - r_hi <= 0.15  # k=128 bound with slack
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.floats(0, 10, allow_nan=False)),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=1, max_value=100),
+)
+def test_rolling_window_matches_bruteforce(rows, win_s):
+    """The binary-search rolling kernel equals the O(n²) definition."""
+    import datetime
+
+    import polars as pl
+
+    from anomalydetection_ray.functions.temporal import rolling_window_agg
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], type=pa.int64()),
+            "t": pa.array([base + np.timedelta64(r[1], "s") for r in rows], type=pa.timestamp("us")),
+            "v": pa.array([r[2] for r in rows], type=pa.float64()),
+            "rid": pa.array(range(len(rows)), type=pa.int64()),
+        }
+    )
+    # run the block kernel directly (no Ray): one block holding all keys
+    # is exactly what each shuffled partition sees
+    import anomalydetection_ray.functions.temporal as tmod
+
+    block_fn_holder = {}
+    orig = tmod.local_group_map
+
+    def capture(ds, keys, fn, num_blocks=None):
+        block_fn_holder["fn"] = fn
+        return None
+
+    tmod.local_group_map = capture
+    try:
+        rolling_window_agg(_FakeDs(t), "k", "t", "v", datetime.timedelta(seconds=win_s), carry=["rid"])
+    finally:
+        tmod.local_group_map = orig
+    out = block_fn_holder["fn"](t).to_pandas().set_index("rid").sort_index()
+
+    ks = np.array([r[0] for r in rows])
+    ts = np.array([r[1] for r in rows], dtype=np.int64)
+    vs = np.array([r[2] for r in rows])
+    for i in range(len(rows)):
+        m = (ks == ks[i]) & (ts >= ts[i] - win_s) & (ts <= ts[i])
+        assert out.loc[i, "w_count"] == m.sum()
+        assert np.isclose(out.loc[i, "w_sum"], vs[m].sum())
+
+
+class _FakeDs:
+    """Minimal Dataset stand-in for kernel-level property tests."""
+
+    def __init__(self, tbl: pa.Table):
+        self._t = tbl
+
+    def schema(self, **_kw):
+        t = self._t
+
+        class S:
+            base_schema = t.schema
+
+        return S()
+
+    def select_columns(self, cols):
+        return _FakeDs(self._t.select(cols))
+
+    def map_batches(self, fn, **kw):
+        return self
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1), min_size=2, max_size=30))
+def test_simhash_prefix_blocks_complete(fps):
+    """Pigeonhole completeness: any two fingerprints within Hamming
+    distance n_blocks-1 share at least one prefix block key."""
+    from anomalydetection_ray.sketches.simhash import hamming_distance, prefix_blocks
+
+    arr = np.array(fps, dtype=np.uint64)
+    n_blocks = 4
+    blocks = prefix_blocks(arr, n_blocks)
+    for i in range(len(arr)):
+        for j in range(i + 1, len(arr)):
+            d = int(hamming_distance(arr[i : i + 1], arr[j : j + 1])[0])
+            if d <= n_blocks - 1:
+                assert (blocks[i] == blocks[j]).any(), (arr[i], arr[j], d)
