@@ -36,6 +36,21 @@ def token_count_batch(batch: pa.Table, text_col: str = "text", out_col: str = "n
     return batch.append_column(out_col, pc.cast(cnt, pa.int64()))
 
 
+# BPE-style pretokenizer (GPT-2 family shape, lookahead-free so it runs
+# on RE2 — Arrow and DuckDB both): letter runs, digit runs, punctuation
+# runs (each with optional leading space), residual whitespace runs.
+BPE_TOKEN_RE = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text", out_col: str = "n_bpe_tokens") -> pa.Table:
+    """Subword-style token count: a lookahead-free GPT-2-shaped
+    pretokenizer regex counts letter/digit/punctuation segments — the
+    cheap token-budget estimator for LLM training pipelines (a real BPE
+    merges these further; segment count upper-bounds and tracks it)."""
+    cnt = pc.count_substring_regex(pc.coalesce(batch[text_col], ""), BPE_TOKEN_RE)
+    return batch.append_column(out_col, pc.cast(cnt, pa.int64()))
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append n_chars_q, n_tokens, punct_ratio, upper_ratio, mean_token_len."""
     text = batch[text_col]

@@ -49,3 +49,53 @@ def cosine_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
     bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
     return an @ bn.T
+
+
+def grouped_centroids(ds, group_col: str, vec_col: str, num_blocks: int | None = None):
+    """Per-group embedding centroids (mean vector) — the building block
+    for cluster-quality audits and centroid-based near-dup triage.
+
+    Map-side partial: each block reduces to ONE (group, sum-vector,
+    count) row per group it contains — a matmul-free np.add.reduceat over
+    the sorted group index — so only (groups × blocks) tiny rows reach
+    the driver merge, never embeddings. Returns a pyarrow Table
+    (group, centroid list<double>, n)."""
+    import polars as pl
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = list_column_to_matrix(batch[vec_col])
+        g = batch[group_col].combine_chunks() if isinstance(batch[group_col], pa.ChunkedArray) else batch[group_col]
+        gv = np.asarray(g)
+        order = np.argsort(gv, kind="stable")
+        gs, ms = gv[order], m[order]
+        bounds = np.flatnonzero(np.concatenate([[True], gs[1:] != gs[:-1]]))
+        sums = np.add.reduceat(ms, bounds, axis=0)
+        counts = np.diff(np.concatenate([bounds, [len(gs)]]))
+        d = m.shape[1] if m.size else 0
+        return pa.table(
+            {
+                group_col: pa.array(gs[bounds]),
+                "vsum": pa.array(list(sums), type=pa.list_(pa.float64(), d) if d else pa.list_(pa.float64())),
+                "cnt": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    parts = [
+        t
+        for t in ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table({group_col: [], "centroid": [], "n": []})
+    allp = pa.concat_tables(parts, promote_options="default")
+    df = pl.from_arrow(allp)
+    # final merge in numpy: the partials are (groups × blocks) rows and the
+    # group count is small-bounded, so this is kilobytes of work
+    out_rows = []
+    for key, sub in df.group_by(group_col):
+        sums = np.asarray([np.asarray(v) for v in sub["vsum"].to_list()]).sum(axis=0)
+        n = int(sub["cnt"].sum())
+        out_rows.append({group_col: key[0], "centroid": (sums / max(n, 1)).tolist(), "n": n})
+    out_rows.sort(key=lambda r: str(r[group_col]))
+    return pa.Table.from_pylist(out_rows)

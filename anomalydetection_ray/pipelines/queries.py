@@ -867,6 +867,58 @@ def revenue_by_nation(sf_dir: str):
 
 
 @register(
+    "bpe_token_counts_docs",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(COALESCE(text, ''), ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_counts_docs(sf_dir: str):
+    """Subword-style token budgeting: a lookahead-free GPT-2-shaped
+    pretokenizer regex (letter/digit/punctuation segments) counted per
+    doc — Arrow and DuckDB share the RE2 engine, so counts match
+    byte-exactly."""
+    from ..functions.text import bpe_token_count_batch
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(
+        lambda t: bpe_token_count_batch(t).drop_columns(["text"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    return as_table(out).sort_by([("doc_id", "ascending")])
+
+
+@register(
+    "label_centroids",
+    """
+    SELECT label, dim, ROUND(AVG(v), 6) AS c, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+             unnest(range(0, len(embedding))) AS dim
+      FROM embeddings)
+    GROUP BY label, dim
+    """,
+)
+def label_centroids(sf_dir: str):
+    """Per-group embedding centroids (cluster-quality / centroid-triage
+    primitive): map-side (group, sum-vector, count) partials — one
+    reduceat per block, embeddings never shuffle — merged on the driver.
+    Flattened to (label, dim, c) rows for the SQL oracle."""
+    from ..functions.vector import grouped_centroids
+
+    emb = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+    cent = grouped_centroids(emb, "label", "embedding")
+    rows = []
+    for r in cent.to_pylist():
+        for dim, v in enumerate(r["centroid"]):
+            rows.append({"label": r["label"], "dim": dim, "c": round(v, 6), "n": r["n"]})
+    df = pd.DataFrame(rows).sort_values(["label", "dim"]).reset_index(drop=True)
+    return _round_pd(df, {"c": 6})
+
+
+@register(
     "rolling_user_value",
     """
     SELECT event_id, user_id,
