@@ -297,9 +297,16 @@ def merge_partials_to_stats(partial_tables) -> pd.DataFrame:
     deserialized and pairwise-merged each sketch individually — measured
     13 s for 72k partial rows on the driver vs 3.6 s for the whole
     distributed scan; this path does the same merge in ~0.5 s."""
+    stat_cols = [
+        "part", "column", "dtype", "count", "nulls", "null_rate", "distinct_est",
+        "vmin", "vmax", "mean", "std", "p50", "p95", "p99", "smin", "smax",
+        "hll", "kll", "hist",
+    ]
     tabs = [tb for tb in partial_tables if tb.num_rows]
     if not tabs:
-        return pd.DataFrame()
+        # schema-complete empty frame: an EMPTY corpus (or all-empty
+        # shards) must flow through verdict assembly, not KeyError
+        return pd.DataFrame(columns=stat_cols)
     df = pa.concat_tables([t.cast(PARTIAL_SCHEMA) for t in tabs]).to_pandas()
     rows = []
     for (part, col), g in df.groupby(["part", "column"], sort=True):

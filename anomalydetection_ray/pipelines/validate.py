@@ -513,9 +513,16 @@ def _finalize_suite(
                     {"check": check, "partition": p, "column": "", "passed": True, "metric": 0.0, "detail": ""}
                 )
 
-    verdicts = pd.DataFrame(verdict_rows).sort_values(["check", "partition", "column"]).reset_index(drop=True)
+    verdict_cols = ["check", "partition", "column", "passed", "metric", "detail"]
+    verdicts = (
+        pd.DataFrame(verdict_rows, columns=verdict_cols)  # schema-stable when EMPTY
+        .sort_values(["check", "partition", "column"])
+        .reset_index(drop=True)
+    )
     verdicts_path = os.path.join(out_dir, "verdicts.parquet")
     pq.write_table(pa.Table.from_pandas(verdicts, preserve_index=False), verdicts_path)
+    # an empty corpus yields zero verdicts: vacuously passing (there is
+    # nothing to violate), and the row-count signal lives in lineage
     passed = bool(verdicts["passed"].all())
     state.lineage_append(
         {
