@@ -390,7 +390,10 @@ def neardup_pairs(
     pairs_ds = _lsh_all_pairs(ds, id_col, text_col, num_perm, bands, shingle, k, seed)
     from ..pipelines.queries import as_table
 
-    if pairs_ds.count() > driver_max_pairs:
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return pa.Table.from_pydict({"a": [], "b": []}, schema=_PAIR_SCHEMA)
+    if n_pairs > driver_max_pairs:
         # distributed exact verification: candidate payloads shuffle to
         # their pairs instead of gathering to the driver
         from .distributed import pair_payload_join

@@ -64,6 +64,11 @@ def as_table(ds) -> pa.Table:
     ]
     if not tables:
         schema = ds.schema()
+        if schema is None:
+            # a fully-empty pipeline (e.g. every input row filtered away)
+            # loses its schema after transforms; a zero-column empty table
+            # is the only faithful answer
+            return pa.table({})
         return pa.Table.from_arrays(
             [pa.array([], type=f.type) for f in schema.base_schema],
             names=[f.name for f in schema.base_schema],

@@ -65,3 +65,44 @@ def test_null_riddled_rows(ray_session, tmp_path):
     # null lang + empty/null content rows are row-rule violations; no crash
     assert not res.passed
     assert res.violations["rowrules"].num_rows >= 2
+
+
+def test_operators_on_empty_inputs(ray_session):
+    """Every distributed operator must return an empty result — not
+    crash — on a zero-row input (the shape of a fully-filtered stream)."""
+    import datetime
+
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup import exact_dedup, neardup_pairs
+    from anomalydetection_ray.functions.setops import intersect_distinct
+    from anomalydetection_ray.functions.shuffle import grouped_exact_quantiles, grouped_topk
+    from anomalydetection_ray.functions.split import stratified_split
+    from anomalydetection_ray.functions.temporal import asof_join, rolling_window_agg, sessionize
+    from anomalydetection_ray.pipelines.queries import as_table
+    from anomalydetection_ray.sources.miner import mine_templates
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], type=pa.int64()), "text": pa.array([], type=pa.string())})
+    )
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([], type=pa.int64()),
+                "t": pa.array([], type=pa.timestamp("us")),
+                "v": pa.array([], type=pa.float64()),
+            }
+        )
+    )
+    assert as_table(exact_dedup(docs, "doc_id", "text")).num_rows == 0
+    assert neardup_pairs(docs, "doc_id", "text", 0.8).num_rows == 0
+    assert mine_templates(docs, "text").num_rows == 0
+    assert as_table(sessionize(ev, "k", "t", datetime.timedelta(minutes=5), "v")).num_rows == 0
+    assert as_table(rolling_window_agg(ev, "k", "t", "v", datetime.timedelta(minutes=5))).num_rows == 0
+    assert as_table(
+        asof_join(ev, ev, key="k", left_ts="t", right_ts="t", right_values=["v"])
+    ).num_rows == 0
+    assert as_table(intersect_distinct(ev, ev, ["k"])).num_rows == 0
+    assert as_table(grouped_exact_quantiles(ev, ["k"], "v", [0.5])).num_rows == 0
+    assert as_table(grouped_topk(ev, ["k"], "v", 3)).num_rows == 0
+    assert as_table(stratified_split(ev, "k", [0.5, 0.5])[0]).num_rows == 0
