@@ -31,7 +31,7 @@ import polars as pl
 import pyarrow as pa
 
 from ..functions.relational import broadcast_value_filter
-from ..functions.shuffle import default_actor_concurrency, local_group_map
+from ..functions.shuffle import local_group_map, sized_actor_concurrency
 from ..functions.shuffle import select_if_needed as _sel
 from ..functions.vector import list_column_to_matrix
 from ..sketches.minhash import MinHasher, band_keys, exact_jaccard, shingle_hashes, word_hashes
@@ -126,7 +126,7 @@ def lsh_candidate_edges(ds, id_col: str, text_col: str, num_perm: int = 128, ban
         fn_constructor_args=(id_col, text_col, num_perm, bands, shingle, k, seed),
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
-        concurrency=concurrency or default_actor_concurrency(),
+        concurrency=concurrency or sized_actor_concurrency(ds),
     )
     return local_group_map(triples, ["band", "key"], _block_edges)
 
@@ -315,7 +315,7 @@ def _lsh_all_pairs(ds, id_col, text_col, num_perm, bands, shingle, k, seed):
         fn_constructor_args=(id_col, text_col, num_perm, bands, shingle, k, seed),
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
-        concurrency=default_actor_concurrency(),
+        concurrency=sized_actor_concurrency(ds),
     )
     return local_group_map(triples, ["band", "key"], _block_all_pairs).materialize()
 
@@ -549,7 +549,7 @@ def embedding_neardup_pairs(
         fn_constructor_args=(id_col, vec_col, dim, n_bits, bands, seed),
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
-        concurrency=default_actor_concurrency(),
+        concurrency=sized_actor_concurrency(ds),
     )
     pairs_tbl = local_group_map(triples, ["band", "key"], block_pairs).materialize()
     from ..pipelines.queries import as_table
@@ -588,7 +588,7 @@ def embedding_cosine_dedup(ds, id_col: str, vec_col: str, dim: int, threshold: f
         fn_constructor_args=(id_col, vec_col, dim, n_bits, bands, seed),
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
-        concurrency=default_actor_concurrency(),
+        concurrency=sized_actor_concurrency(ds),
     )
     edges_ds = local_group_map(triples, ["band", "key"], _block_edges)
 

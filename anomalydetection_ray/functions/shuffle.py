@@ -74,6 +74,23 @@ def default_actor_concurrency(min_actors: int = 2) -> int:
     return max(min_actors, int(cpus * 0.6))
 
 
+def sized_actor_concurrency(ds, min_actors: int = 1, bytes_per_actor: int = 32 << 20) -> int:
+    """Actor-pool size scaled to the INPUT: ~one actor per 32 MB of the
+    parquet-metadata size estimate (no execution), capped at
+    :func:`default_actor_concurrency`. Spawning a full pool for a tiny
+    input costs more than the work itself (~100 ms+ per actor); at
+    100 TB the estimate saturates the cap, so the large-scale plan is
+    unchanged. Falls back to the cap when no estimate exists."""
+    cap = default_actor_concurrency()
+    try:
+        est = ds.size_bytes()
+    except Exception:
+        est = None
+    if est is None:
+        return cap
+    return max(min_actors, min(cap, -(-est // bytes_per_actor)))
+
+
 def hash_partitioned(ds, keys: list[str], num_blocks: int | None = None):
     """Hash-shuffle so every distinct key lands in exactly one block."""
     return ds.repartition(num_blocks=num_blocks or default_num_blocks(), keys=keys, sort=False)

@@ -69,7 +69,7 @@ def topk_cosine(ds, id_col: str, vec_col: str, queries: np.ndarray, k: int = 10)
     """Exact top-k cosine rows per query; ties broken by ascending id."""
     import ray
 
-    from .shuffle import default_actor_concurrency
+    from .shuffle import sized_actor_concurrency
 
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     partials = _sel(ds, [id_col, vec_col]).map_batches(
@@ -77,7 +77,7 @@ def topk_cosine(ds, id_col: str, vec_col: str, queries: np.ndarray, k: int = 10)
         fn_constructor_args=(id_col, vec_col, qref, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=default_actor_concurrency(),
+        concurrency=sized_actor_concurrency(ds),
     )
     return _final_topk(partials, id_col, k)
 
@@ -169,13 +169,13 @@ def ivf_topk_cosine(
     cent = train_centroids(np.stack(sample.to_numpy()), n_cells, seed=seed)
     cref = ray.put(cent)
     qref = ray.put(np.asarray(queries, dtype=np.float64))
-    from .shuffle import default_actor_concurrency
+    from .shuffle import sized_actor_concurrency
 
     partials = _sel(ds, [id_col, vec_col]).map_batches(
         _IVFPartialTopK,
         fn_constructor_args=(id_col, vec_col, cref, qref, k, n_probe),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=default_actor_concurrency(),
+        concurrency=sized_actor_concurrency(ds),
     )
     return _final_topk(partials, id_col, k)
