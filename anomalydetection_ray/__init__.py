@@ -45,8 +45,13 @@ __version__ = "0.1.0"
 import os as _os
 import sys as _sys
 
+# One polars thread per worker: each Ray map task budgets num_cpus=1, so
+# a wider pool silently overruns the task's CPU allocation — on one box
+# that inflates the small-parallelism legs of the scaling benchmark (the
+# 2-CPU suite leg measured 39.8 s with spillover vs 47.5 s honest), and
+# on a real cluster it oversubscribes nodes exactly the same way.
 if "default_worker.py" in (_sys.argv[0] if _sys.argv else ""):
-    _os.environ.setdefault("POLARS_MAX_THREADS", "2")
+    _os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
 # High-cardinality grouped operators (uniqueness counts, LSH buckets, exact
 # dedup) rely on repartition(keys=...) which Ray Data only supports under

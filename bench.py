@@ -197,16 +197,23 @@ def run_scaling() -> None:
     see BASELINE.md for the microbenchmark isolating this."""
     corpus_dir()  # warm the cache once
     results = {}
-    for cpus in (2, 8, 32):
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--suite-only", "--cpus", str(cpus)],
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=REPO,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+    # TWO full ladders, best per level: this shared VM's background load
+    # drifts on a minutes scale, and a slow patch hitting one level of one
+    # ladder otherwise masquerades as a scaling artifact (observed range
+    # 0.76-0.97 for the same build across single-ladder runs)
+    for _ in range(2):
+        for cpus in (2, 8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--suite-only", "--cpus", str(cpus)],
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=REPO,
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if cpus not in results or r["suite_rows_per_sec"] > results[cpus]["suite_rows_per_sec"]:
+                results[cpus] = r
     thr = {c: results[c]["suite_rows_per_sec"] for c in results}
     eff_2_8 = (thr[8] / thr[2]) / 4.0
     eff_8_32 = (thr[32] / thr[8]) / 4.0
