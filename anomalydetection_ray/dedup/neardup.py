@@ -421,13 +421,15 @@ def neardup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_fingerprints(ds, id_col: str, text_col: str):
-    """(id, simhash) fingerprint per row — stateless vectorized batch map."""
+def simhash_fingerprints(ds, id_col: str, text_col: str, token_hash: str = "fnv"):
+    """(id, simhash) fingerprint per row — stateless vectorized batch map.
+    ``token_hash="md5"`` selects the SQL-reproducible variant (DuckDB
+    ``md5_number_lower`` parity) used by the oracle-checked query."""
 
     def fp(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)
         out = np.fromiter(
-            (np.int64(np.uint64(simhash_text(t if t is not None else ""))) for t in texts),
+            (np.int64(np.uint64(simhash_text(t if t is not None else "", token_hash))) for t in texts),
             dtype=np.int64,
             count=len(texts),
         )
@@ -436,14 +438,14 @@ def simhash_fingerprints(ds, id_col: str, text_col: str):
     return _sel(ds, [id_col, text_col]).map_batches(fp, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
-def simhash_dedup(ds, id_col: str, text_col: str, max_hamming: int = 3, n_blocks: int = 4, driver_max_edges: int = DRIVER_MAX_EDGES):
+def simhash_dedup(ds, id_col: str, text_col: str, max_hamming: int = 3, n_blocks: int = 4, driver_max_edges: int = DRIVER_MAX_EDGES, token_hash: str = "fnv"):
     """Near-dup dedup via SimHash: Manku-style prefix-block grouping finds
     every pair within ``max_hamming`` (requires max_hamming < n_blocks);
     within-bucket pairs are verified by exact Hamming distance."""
     if max_hamming >= n_blocks:
         raise ValueError("pigeonhole requires max_hamming < n_blocks")
 
-    fps = simhash_fingerprints(ds, id_col, text_col)
+    fps = simhash_fingerprints(ds, id_col, text_col, token_hash)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)

@@ -641,6 +641,48 @@ def dedup_simhash_docs(sf_dir: str):
 
 
 @register(
+    "dedup_simhash_md5_docs",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS tok FROM documents)
+      GROUP BY doc_id, tok),
+    bits AS (SELECT unnest(range(0, 64)) AS bit),
+    votes AS (
+      SELECT t.doc_id, b.bit,
+             SUM(t.cnt * (CAST((md5_number_lower(t.tok) >> b.bit) & 1 AS BIGINT) * 2 - 1)) AS v
+      FROM toks t CROSS JOIN bits b GROUP BY t.doc_id, b.bit),
+    fps AS (
+      SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << bit) ELSE 0 END) AS UBIGINT) AS fp
+      FROM votes GROUP BY doc_id),
+    allfps AS (SELECT d.doc_id, COALESCE(f.fp, 0) AS fp FROM documents d LEFT JOIN fps f USING (doc_id)),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b FROM allfps a JOIN allfps b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+    edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+    reach AS (SELECT u, v FROM edges UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (SELECT u AS cid, MIN(v) AS mn FROM reach GROUP BY u)
+    SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.cid
+    WHERE c.cid IS NULL OR LEAST(c.cid, c.mn) = d.doc_id
+    """,
+)
+def dedup_simhash_md5_docs(sf_dir: str):
+    """SimHash dedup with a FULL SQL oracle: token hash = DuckDB's
+    ``md5_number_lower`` (engine parity via hashlib md5 bytes 8..16 LE),
+    so the oracle recomputes the weighted 64-bit sign fingerprint, finds
+    every Hamming<=3 pair brute-force, closes components recursively,
+    and keeps minima — the engine's Manku prefix-block LSH is provably
+    complete within that radius (pigeonhole; property-tested), so both
+    sides agree byte-exactly. The fnv-hash variant (`dedup_simhash_docs`)
+    stays the fast default."""
+    from ..dedup import simhash_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = simhash_dedup(docs, "doc_id", "text", max_hamming=3, token_hash="md5")
+    return as_table(out.select_columns(["doc_id"])).sort_by([("doc_id", "ascending")])
+
+
+@register(
     "embedding_neardup_pairs",
     """
     SELECT a.vec_id AS a, b.vec_id AS b

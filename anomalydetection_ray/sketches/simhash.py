@@ -29,12 +29,28 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> np
     return fp
 
 
-def simhash_text(text: str) -> np.uint64:
+def _md5_token_hash(token: str) -> np.uint64:
+    """uint64 token hash matching DuckDB's ``md5_number_lower`` (digest
+    bytes 8..16, little-endian) — the SQL-reproducible hash used by the
+    oracle-checked SimHash variant."""
+    import hashlib
+
+    d = hashlib.md5(token.encode("utf-8", "surrogatepass")).digest()
+    return np.uint64(int.from_bytes(d[8:], "little"))
+
+
+def simhash_text(text: str, token_hash: str = "fnv") -> np.uint64:
+    """64-bit SimHash over whitespace tokens (distinct tokens weighted by
+    count). ``token_hash``: "fnv" (fast vectorized default) or "md5"
+    (SQL-reproducible — DuckDB ``md5_number_lower`` parity)."""
     toks = text.split()
     if not toks:
         return np.uint64(0)
     uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-    hashes = np.array([_fnv1a(t.encode("utf-8", "surrogatepass")) for t in uniq], dtype=np.uint64)
+    if token_hash == "md5":
+        hashes = np.array([_md5_token_hash(t) for t in uniq], dtype=np.uint64)
+    else:
+        hashes = np.array([_fnv1a(t.encode("utf-8", "surrogatepass")) for t in uniq], dtype=np.uint64)
     return simhash64(hashes, counts)
 
 
