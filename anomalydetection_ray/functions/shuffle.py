@@ -74,6 +74,15 @@ def default_actor_concurrency(min_actors: int = 2) -> int:
     return max(min_actors, int(cpus * 0.6))
 
 
+def blocks_for_bytes(nbytes: int, bytes_per_block: int = 32 << 20) -> int:
+    """Read fan-out sized to the INPUT: ~one block per 32 MB, capped at
+    the cluster default. Ray's default heuristic splits even a 1 MB file
+    into cpus×2 blocks, and a stage whose per-batch kernel has fixed
+    setup cost (polars explode, model dispatch) then pays that cost
+    dozens of times for kilobytes of work each."""
+    return max(1, min(default_num_blocks(), -(-nbytes // bytes_per_block)))
+
+
 def sized_actor_concurrency(ds, min_actors: int = 1, bytes_per_actor: int = 32 << 20) -> int:
     """Actor-pool size scaled to the INPUT: ~one actor per 32 MB of the
     parquet-metadata size estimate (no execution), capped at

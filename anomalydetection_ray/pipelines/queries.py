@@ -1572,9 +1572,16 @@ def mined_template_counts(sf_dir: str):
     order-independent positionwise-agreement merge — a semilattice, so the
     deterministic rule is SQL-expressible and shard boundaries never change
     the mined templates (sources/miner.py)."""
+    import os
+
+    from ..functions.shuffle import blocks_for_bytes
     from ..sources.miner import mine_templates
 
-    docs = read_table(sf_dir, "documents", columns=["text"])
+    # size the read fan-out to the input: the miner's per-batch kernel has
+    # ~30 ms fixed polars setup, so Ray's default cpus×2 split of a tiny
+    # file pays it dozens of times (measured 2.4 s → <1 s here)
+    nb = blocks_for_bytes(os.path.getsize(f"{sf_dir}/documents.parquet"))
+    docs = read_table(sf_dir, "documents", columns=["text"], override_num_blocks=nb)
     return mine_templates(docs)
 
 
