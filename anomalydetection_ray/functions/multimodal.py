@@ -302,14 +302,18 @@ class ImageResizeStage:
 
 def media_features(ds, stage_cls, batch_size: int = 32, concurrency: int | None = None, **stage_kwargs):
     """Run a media feature stage as an actor pool with small batches —
-    large binary payloads need batch × concurrency sized to worker heaps."""
+    large binary payloads need batch × concurrency sized to worker heaps.
+    Default pool size scales with the input estimate (Ray requires an
+    explicit concurrency for callable-class stages)."""
+    from .shuffle import sized_actor_concurrency
+
     return ds.map_batches(
         stage_cls,
         fn_constructor_kwargs=stage_kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=concurrency or sized_actor_concurrency(ds),
     )
 
 
