@@ -197,6 +197,7 @@ def label_propagate_min(edges_ds, max_iters: int = 64, num_blocks: int | None = 
         msg = e.join(l, on="__k", how="inner").group_by("dst").agg(pl.col("label").min())
         return msg.rename({"dst": "id"}).select(["id", "label"]).to_arrow().cast(_LABEL_SCHEMA)
 
+    converged = False
     for _ in range(max_iters):
         tagged = sym_edges.map_batches(edges_to_j, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).union(
             labels.map_batches(labels_to_j, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
@@ -205,8 +206,19 @@ def label_propagate_min(edges_ds, max_iters: int = 64, num_blocks: int | None = 
         labels = grouped_min(messages.union(labels), ["id"], "label", "label", num_blocks).materialize()
         s = labels.sum("label")
         if prev_sum is not None and s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # Silently returning partially-propagated labels would leave extra
+        # survivors and break the documented "distributed plan == driver
+        # union-find" invariant with no signal — and similarity CHAINS
+        # longer than max_iters are plausible in exactly the adversarial
+        # regime this path is selected for (ADVICE round 2). Fail loudly.
+        raise RuntimeError(
+            f"label propagation did not reach a fixpoint within {max_iters} "
+            "rounds (component diameter exceeds max_iters); raise max_iters"
+        )
     return labels
 
 

@@ -85,6 +85,18 @@ class EmbeddingModelStage:
         self.model = model_factory()  # once per actor — the T2 contract
         self.text_col, self.out_col = text_col, out_col
         self.model_batch_size = max(1, int(model_batch_size))
+        # Output dim is pinned HERE, not per batch: an empty block must
+        # emit the same fixed_size_list<float, dim> as every other block
+        # or downstream schema unification fails (ADVICE round 2). Models
+        # without a `.dim` attribute are probed once with one empty string
+        # (the documented contract: callable(list[str]) -> (n, dim)).
+        dim = getattr(self.model, "dim", None)
+        if not dim:
+            probe = np.asarray(self.model([""]), dtype=np.float32)
+            dim = probe.shape[1] if probe.ndim == 2 else 0
+        if not dim:
+            raise ValueError("embedding model output dim could not be derived; give the model a .dim attribute")
+        self.dim = int(dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.text_col]
@@ -95,13 +107,12 @@ class EmbeddingModelStage:
             np.asarray(self.model(texts[i : i + self.model_batch_size]), dtype=np.float32)
             for i in range(0, len(texts), self.model_batch_size)
         ]
-        emb = np.vstack(outs) if outs else np.zeros((0, 0), dtype=np.float32)
-        if emb.ndim != 2 or (len(texts) and emb.shape[0] != len(texts)):
+        emb = np.vstack(outs) if outs else np.zeros((0, self.dim), dtype=np.float32)
+        if emb.ndim != 2 or emb.shape[0] != len(texts) or (len(texts) and emb.shape[1] != self.dim):
             raise ValueError(
-                f"model returned shape {emb.shape}; expected ({len(texts)}, dim)"
+                f"model returned shape {emb.shape}; expected ({len(texts)}, {self.dim})"
             )
-        dim = emb.shape[1] if emb.size else getattr(self.model, "dim", 0)
         emb_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(emb.ravel(), type=pa.float32()), dim or 1
+            pa.array(emb.ravel(), type=pa.float32()), self.dim
         )
         return batch.append_column(self.out_col, emb_col)

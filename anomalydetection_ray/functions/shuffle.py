@@ -83,18 +83,43 @@ def blocks_for_bytes(nbytes: int, bytes_per_block: int = 32 << 20) -> int:
     return max(1, min(default_num_blocks(), -(-nbytes // bytes_per_block)))
 
 
+def metadata_size_estimate(ds) -> int | None:
+    """Size estimate that can NEVER trigger execution.
+
+    ``Dataset.size_bytes()`` is metadata-only for a freshly-read or
+    in-memory dataset, but on a transformed lazy plan Ray Data may
+    execute the whole upstream pipeline just to learn the size — an
+    extra full pass before the real job (ADVICE round 2). Only plans
+    whose root is a bare Read / in-memory From operator are consulted;
+    anything else returns None and callers fall back to their cap."""
+    try:
+        from ray.data._internal.logical.operators.read_operator import Read
+
+        roots: tuple = (Read,)
+        try:
+            from ray.data._internal.logical.operators.from_operators import AbstractFrom
+
+            roots = (Read, AbstractFrom)
+        except Exception:
+            pass
+        dag = ds._logical_plan.dag
+        if isinstance(dag, roots):
+            return ds.size_bytes()
+    except Exception:
+        return None
+    return None
+
+
 def sized_actor_concurrency(ds, min_actors: int = 1, bytes_per_actor: int = 32 << 20) -> int:
     """Actor-pool size scaled to the INPUT: ~one actor per 32 MB of the
-    parquet-metadata size estimate (no execution), capped at
-    :func:`default_actor_concurrency`. Spawning a full pool for a tiny
-    input costs more than the work itself (~100 ms+ per actor); at
-    100 TB the estimate saturates the cap, so the large-scale plan is
-    unchanged. Falls back to the cap when no estimate exists."""
+    metadata size estimate (:func:`metadata_size_estimate` — never
+    executes), capped at :func:`default_actor_concurrency`. Spawning a
+    full pool for a tiny input costs more than the work itself
+    (~100 ms+ per actor); at 100 TB the estimate saturates the cap, so
+    the large-scale plan is unchanged. Falls back to the cap when the
+    input is a transformed plan with no safe estimate."""
     cap = default_actor_concurrency()
-    try:
-        est = ds.size_bytes()
-    except Exception:
-        est = None
+    est = metadata_size_estimate(ds)
     if est is None:
         return cap
     return max(min_actors, min(cap, -(-est // bytes_per_actor)))
@@ -201,6 +226,18 @@ def grouped_min(ds, keys: list[str], value_col: str, out_col: str, num_blocks: i
     return local_group_map(ds, keys, local, num_blocks)
 
 
+def quantile_column_names(quantiles: list[float]) -> list[str]:
+    """Collision-free output names for quantile columns: ``0.5 → q50``,
+    ``0.95 → q95``, ``0.999 → q99_9``, ``0.29 → q29``. The previous
+    ``int(q*100)`` truncation misnamed non-integral percents (0.29 →
+    'q28') and collided distinct quantiles (0.99 and 0.999 both →
+    'q99') — ADVICE round 2. Duplicate names are rejected up front."""
+    names = [f"q{q * 100:g}".replace(".", "_").replace("-", "m") for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantiles {quantiles} produce duplicate column names {names}")
+    return names
+
+
 def grouped_exact_quantiles(
     ds,
     keys: list[str],
@@ -216,11 +253,12 @@ def grouped_exact_quantiles(
     For single-pass approximate quantiles over wide data use the KLL
     sketch path (checks/stats.py) instead."""
     qs = list(quantiles)
+    qnames = quantile_column_names(qs)
 
     def local(tb: pa.Table) -> pa.Table:
         schema = pa.schema(
             [tb.schema.field(k) for k in keys]
-            + [pa.field(f"q{int(q * 100)}", pa.float64()) for q in qs]
+            + [pa.field(qn, pa.float64()) for qn in qnames]
         )
         if tb.num_rows == 0:
             return pa.Table.from_pydict({f.name: [] for f in schema}, schema=schema)
@@ -230,8 +268,8 @@ def grouped_exact_quantiles(
             vals = g[value_col].to_numpy()
             rec = dict(zip(keys, key_vals))
             pct = np.percentile(vals, [q * 100 for q in qs]) if vals.size else [float("nan")] * len(qs)
-            for q, v in zip(qs, pct):
-                rec[f"q{int(q * 100)}"] = float(v)
+            for qn, v in zip(qnames, pct):
+                rec[qn] = float(v)
             rows.append(rec)
         return pa.Table.from_pylist(rows, schema=schema)
 

@@ -162,11 +162,42 @@ def ivf_topk_cosine(
     seed: int = 42,
 ) -> pd.DataFrame:
     """Approximate top-k via inverted-file pruning. Recall rises with
-    ``n_probe``; ``n_probe == n_cells`` degenerates to exact brute force."""
+    ``n_probe``; ``n_probe == n_cells`` degenerates to exact brute force.
+
+    Centroid training uses a DETERMINISTIC HASH-RATE sample of the whole
+    corpus, not a prefix: ``limit(train_sample)`` read only the first
+    rows — on a corpus sorted by repo/lang the centroids would see one
+    shard and recall collapses (round-3 verdict item 4; the same
+    non-uniform prefix sampling SURVEY §2.6/P2 criticizes in the
+    reference, ``end_to_end_prediction.py:643-655``). The row-count for
+    the rate is parquet metadata for a fresh read; the sample itself is
+    reproducible at any parallelism."""
+    import polars as pl
     import ray
 
-    sample = ds.select_columns([vec_col]).limit(train_sample).to_pandas()[vec_col]
-    cent = train_centroids(np.stack(sample.to_numpy()), n_cells, seed=seed)
+    n_total = ds.count()
+    rate = min(1.0, train_sample / max(n_total, 1))
+
+    def hash_sample(batch: pa.Table) -> pa.Table:
+        col = batch[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        u = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=seed).to_numpy() / 2.0**64
+        return batch.filter(pa.array(u < rate))
+
+    sample_tabs = [
+        t
+        for t in _sel(ds, [id_col, vec_col])
+        .map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not sample_tabs:
+        raise ValueError("empty dataset: no rows to train IVF centroids on")
+    sample = list_column_to_matrix(
+        pa.concat_tables(sample_tabs, promote_options="default")[vec_col].combine_chunks()
+    )
+    cent = train_centroids(sample, n_cells, seed=seed)
     cref = ray.put(cent)
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     from .shuffle import sized_actor_concurrency

@@ -155,7 +155,13 @@ def rolling_window_agg(
             return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
         df = pl.from_arrow(tb.select(need)).sort([key, ts_col])
         keys_np = df[key].to_numpy()
-        ts = df[ts_col].cast(pl.Int64).to_numpy()  # µs since epoch
+        s = df[ts_col]
+        # unit-safe epoch conversion: a raw Int64 cast yields the column's
+        # NATIVE unit (ns for timestamp[ns] inputs — common from pandas),
+        # silently shrinking the window 1000× against the µs constant
+        # below (ADVICE round 2). Numeric ts columns pass through and are
+        # interpreted as µs by contract.
+        ts = s.dt.timestamp("us").to_numpy() if s.dtype.is_temporal() else s.cast(pl.Int64).to_numpy()
         vals = df[value_col].cast(pl.Float64).to_numpy()
         csum = np.concatenate([[0.0], np.cumsum(vals)])
         w_count = np.empty(len(ts), dtype=np.int64)

@@ -90,6 +90,12 @@ class SuiteConfig:
         default_factory=lambda: np.concatenate([[0.0], np.logspace(0, 5, 40)])
     )
     batch_size: int | None = None  # None = whole blocks, no rebatching copies
+    # cost gate for driver-held violation rows (round-3 verdict item 3):
+    # adversarial inputs (e.g. 50% duplicate keys) concentrate O(rows)
+    # violation rows; above this bound they spill to worker-written
+    # parquet shards and the suite finalizes from the files, with only
+    # per-(kind, partition) counts on the driver
+    max_driver_violation_rows: int = 2_000_000
     # user-composable constraints (checks/base.py Tolerance): each bounds a
     # stats-table metric per (partition, column); evaluated driver-side
     # against the fused scan's output — adding one never adds a scan
@@ -103,6 +109,11 @@ class SuiteResult:
     stats: pd.DataFrame
     violations: dict[str, pa.Table]
     passed: bool
+    # set when violations exceeded max_driver_violation_rows: the exact
+    # rows live as sorted parquet shards under this directory and the
+    # ``violations`` tables above are schema-correct but EMPTY (the
+    # driver held only counts)
+    violations_dir: str | None = None
 
 
 def _corpus_schema(corpus_path: str) -> pa.Schema:
@@ -248,7 +259,15 @@ def make_row_violations_fn(cfg: SuiteConfig, refs: _RowpassRefs):
     return row_violations
 
 
-def _fused_scan(ds, cfg: SuiteConfig, refs: _RowpassRefs, all_cols: list[str]):
+def _fused_scan(
+    ds,
+    cfg: SuiteConfig,
+    refs: _RowpassRefs,
+    all_cols: list[str],
+    spill_dir: str | None = None,
+    spill_mode: str = "never",
+    max_driver_viol_rows: int | None = None,
+):
     """ONE content scan computing BOTH the stats partials and the row
     violations — the corpus's dominant cost is reading/decompressing the
     wide ``content`` column, so the per-check version's two content scans
@@ -263,6 +282,26 @@ def _fused_scan(ds, cfg: SuiteConfig, refs: _RowpassRefs, all_cols: list[str]):
     Returns ``(stats_partials, viol_all)`` — partials stay unmerged so the
     sharded suite can checkpoint them associatively; callers merge via
     ``merge_partials_to_stats``.
+
+    Violation-volume guard (round-3 verdict item 3): on a sane corpus
+    violations are rare and streaming them to the driver is free, but an
+    adversarial input (50% duplicate keys) makes them O(rows).
+    ``spill_mode``:
+
+    - ``"never"``  — current behavior, everything on the driver;
+    - ``"force"``  — pre-gated (the dup-hash set alone predicts a blowup):
+      each COMBINE task writes its violation rows straight to parquet
+      under ``spill_dir`` — rows never reach the driver at all;
+    - ``"auto"``   — violations stream to the driver but accumulate at
+      most ``max_driver_viol_rows``; past the cap the accumulation
+      flushes to ``spill_dir`` shards and keeps flushing (bounded driver
+      memory for violation sources no pre-gate can predict, e.g. an
+      all-rows row-rule failure).
+
+    When anything spilled, returns ``(stats_partials, None)`` — the
+    violations live under ``spill_dir``. Worker-side shards inherit Ray's
+    at-least-once task semantics: a retried scan task would duplicate its
+    shard, matching the guarantee level of ``Dataset.write_parquet``.
     """
     from ..checks.stats import (
         PARTIAL_SCHEMA,
@@ -294,12 +333,24 @@ def _fused_scan(ds, cfg: SuiteConfig, refs: _RowpassRefs, all_cols: list[str]):
         vt = row_fn(batch)
         return to_union(stats_fn(batch), vt.rename_columns(pref_names))
 
+    if spill_mode == "force" and spill_dir:
+        os.makedirs(spill_dir, exist_ok=True)
+
     def combine_stage(tb: pa.Table) -> pa.Table:
         if tb.num_rows == 0:
             return tb
         s_mask = pc.equal(tb["rec"], "s")
         st = merge_partial_rows(tb.filter(s_mask).select(partial_names).cast(PARTIAL_SCHEMA))
-        return to_union(st, tb.filter(pc.invert(s_mask)).select(pref_names))
+        vt = tb.filter(pc.invert(s_mask)).select(pref_names)
+        if spill_mode == "force" and spill_dir and vt.num_rows:
+            import uuid
+
+            pq.write_table(
+                vt.rename_columns(viol_names),
+                os.path.join(spill_dir, f"viol-{uuid.uuid4().hex}.parquet"),
+            )
+            vt = vt.slice(0, 0)
+        return to_union(st, vt)
 
     fused_ds = ds.map_batches(
         fused, batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True
@@ -307,22 +358,59 @@ def _fused_scan(ds, cfg: SuiteConfig, refs: _RowpassRefs, all_cols: list[str]):
 
     stats_parts: list[pa.Table] = []
     viol_parts: list[pa.Table] = []
+    viol_schema: pa.Schema | None = None
+    viol_held = 0
+    spilled = spill_mode == "force" and spill_dir is not None
+    n_flushed = 0
+
+    def flush_to_spill() -> None:
+        nonlocal viol_parts, viol_held, spilled, n_flushed
+        if not viol_parts:
+            return
+        os.makedirs(spill_dir, exist_ok=True)
+        pq.write_table(
+            pa.concat_tables(viol_parts),
+            os.path.join(spill_dir, f"viol-driver-{n_flushed:05d}.parquet"),
+        )
+        n_flushed += 1
+        viol_parts, viol_held, spilled = [], 0, True
+
     for tb in fused_ds.iter_batches(batch_format="pyarrow", batch_size=None):
         if tb.num_rows == 0:
             continue
         s_mask = pc.equal(tb["rec"], "s")
         stats_parts.append(tb.filter(s_mask).select(partial_names).cast(PARTIAL_SCHEMA))
-        viol_parts.append(tb.filter(pc.invert(s_mask)).select(pref_names).rename_columns(viol_names))
+        vt = tb.filter(pc.invert(s_mask)).select(pref_names).rename_columns(viol_names)
+        if viol_schema is None:
+            viol_schema = vt.schema
+        if vt.num_rows:
+            viol_parts.append(vt)
+            viol_held += vt.num_rows
+        if (
+            spill_mode == "auto"
+            and spill_dir
+            and max_driver_viol_rows is not None
+            and viol_held > max_driver_viol_rows
+        ):
+            flush_to_spill()
+    if spilled and viol_parts:
+        flush_to_spill()
     stats_partials = (
         pa.concat_tables(stats_parts)
         if stats_parts
         else pa.Table.from_pydict({f.name: [] for f in PARTIAL_SCHEMA}, schema=PARTIAL_SCHEMA)
     )
-    viol_all = (
-        pa.concat_tables(viol_parts)
-        if viol_parts
-        else pa.Table.from_pydict({c: [] for c in viol_names})
-    )
+    if spilled:
+        return stats_partials, None
+    if viol_parts:
+        viol_all = pa.concat_tables(viol_parts)
+    elif viol_schema is not None:
+        # zero violations: the empty table must keep the REAL column types
+        # (seen on every streamed batch) — an inferred null-typed empty
+        # breaks later concats with typed tables (sharded phase B)
+        viol_all = pa.Table.from_pydict({c: [] for c in viol_names}, schema=viol_schema)
+    else:
+        viol_all = pa.Table.from_pydict({c: [] for c in viol_names})
     return stats_partials, viol_all
 
 
@@ -357,6 +445,44 @@ def _verify_dup_candidates(viol_all: pa.Table, key: list[str]) -> pa.Table:
     return pa.concat_tables([viol_all.filter(pc.invert(dup_mask)), verified])
 
 
+def _verify_dup_candidates_ds(viol_ds, key: list[str]):
+    """Distributed analog of :func:`_verify_dup_candidates` for the spill
+    path: hash-partition the violation stream by key so all candidate
+    rows of one key co-locate, then recount per block. Non-duplicate
+    violation kinds ride through the same shuffle unchanged."""
+    import polars as pl
+
+    from ..functions.shuffle import local_group_map
+
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return tb
+        df = pl.from_arrow(tb)
+        is_dup = pl.col("violation_kind") == "duplicate_key"
+        dup = df.filter(is_dup)
+        if dup.height:
+            # polars groups null key values together (matching the pandas
+            # dropna=False recount): collision artifacts with count 1 drop
+            dup = dup.filter(pl.len().over(key) >= 2)
+        out = pl.concat([df.filter(~is_dup), dup])
+        return out.to_arrow().cast(tb.schema)
+
+    return local_group_map(viol_ds, key, block)
+
+
+def _spill_violation_counts(viol_ds, part: str) -> dict[str, dict[str, int]]:
+    """Per-(kind, partition) violation counts from the spilled stream —
+    the only violation-derived state the driver holds in spill mode."""
+    from ..functions.shuffle import driver_grouped_agg
+
+    df = driver_grouped_agg(viol_ds, ["violation_kind", part], {"cnt": (None, "count")})
+    counts: dict[str, dict[str, int]] = {}
+    for _, r in df.iterrows():
+        p = "<null>" if pd.isna(r[part]) else str(r[part])
+        counts.setdefault(str(r["violation_kind"]), {})[p] = int(r["cnt"])
+    return counts
+
+
 def _sort_violations(viol_all: pa.Table, out_cols: list[str]) -> pa.Table:
     """Deterministic byte-stable order regardless of block arrival.
 
@@ -385,9 +511,15 @@ def _finalize_suite(
     stats_df: pd.DataFrame,
     viol_all: pa.Table,
     baseline_snapshot: str | None,
+    viol_counts: dict[str, dict[str, int]] | None = None,
+    violations_dir: str | None = None,
 ) -> SuiteResult:
     """stats table + violation rows → per-(check, partition) verdicts,
-    drift scoring, lineage, and the verdicts.parquet artifact."""
+    drift scoring, lineage, and the verdicts.parquet artifact.
+
+    Spill mode (``viol_counts`` given): ``viol_all`` is schema-correct but
+    EMPTY — verdict counts come from the distributed per-(kind, partition)
+    aggregate and the exact rows stay under ``violations_dir``."""
     part = cfg.partition_by
     verdict_rows: list[dict] = []
     violations: dict[str, pa.Table] = {}
@@ -460,18 +592,28 @@ def _finalize_suite(
     violations["rowrules"] = viol_all.filter(is_rowrule) if viol_all.num_rows else viol_all
     uq = viol_all.filter(pc.equal(kind_col, "duplicate_key")) if viol_all.num_rows else viol_all
     violations["uniqueness"] = uq
-    for p, c in _per_part_counts(violations["rowrules"], part).items():
+
+    def _counts_for(kinds: list[str], table: pa.Table) -> dict[str, int]:
+        if viol_counts is None:
+            return _per_part_counts(table, part)
+        merged: dict[str, int] = {}
+        for k in kinds:
+            for p, c in viol_counts.get(k, {}).items():
+                merged[p] = merged.get(p, 0) + c
+        return merged
+
+    for p, c in _counts_for([f"null_{part}", "empty_content"], violations["rowrules"]).items():
         verdict_rows.append(
             {"check": "rowrules", "partition": p, "column": "", "passed": False, "metric": float(c), "detail": f"{c} row-rule violations"}
         )
-    for p, c in _per_part_counts(uq, part).items():
+    for p, c in _counts_for(["duplicate_key"], uq).items():
         verdict_rows.append(
             {"check": "uniqueness", "partition": p, "column": "", "passed": False, "metric": float(c), "detail": f"{c} duplicate-key rows"}
         )
     if cfg.repos_dim_path:
         rf = viol_all.filter(pc.equal(kind_col, "orphan_repo")) if viol_all.num_rows else viol_all
         violations["referential"] = rf
-        for p, c in _per_part_counts(rf, part).items():
+        for p, c in _counts_for(["orphan_repo"], rf).items():
             verdict_rows.append(
                 {"check": "referential", "partition": p, "column": "", "passed": False, "metric": float(c), "detail": f"{c} orphan rows"}
             )
@@ -524,17 +666,29 @@ def _finalize_suite(
     # an empty corpus yields zero verdicts: vacuously passing (there is
     # nothing to violate), and the row-count signal lives in lineage
     passed = bool(verdicts["passed"].all())
+    if viol_counts is None:
+        n_viol = {k: v.num_rows for k, v in violations.items()}
+    else:
+        n_viol = {k: sum(parts.values()) for k, parts in viol_counts.items()}
     state.lineage_append(
         {
             "unit": "suite",
             "metrics": {
                 "passed": passed,
                 "n_verdicts": len(verdicts),
-                "n_violations": {k: v.num_rows for k, v in violations.items()},
+                "n_violations": n_viol,
+                **({"violations_dir": violations_dir} if violations_dir else {}),
             },
         }
     )
-    return SuiteResult(out_dir=out_dir, verdicts=verdicts, stats=stats_df, violations=violations, passed=passed)
+    return SuiteResult(
+        out_dir=out_dir,
+        verdicts=verdicts,
+        stats=stats_df,
+        violations=violations,
+        passed=passed,
+        violations_dir=violations_dir,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -608,34 +762,88 @@ def run_suite(
     # stats partials + all row-level checks in the same scan: content is
     # read and decompressed ONCE per suite run (it dominates corpus bytes;
     # the earlier separate stats/rowpass scans each paid the full read).
+    corpus_schema = _corpus_schema(corpus_path)
+    out_cols = key + [part]
+    viol_schema = pa.schema(
+        [(c, corpus_schema.field(c).type) for c in out_cols]
+        + [("content_sha256", pa.string()), ("violation_kind", pa.string())]
+    )
     stats_path = os.path.join(state.unit_dir("scan"), "stats.parquet")
     sc_path = os.path.join(state.unit_dir("scan"), "violations.parquet")
-    if resume and uniq_reused and state.is_done_compat(
-        "scan", files=("stats.parquet", "violations.parquet")
-    ):
+    spill_raw = os.path.join(state.unit_dir("scan"), "violations_spill")
+    spill_final = os.path.join(state.unit_dir("scan"), "violations_sorted")
+    scan_meta = state.done_metrics("scan") or {}
+    spilled_before = bool(scan_meta.get("metrics", {}).get("spilled"))
+    scan_reusable = resume and uniq_reused and state.is_done_compat("scan", files=("stats.parquet",)) and (
+        os.path.isdir(spill_final) if spilled_before else os.path.exists(sc_path)
+    )
+    if scan_reusable:
         stats_df = pq.read_table(stats_path).to_pandas()
-        viol_all = pq.read_table(sc_path)
+        viol_all = None if spilled_before else pq.read_table(sc_path)
     else:
-        all_cols = [f.name for f in _corpus_schema(corpus_path)]
+        all_cols = [f.name for f in corpus_schema]
         refs = _prepare_rowpass_refs(cfg, dup_hashes)
+        # pre-gate: the dup-hash set alone predicts ≥ 2·len(dup) candidate
+        # rows — above the bound, scan tasks write violation shards
+        # themselves and the driver never sees a violation row
+        pre_gate = 2 * len(dup_hashes) > cfg.max_driver_violation_rows
+        import shutil
+
+        for d in (spill_raw, spill_final):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
         stats_partials, viol_all = _fused_scan(
-            corpus(num_blocks=default_num_blocks()), cfg, refs, all_cols
+            corpus(num_blocks=default_num_blocks()),
+            cfg,
+            refs,
+            all_cols,
+            spill_dir=spill_raw,
+            spill_mode="force" if pre_gate else "auto",
+            max_driver_viol_rows=cfg.max_driver_violation_rows,
         )
         stats_df = merge_partials_to_stats([stats_partials])
-        viol_all = _sort_violations(_verify_dup_candidates(viol_all, key), refs.out_cols)
+        if viol_all is None and not (
+            os.path.isdir(spill_raw) and any(f.endswith(".parquet") for f in os.listdir(spill_raw))
+        ):
+            # force mode with zero actual violations — nothing spilled
+            viol_all = pa.Table.from_pydict({f.name: [] for f in viol_schema}, schema=viol_schema)
+        if viol_all is None:
+            # distributed finalize: exact dup recount via key co-partition,
+            # global multi-column sort, partitioned parquet — violations
+            # never materialize on the driver
+            verified = _verify_dup_candidates_ds(rd.read_parquet(spill_raw), key)
+            os.makedirs(spill_final, exist_ok=True)
+            verified.sort(["violation_kind"] + out_cols + ["content_sha256"]).write_parquet(spill_final)
+            n_viol = sum(
+                pq.read_metadata(os.path.join(spill_final, f)).num_rows
+                for f in os.listdir(spill_final)
+                if f.endswith(".parquet")
+            )
+        else:
+            viol_all = _sort_violations(_verify_dup_candidates(viol_all, key), refs.out_cols)
+            pq.write_table(viol_all, sc_path)
+            n_viol = viol_all.num_rows
         pq.write_table(pa.Table.from_pandas(stats_df, preserve_index=False), stats_path)
-        pq.write_table(viol_all, sc_path)
         state.mark_done(
             "scan",
             {
-                "violations": viol_all.num_rows,
+                "violations": n_viol,
+                "spilled": viol_all is None,
                 "partitions": int(stats_df["part"].nunique()) if len(stats_df) else 0,
                 "rows_seen": int(stats_df.loc[stats_df["column"] == cfg.content_col, "count"].sum()) if len(stats_df) else 0,
             },
         )
 
     _mark("fused_scan")
-    result = _finalize_suite(state, out_dir, cfg, stats_df, viol_all, baseline_snapshot)
+    if viol_all is None:
+        viol_counts = _spill_violation_counts(rd.read_parquet(spill_final), part)
+        empty_viol = pa.Table.from_pydict({f.name: [] for f in viol_schema}, schema=viol_schema)
+        result = _finalize_suite(
+            state, out_dir, cfg, stats_df, empty_viol, baseline_snapshot,
+            viol_counts=viol_counts, violations_dir=spill_final,
+        )
+    else:
+        result = _finalize_suite(state, out_dir, cfg, stats_df, viol_all, baseline_snapshot)
     _mark("drift_and_verdicts")
     if os.environ.get("ADRAY_TIMINGS"):
         print("suite timings:", _timings, flush=True)

@@ -135,6 +135,29 @@ def test_label_propagation_matches_union_find(ray_session):
     assert got == expect
 
 
+def test_exact_dedup_distributed_matches_driver(ray_session):
+    """round-3 verdict item 2: the large-input branch must not collect
+    survivor ids on the driver; drop ids are emitted worker-side and
+    removed with shuffle_anti_join. Byte-equal to the driver plan on a
+    ≥50%-duplicate corpus with the threshold forced both ways."""
+    import ray.data as rd
+    from anomalydetection_ray.dedup import exact_dedup
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    n, half = 400, 200
+    texts = [f"exact text {i % half} payload" for i in range(n)]  # every text twice
+    t = pa.table(
+        {"doc_id": pa.array(range(n), type=pa.int64()), "text": pa.array(texts, type=pa.string())}
+    )
+    ds = rd.from_arrow(t).repartition(7)
+    driver = as_table(exact_dedup(ds, "doc_id", "text", driver_merge_max_bytes=1 << 40))
+    dist = as_table(exact_dedup(ds, "doc_id", "text", driver_merge_max_bytes=-1))
+    d = driver.sort_by("doc_id")
+    x = dist.sort_by("doc_id")
+    assert d.equals(x)
+    assert sorted(d["doc_id"].to_pylist()) == list(range(half))
+
+
 def test_shuffle_anti_join(ray_session):
     import ray.data as rd
     from anomalydetection_ray.dedup.distributed import shuffle_anti_join

@@ -257,6 +257,45 @@ def test_union_find_min_root():
     assert drop == {3, 5, 9, 7}
 
 
+def test_ivf_recall_on_clustered_unshuffled_input(ray_session):
+    """round-3 verdict item 4: centroid training must sample the WHOLE
+    corpus, not a prefix. Fixture: two far-apart clusters stored
+    cluster-A-first (like a corpus sorted by repo/lang), train_sample
+    smaller than cluster A — a prefix sample would train every centroid
+    on A and collapse recall for cluster-B queries; the deterministic
+    hash-rate sample keeps recall ≥ 0.9."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from anomalydetection_ray.functions.similarity import ivf_topk_cosine, topk_cosine
+
+    rng = np.random.default_rng(9)
+    half, dim = 500, 16
+    a = rng.standard_normal((half, dim)) * 0.05 + np.eye(dim)[0] * 10  # tight cluster at +e0
+    b = rng.standard_normal((half, dim)) * 0.5 - np.eye(dim)[1] * 10  # spread cluster at -e1
+    m = np.vstack([a, b]).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(2 * half), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(m.ravel(), type=pa.float32()), dim),
+        }
+    )
+    q = m[half : half + 6].astype(np.float64)  # cluster-B queries
+    exact = topk_cosine(rd.from_arrow(tbl), "vec_id", "embedding", q, k=10)
+    approx = ivf_topk_cosine(
+        rd.from_arrow(tbl), "vec_id", "embedding", q, k=10,
+        n_cells=8, n_probe=2, train_sample=200,  # < |cluster A|
+    )
+    hits = total = 0
+    for qi in range(len(q)):
+        e = set(exact[exact["query_id"] == qi]["vec_id"].tolist())
+        x = set(approx[approx["query_id"] == qi]["vec_id"].tolist())
+        hits += len(e & x)
+        total += len(e)
+    assert hits / total >= 0.9, f"recall {hits / total:.3f} < 0.9 on clustered input"
+
+
 def test_ivf_recall_gate_on_testdata(ray_session):
     """Recall gate on the REAL sf0.001 embeddings (not synthetic): IVF at
     the ann_ivf_topk query's settings (n_cells=64, n_probe=32) must keep

@@ -105,6 +105,47 @@ def test_suite_finds_planted_defects(ray_session, dirty_corpus, tmp_path):
     )
 
 
+def test_suite_violation_spill_matches_driver_plan(ray_session, dirty_corpus, tmp_path):
+    """round-3 verdict item 3: above max_driver_violation_rows the suite
+    spills violation rows to worker-written parquet and finalizes from
+    the files — identical verdicts and identical violation rows, with
+    the driver-held tables empty."""
+    import pandas.testing as pdt
+    import pyarrow as pa
+
+    from anomalydetection_ray.pipelines.validate import SuiteConfig, run_suite
+
+    d, _ = dirty_corpus
+    base = run_suite(
+        f"{d}/corpus", str(tmp_path / "mem"), SuiteConfig(repos_dim_path=f"{d}/repos.parquet")
+    )
+    assert base.violations_dir is None
+    spill = run_suite(
+        f"{d}/corpus",
+        str(tmp_path / "spill"),
+        SuiteConfig(repos_dim_path=f"{d}/repos.parquet", max_driver_violation_rows=4),
+    )
+    assert spill.violations_dir and os.path.isdir(spill.violations_dir)
+    for v in spill.violations.values():
+        assert v.num_rows == 0  # driver holds counts only
+    pdt.assert_frame_equal(spill.verdicts, base.verdicts)
+
+    sort_cols = ["violation_kind", "repo", "path", "commit", "content_sha256"]
+    got = pq.read_table(spill.violations_dir).sort_by([(c, "ascending") for c in sort_cols])
+    want_tbl = pq.read_table(os.path.join(str(tmp_path / "mem"), "scan", "violations.parquet"))
+    want = want_tbl.sort_by([(c, "ascending") for c in sort_cols])
+    assert got.select(want.column_names).cast(want.schema).equals(want)
+
+    # resume reuses the spilled scan checkpoint
+    again = run_suite(
+        f"{d}/corpus",
+        str(tmp_path / "spill"),
+        SuiteConfig(repos_dim_path=f"{d}/repos.parquet", max_driver_violation_rows=4),
+    )
+    assert again.violations_dir == spill.violations_dir
+    pdt.assert_frame_equal(again.verdicts, base.verdicts)
+
+
 def test_violation_sha_invariant(ray_session, dirty_corpus, tmp_path):
     from anomalydetection_ray.pipelines.validate import (
         SuiteConfig,
