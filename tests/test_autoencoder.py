@@ -1,0 +1,115 @@
+"""Learned-model stage (numpy MLP autoencoder) — round-2 verdict item 6.
+
+The contract under test: weights persist to a snapshot file, every actor
+loads the snapshot exactly ONCE (in __init__, never per batch), and the
+reconstruction-error score actually separates inliers from outliers.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+
+def _mk_vectors(n_in: int = 300, n_out: int = 12, dim: int = 16, seed: int = 3):
+    """Inliers on a 2-D subspace + far-off-subspace outliers."""
+    rng = np.random.default_rng(seed)
+    basis = rng.standard_normal((2, dim))
+    inliers = rng.standard_normal((n_in, 2)) @ basis
+    outliers = rng.standard_normal((n_out, dim)) * 4.0
+    x = np.vstack([inliers, outliers]).astype(np.float32)
+    labels = np.array([0] * n_in + [1] * n_out)
+    return x, labels
+
+
+def _to_ds(x: np.ndarray, num_blocks: int = 8):
+    import ray.data as rd
+
+    col = pa.FixedSizeListArray.from_arrays(
+        pa.array(x.ravel(), type=pa.float32()), x.shape[1]
+    )
+    t = pa.table({"vec_id": pa.array(range(len(x)), type=pa.int64()), "embedding": col})
+    return rd.from_arrow(t).repartition(num_blocks)
+
+
+def test_autoencoder_scores_separate_outliers(ray_session, tmp_path):
+    from anomalydetection_ray.functions.autoencoder import (
+        NumpyAutoencoder,
+        score_with_autoencoder,
+    )
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    x, labels = _mk_vectors()
+    model = NumpyAutoencoder.train(x[labels == 0], hidden=4, epochs=300, seed=0)
+    snap = str(tmp_path / "ae.npz")
+    model.save_snapshot(snap)
+
+    out = as_table(score_with_autoencoder(_to_ds(x), snap)).to_pandas().sort_values("vec_id")
+    err = out["recon_error"].to_numpy()
+    assert np.median(err[labels == 1]) > 5 * np.median(err[labels == 0])
+
+
+def test_snapshot_roundtrip_is_exact(tmp_path):
+    from anomalydetection_ray.functions.autoencoder import NumpyAutoencoder
+
+    x, _ = _mk_vectors(n_in=50, n_out=0)
+    model = NumpyAutoencoder.train(x, hidden=4, epochs=20, seed=1)
+    snap = str(tmp_path / "ae.npz")
+    model.save_snapshot(snap)
+    loaded = NumpyAutoencoder.load_snapshot(snap)
+    assert loaded.dim == model.dim
+    np.testing.assert_array_equal(model.reconstruction_error(x), loaded.reconstruction_error(x))
+
+
+def _make_marker_hook(marker_dir: str):
+    """Closure (cloudpickle serializes it BY VALUE — a module-level test
+    function would pickle by reference and fail to import on workers)."""
+
+    def hook() -> None:
+        import os
+        import uuid
+
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(os.path.join(marker_dir, uuid.uuid4().hex), "w") as f:
+            f.write(str(os.getpid()))
+
+    return hook
+
+
+def test_weights_load_once_per_actor(ray_session, tmp_path):
+    """The snapshot read happens in __init__ (once per actor), not per
+    batch: with 8 input blocks and a 2-actor pool the marker count is the
+    actor count, never the block count."""
+    from anomalydetection_ray.functions.autoencoder import (
+        AutoencoderScoreStage,
+        NumpyAutoencoder,
+    )
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    x, _ = _mk_vectors()
+    model = NumpyAutoencoder.train(x[:50], hidden=4, epochs=20, seed=0)
+    snap = str(tmp_path / "ae.npz")
+    model.save_snapshot(snap)
+    marker_dir = str(tmp_path / "loads")
+
+    n_blocks = 8
+    ds = _to_ds(x, num_blocks=n_blocks)
+    out = as_table(
+        ds.map_batches(
+            AutoencoderScoreStage,
+            fn_constructor_kwargs={
+                "snapshot_path": snap,
+                "load_hook": _make_marker_hook(marker_dir),
+            },
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+            concurrency=2,
+        )
+    )
+    assert out.num_rows == len(x)
+    n_loads = len(os.listdir(marker_dir))
+    assert 1 <= n_loads <= 2, f"expected <=2 loads (one per actor), saw {n_loads}"
+    assert n_loads < n_blocks

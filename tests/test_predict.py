@@ -103,6 +103,24 @@ def test_predict_kll_threshold_close_to_exact(ray_session, log_file, tmp_path):
     assert abs(rank_exact - rank_kll) < 0.02
 
 
+def test_predict_auto_threshold_is_cost_based(ray_session, log_file, tmp_path):
+    """Default mode picks the plan from the scored checkpoint's size
+    estimate (round-2 verdict item 5): exact under the byte cap, the
+    streamed KLL sketch above it — never an unconditional full collect."""
+    from anomalydetection_ray.pipelines.predict import PredictConfig, end_to_end_predict
+
+    path, _ = log_file
+    assert PredictConfig().threshold_mode == "auto"
+    r_small = end_to_end_predict(path, str(tmp_path / "a"), PredictConfig())
+    r_exact = end_to_end_predict(path, str(tmp_path / "e"), PredictConfig(threshold_mode="exact"))
+    assert r_small.threshold == r_exact.threshold  # tiny input → exact plan
+    r_big = end_to_end_predict(
+        path, str(tmp_path / "b"), PredictConfig(threshold_exact_max_bytes=-1)
+    )
+    r_kll = end_to_end_predict(path, str(tmp_path / "k"), PredictConfig(threshold_mode="kll"))
+    assert r_big.threshold == r_kll.threshold  # over the cap → sketch plan
+
+
 def test_predict_sampling_and_limits(ray_session, log_file, tmp_path):
     from anomalydetection_ray.pipelines.predict import PredictConfig, end_to_end_predict
 
