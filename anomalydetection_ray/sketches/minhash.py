@@ -48,6 +48,25 @@ def word_hashes(text: str) -> np.ndarray:
     return _avalanche(np.array([_fnv1a(t.encode("utf-8", "surrogatepass")) for t in set(toks)], dtype=np.uint64))
 
 
+def concat_hash_sets(hash_sets: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate per-doc hash arrays into ``(values, offsets)`` for
+    :meth:`MinHasher.batch_signatures` — doc i's hashes are
+    ``values[offsets[i]:offsets[i+1]]``.
+
+    NOTE: per-doc hashing (``shingle_hashes`` / ``word_hashes``) is kept
+    deliberately. A fully-batched hashing path (one concatenated byte
+    buffer + one strided rolling pass) was built and MEASURED SLOWER at
+    sf0.1 (0.48 s vs 0.23 s per 4k docs for char shingles, 0.19 s vs
+    0.13 s for words): per-doc ``np.unique`` shrinks downstream signature
+    work by ~30%, and per-doc temporaries stay cache-resident. The wins
+    kept from that experiment are batch_signatures / batch_band_keys
+    below — details in BASELINE.md."""
+    offsets = np.zeros(len(hash_sets) + 1, dtype=np.int64)
+    np.cumsum([len(h) for h in hash_sets], out=offsets[1:])
+    values = np.concatenate(hash_sets) if hash_sets else np.empty(0, dtype=np.uint64)
+    return values, offsets
+
+
 class MinHasher:
     """Stateful signature generator — build once per actor (the analog of
     the reference loading CodeBERT once per process,
@@ -65,6 +84,44 @@ class MinHasher:
         hv = (self.a[None, :] * x + self.b[None, :]) % _MERSENNE_P
         return hv.min(axis=0)
 
+    def batch_signatures(self, values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """(n_docs, num_perm) signatures for concatenated hash sets
+        (:func:`concat_hash_sets`) — the vectorized replacement for a
+        per-doc :meth:`signature` loop. Permuted hashes for a slab of
+        documents are one matrix op, Mersenne-reduced WITHOUT hardware
+        division (v = q·(p+1) + low ⇒ v mod p = (q+low) mod p, one
+        conditional subtract) and all in-place, then collapsed to per-doc
+        minima with ``np.minimum.reduceat``. Bit-identical to the per-doc
+        path (tests assert equality). The slab is small on purpose:
+        512 values × num_perm × 8 B ≈ 0.5 MB stays L2-resident — measured
+        3.6× faster than 64 MB slabs (DRAM-bound) at sf0.1."""
+        n = len(offsets) - 1
+        if n == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        if np.any(offsets[1:] == offsets[:-1]):
+            # reduceat silently reads the next doc's slice for an empty
+            # doc; hashers guarantee ≥1 hash per doc, so this is a bug.
+            raise ValueError("batch_signatures requires a non-empty hash set per doc")
+        out = np.empty((n, self.num_perm), dtype=np.uint64)
+        # ~512 KB working set: slab_vals × num_perm × 8 B stays L2-resident
+        slab_vals = max(1, (1 << 19) // (self.num_perm * 8))
+        i0 = 0
+        with np.errstate(over="ignore"):
+            while i0 < n:
+                i1 = int(np.searchsorted(offsets, offsets[i0] + slab_vals, side="left"))
+                i1 = min(n, max(i1, i0 + 1))
+                x = values[offsets[i0] : offsets[i1]][:, None]
+                v = self.a[None, :] * x
+                v += self.b[None, :]
+                r = v & _MERSENNE_P
+                v >>= np.uint64(61)
+                r += v
+                np.subtract(r, _MERSENNE_P, out=r, where=r >= _MERSENNE_P)
+                idx = (offsets[i0:i1] - offsets[i0]).astype(np.int64)
+                out[i0:i1] = np.minimum.reduceat(r, idx, axis=0)
+                i0 = i1
+        return out
+
     @staticmethod
     def jaccard(sig1: np.ndarray, sig2: np.ndarray) -> float:
         return float(np.mean(sig1 == sig2))
@@ -78,6 +135,19 @@ def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
     key = np.zeros(bands, dtype=np.uint64)
     for r in range(rows):
         key = _avalanche(key ^ view[:, r])
+    return key
+
+
+def batch_band_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) bucket keys for a signature MATRIX — one avalanche
+    pass per band row across all docs instead of a per-doc loop.
+    Bit-identical to :func:`band_keys` per row (tests assert equality)."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    view = sigs[:, : bands * rows].reshape(n, bands, rows)
+    key = np.zeros((n, bands), dtype=np.uint64)
+    for r in range(rows):
+        key = _avalanche(key ^ view[:, :, r])
     return key
 
 

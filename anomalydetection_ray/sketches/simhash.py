@@ -54,6 +54,66 @@ def simhash_text(text: str, token_hash: str = "fnv") -> np.uint64:
     return simhash64(hashes, counts)
 
 
+def _fnv1a_batch(tokens: list[bytes]) -> np.ndarray:
+    """Vectorized FNV-1a over many short byte strings — bit-identical to
+    :func:`hll._fnv1a` per token. One pass per byte position (tokens are
+    short), updating only still-active lanes."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
+    buf = np.frombuffer(b"".join(tokens), dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(int(lens.max()) if n else 0):
+            active = np.nonzero(lens > j)[0]
+            h[active] = (h[active] ^ buf[starts[active] + j].astype(np.uint64)) * prime
+    return h
+
+
+def batch_simhash_fnv(texts) -> np.ndarray:
+    """(n,) uint64 SimHash fingerprints for a whole batch — bit-identical
+    to ``simhash_text(t, "fnv")`` per row (tests assert equality), but the
+    per-doc object-array ``np.unique`` + per-token FNV + bit-set loops
+    (~91 µs/doc measured at sf0.1) collapse into: Python ``str.split`` per
+    doc (C-level, keeps exact whitespace semantics), ONE polars group_by
+    for per-(doc, token) counts, ONE vectorized FNV pass over the distinct
+    pairs, and 64 ``np.add.reduceat`` votes."""
+    import polars as pl
+
+    n = len(texts)
+    fp = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return fp
+    tok_lists = [t.split() if t else [] for t in texts]
+    lens = np.fromiter((len(l) for l in tok_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return fp
+    doc_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
+    flat: list[str] = [tok for l in tok_lists for tok in l]
+    pairs = (
+        pl.DataFrame({"i": doc_ids, "tok": flat})
+        .group_by(["i", "tok"])
+        .len()
+        .sort("i")
+    )
+    i_s = pairs["i"].to_numpy()
+    cnt_s = pairs["len"].to_numpy().astype(np.int64)
+    h_s = _fnv1a_batch([t.encode("utf-8", "surrogatepass") for t in pairs["tok"].to_list()])
+    docs_present, idx_start = np.unique(i_s, return_index=True)
+    tot = np.add.reduceat(cnt_s, idx_start)
+    one = np.uint64(1)
+    for j in range(64):
+        bit = ((h_s >> np.uint64(j)) & one).astype(np.int64)
+        col = 2 * np.add.reduceat(cnt_s * bit, idx_start) - tot
+        fp[docs_present[col > 0]] |= one << np.uint64(j)
+    return fp
+
+
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized popcount of XOR between uint64 arrays."""
     x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))

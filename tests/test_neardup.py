@@ -324,3 +324,78 @@ def test_ivf_recall_gate_on_testdata(ray_session):
         total += len(e)
     recall = hits / total
     assert recall >= 0.9, f"IVF recall {recall:.3f} < 0.9 at n_cells=64 n_probe=32"
+
+
+def test_batch_jaccard_keep_matches_exact():
+    from anomalydetection_ray.dedup.neardup import _batch_jaccard_keep
+    from anomalydetection_ray.sketches.minhash import exact_jaccard
+
+    rng = np.random.default_rng(1)
+    sets = [
+        np.sort(np.unique(rng.integers(0, 50, size=rng.integers(0, 30)).astype(np.uint64)))
+        for _ in range(200)
+    ]
+    ia = rng.integers(0, 200, 5000)
+    ib = rng.integers(0, 200, 5000)
+    for t in [0.0, 0.3, 0.5, 0.8, 1.0]:
+        keep = _batch_jaccard_keep(sets, ia, ib, t)
+        ref = np.array(
+            [
+                bool(len(sets[a]) and len(sets[b]) and exact_jaccard(sets[a], sets[b]) >= t)
+                for a, b in zip(ia, ib)
+            ]
+        )
+        assert np.array_equal(keep, ref), t
+
+
+def test_verified_dedup_collapse_invariance(ray_session):
+    """collapse_exact must not change survivors — J=1 group reps are the
+    group minima, so component minima over reps equal component minima
+    over all members. Fixture plants word-identical docs (reordered and
+    recounted tokens: same SET) inside and across near-dup clusters."""
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup import minhash_lsh_dedup_verified
+
+    base = "def parse tokens from the input stream and emit nodes " * 8
+    texts = [
+        base + "alpha beta gamma",
+        "alpha " + base + "beta gamma",  # same token SET as 0 (J=1)
+        base + "alpha beta gamma alpha",  # same SET again (counts differ)
+        base + "alpha beta delta",  # near-dup of 0 (J >= 0.8)
+        "import os import sys value = compute(data) print(value) " * 6,
+        "completely different content about databases and indexes",
+        "",
+        None,
+    ]
+    tb = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": pa.array(texts, type=pa.string())}
+    )
+    outs = []
+    for collapse in (True, False):
+        out = minhash_lsh_dedup_verified(
+            rd.from_arrow(tb), "doc_id", "text", threshold=0.8, shingle="word", collapse_exact=collapse
+        )
+        got = out.to_pandas().sort_values("doc_id")["doc_id"].tolist()
+        outs.append(got)
+    assert outs[0] == outs[1]
+    # 1, 2, 3 all merge into doc 0's component
+    assert 0 in outs[0] and not {1, 2, 3} & set(outs[0])
+
+
+def test_verified_dedup_distributed_plan_with_collapse(ray_session, docs_ds):
+    """Forcing the distributed tail (driver_max_edges=0) must produce the
+    same survivors as the driver plan, with and without collapse."""
+    from anomalydetection_ray.dedup import minhash_lsh_dedup_verified
+
+    ref = None
+    for collapse in (True, False):
+        for dme in (0, 2_000_000):
+            out = minhash_lsh_dedup_verified(
+                docs_ds, "doc_id", "text", threshold=0.8, shingle="word",
+                driver_max_edges=dme, collapse_exact=collapse,
+            )
+            got = sorted(out.to_pandas()["doc_id"].tolist())
+            if ref is None:
+                ref = got
+            assert got == ref, (collapse, dme)

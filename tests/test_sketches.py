@@ -16,11 +16,18 @@ from anomalydetection_ray.sketches.histogram import ks_statistic, psi
 from anomalydetection_ray.sketches.minhash import (
     MinHasher,
     band_keys,
+    batch_band_keys,
+    concat_hash_sets,
     exact_jaccard,
     shingle_hashes,
     word_hashes,
 )
-from anomalydetection_ray.sketches.simhash import hamming_distance, popcount64, simhash_text
+from anomalydetection_ray.sketches.simhash import (
+    batch_simhash_fnv,
+    hamming_distance,
+    popcount64,
+    simhash_text,
+)
 
 
 # ---------------- HLL ----------------
@@ -292,3 +299,67 @@ def test_stats_partials_merge_grouping_invariance():
     assert a[exact].equals(b[exact])
     assert np.allclose(a["mean"], b["mean"], rtol=1e-12)
     assert np.allclose(a["std"], b["std"], rtol=1e-9)
+
+
+# ---------------- batch-vectorized signature paths ----------------
+
+_PARITY_TEXTS = [
+    "",
+    "a",
+    "a a a b",
+    "\t\nx  y\r",
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy dog!",
+    "def f(x):\n    return x * 2\n" * 10,
+    "unicode éèê 中文 tokens éèê",
+    "x" * 300,
+    " ".join(f"tok{i % 37}" for i in range(500)),
+]
+
+
+@pytest.mark.parametrize("shingle", ["char", "word"])
+def test_batch_signatures_bit_identical_to_per_doc(shingle):
+    mh = MinHasher(num_perm=128, seed=42)
+    hasher = (lambda t: shingle_hashes(t, 5)) if shingle == "char" else word_hashes
+    hs = [hasher(t) for t in _PARITY_TEXTS]
+    ref_sigs = np.stack([mh.signature(h) for h in hs])
+    ref_keys = np.stack([band_keys(s, 32) for s in ref_sigs])
+    values, offsets = concat_hash_sets(hs)
+    sigs = mh.batch_signatures(values, offsets)
+    keys = batch_band_keys(sigs, 32)
+    assert np.array_equal(ref_sigs, sigs)
+    assert np.array_equal(ref_keys, keys)
+
+
+def test_batch_signatures_empty_and_guard():
+    mh = MinHasher(num_perm=16, seed=1)
+    values, offsets = concat_hash_sets([])
+    assert mh.batch_signatures(values, offsets).shape == (0, 16)
+    # an empty per-doc hash set would silently corrupt reduceat output
+    values, offsets = concat_hash_sets([word_hashes("a"), np.empty(0, dtype=np.uint64)])
+    with pytest.raises(ValueError):
+        mh.batch_signatures(values, offsets)
+
+
+def test_batch_signatures_odd_slab_boundaries():
+    # num_perm that does not divide the slab budget evenly + docs larger
+    # than one slab must still be bit-identical across slab boundaries
+    mh = MinHasher(num_perm=96, seed=7)
+    rng = np.random.default_rng(0)
+    hs = [
+        np.unique(rng.integers(1, 1 << 60, size=int(k)).astype(np.uint64))
+        for k in rng.integers(1, 5000, size=40)
+    ]
+    ref = np.stack([mh.signature(h) for h in hs])
+    values, offsets = concat_hash_sets(hs)
+    assert np.array_equal(ref, mh.batch_signatures(values, offsets))
+
+
+def test_batch_simhash_fnv_bit_identical():
+    texts = np.array(_PARITY_TEXTS + [None], dtype=object)
+    ref = np.array(
+        [np.uint64(simhash_text(t if t is not None else "", "fnv")) for t in texts],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(ref, batch_simhash_fnv(texts))
+    assert batch_simhash_fnv(np.array([], dtype=object)).shape == (0,)
