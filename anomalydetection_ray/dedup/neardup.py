@@ -766,13 +766,16 @@ def neardup_pairs(
     if n_pairs == 0:
         return pa.Table.from_pydict({"a": [], "b": []}, schema=_PAIR_SCHEMA)
     if n_pairs > driver_max_pairs:
-        # distributed exact verification: candidate payloads shuffle to
-        # their pairs instead of gathering to the driver
-        from .distributed import pair_payload_join
+        # distributed exact verification: broadcast hash-set store when the
+        # candidate docs fit the budget, else candidate payloads shuffle to
+        # their pairs — neither gathers to the driver
+        verified = _verify_pairs_broadcast(ds, pairs_ds, id_col, text_col, threshold, shingle, k)
+        if verified is None:
+            from .distributed import pair_payload_join
 
-        verified = pair_payload_join(
-            ds, pairs_ds, id_col, text_col, _jaccard_verify_block(threshold, shingle, k)
-        )
+            verified = pair_payload_join(
+                ds, pairs_ds, id_col, text_col, _jaccard_verify_block(threshold, shingle, k)
+            )
         return as_table(verified).sort_by([("a", "ascending"), ("b", "ascending")])
     t = as_table(pairs_ds)
     cand = list(
