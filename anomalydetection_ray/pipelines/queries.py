@@ -741,6 +741,70 @@ def dedup_simhash_md5_docs(sf_dir: str):
 
 
 @register(
+    "curation_pipeline_docs",
+    r"""
+    WITH RECURSIVE q AS (
+      SELECT doc_id, text, lang,
+             CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0),
+    kept AS (SELECT * FROM q WHERE n_tokens >= 24),
+    ex AS (SELECT * FROM kept WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY text)),
+    toks AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS tok FROM ex)
+      GROUP BY doc_id, tok),
+    bits AS (SELECT unnest(range(0, 64)) AS bit),
+    votes AS (
+      SELECT t.doc_id, b.bit,
+             SUM(t.cnt * (CAST((md5_number_lower(t.tok) >> b.bit) & 1 AS BIGINT) * 2 - 1)) AS v
+      FROM toks t CROSS JOIN bits b GROUP BY t.doc_id, b.bit),
+    fps AS (
+      SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << bit) ELSE 0 END) AS UBIGINT) AS fp
+      FROM votes GROUP BY doc_id),
+    allfps AS (SELECT e.doc_id, COALESCE(f.fp, 0) AS fp FROM ex e LEFT JOIN fps f USING (doc_id)),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b FROM allfps a JOIN allfps b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+    edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+    reach AS (SELECT u, v FROM edges UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (SELECT u AS cid, MIN(v) AS mn FROM reach GROUP BY u)
+    SELECT e.doc_id, e.lang, e.n_tokens FROM ex e LEFT JOIN comp c ON e.doc_id = c.cid
+    WHERE c.cid IS NULL OR LEAST(c.cid, c.mn) = e.doc_id
+    """,
+)
+def curation_pipeline_docs(sf_dir: str):
+    """Flagship training-data CURATION composition, end-to-end as ONE lazy
+    Ray Data pipeline with a single composed DuckDB oracle: quality gate
+    (vectorized Arrow kernels: non-empty text, n_tokens >= 24) → exact
+    dedup (hash-partitioned survivor selection) → SimHash near-dup dedup
+    (md5 token hash: SQL-reproducible, Hamming <= 3 component closure).
+    No stage materializes the corpus on the driver; every stage is the
+    same operator a 100 TB run would use. The composition mirrors the
+    reference's step1→7 chain (`end_to_end_prediction.py:657-664`) recast
+    over curation operators."""
+    from ..dedup import exact_dedup, simhash_dedup
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        b = quality_batch(batch)
+        mask = pc.and_(
+            pc.and_(
+                pc.is_valid(batch["text"]),
+                pc.greater(pc.utf8_length(batch["text"]), 0),
+            ),
+            pc.greater_equal(b["n_tokens"], 24),
+        )
+        return b.filter(mask).select(["doc_id", "text", "lang", "n_tokens"])
+
+    kept = docs.map_batches(gate, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    ex = exact_dedup(kept, "doc_id", "text")
+    final = simhash_dedup(ex, "doc_id", "text", max_hamming=3, token_hash="md5")
+    return as_table(final.select_columns(["doc_id", "lang", "n_tokens"])).sort_by([("doc_id", "ascending")])
+
+
+@register(
     "embedding_neardup_pairs",
     """
     SELECT a.vec_id AS a, b.vec_id AS b
