@@ -49,7 +49,13 @@ def _drop_ids_block(id_col: str):
     return block
 
 
-def exact_dedup(ds, id_col: str, text_col: str, driver_merge_max_bytes: int = 1 << 30):
+def exact_dedup(
+    ds,
+    id_col: str,
+    text_col: str,
+    driver_merge_max_bytes: int = 1 << 30,
+    size_hint_bytes: int | None = None,
+):
     """Survivors: the min-id row of every distinct text value.
 
     One group per distinct text → high-cardinality, so survivor selection
@@ -57,14 +63,18 @@ def exact_dedup(ds, id_col: str, text_col: str, driver_merge_max_bytes: int = 1 
     (functions/shuffle.py), never ``groupby().aggregate()``'s per-group
     Python path. Plan choice is cost-based on the input's metadata size
     estimate (no execution; a transformed input with no safe estimate
-    takes the scale-safe distributed plan)."""
+    takes the scale-safe distributed plan). Callers that feed a
+    TRANSFORMED dataset (no metadata estimate) but know an upper bound —
+    e.g. a filter stage over a fresh read — pass ``size_hint_bytes`` so
+    small inputs keep the driver-merge plan instead of paying the hash
+    shuffle's fixed aggregator-actor spawn."""
     fp = ds.map_batches(
         lambda t: content_hash128_batch(t, text_col),
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
     pairs = fp.select_columns(["h1", "h2", id_col])
-    est = metadata_size_estimate(ds)
+    est = size_hint_bytes if size_hint_bytes is not None else metadata_size_estimate(ds)
     if est is not None and est <= driver_merge_max_bytes:
         import polars as pl
 

@@ -784,8 +784,12 @@ def curation_pipeline_docs(sf_dir: str):
     reference's step1→7 chain (`end_to_end_prediction.py:657-664`) recast
     over curation operators."""
     from ..dedup import exact_dedup, simhash_dedup
+    from ..functions.shuffle import metadata_size_estimate
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    # The gate only shrinks data, so the fresh read's metadata estimate is
+    # a valid upper bound for the (transformed, estimate-less) dedup input.
+    est = metadata_size_estimate(docs)
 
     def gate(batch: pa.Table) -> pa.Table:
         b = quality_batch(batch)
@@ -799,7 +803,7 @@ def curation_pipeline_docs(sf_dir: str):
         return b.filter(mask).select(["doc_id", "text", "lang", "n_tokens"])
 
     kept = docs.map_batches(gate, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    ex = exact_dedup(kept, "doc_id", "text")
+    ex = exact_dedup(kept, "doc_id", "text", size_hint_bytes=est)
     final = simhash_dedup(ex, "doc_id", "text", max_hamming=3, token_hash="md5")
     return as_table(final.select_columns(["doc_id", "lang", "n_tokens"])).sort_by([("doc_id", "ascending")])
 
