@@ -45,6 +45,7 @@ HEADLINE = [
     "anomaly_scores",
     "dedup_exact_docs",
     "mined_template_counts",
+    "curation_pipeline_docs",
 ]
 
 
