@@ -818,14 +818,83 @@ def simhash_fingerprints(ds, id_col: str, text_col: str, token_hash: str = "fnv"
     return _sel(ds, [id_col, text_col]).map_batches(fp, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
-def simhash_dedup(ds, id_col: str, text_col: str, max_hamming: int = 3, n_blocks: int = 4, driver_max_edges: int = DRIVER_MAX_EDGES, token_hash: str = "fnv"):
+def _simhash_bucket_edges(ids: np.ndarray, fp: np.ndarray, n_blocks: int, max_hamming: int):
+    """Candidate pairs within prefix-block buckets, exact-Hamming verified.
+    One vectorized polars/numpy pass; shared by the driver plan (whole
+    fingerprint set) and the distributed plan (one shuffle block)."""
+    n = len(ids)
+    u = pl.DataFrame(
+        {
+            "id": np.repeat(ids, n_blocks),
+            "fp": np.repeat(fp, n_blocks).astype(np.int64),
+            "block": np.tile(np.arange(n_blocks, dtype=np.int64), n),
+            "key": prefix_blocks(fp, n_blocks).reshape(-1).astype(np.int64),
+        }
+    ).unique(subset=["block", "key", "id"])
+    j = (
+        u.join(u.rename({"id": "id_b", "fp": "fp_b"}), on=["block", "key"])
+        .filter(pl.col("id") < pl.col("id_b"))
+        .select(["id", "fp", "id_b", "fp_b"])
+        .unique(subset=["id", "id_b"])
+    )
+    if j.height == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    fa = j["fp"].to_numpy().astype(np.uint64)
+    fb = j["fp_b"].to_numpy().astype(np.uint64)
+    m = hamming_distance(fa, fb) <= max_hamming
+    return j["id"].to_numpy()[m], j["id_b"].to_numpy()[m]
+
+
+def simhash_dedup(
+    ds,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    driver_max_edges: int = DRIVER_MAX_EDGES,
+    token_hash: str = "fnv",
+    size_hint_bytes: int | None = None,
+    driver_merge_max_bytes: int = 1 << 30,
+):
     """Near-dup dedup via SimHash: Manku-style prefix-block grouping finds
     every pair within ``max_hamming`` (requires max_hamming < n_blocks);
-    within-bucket pairs are verified by exact Hamming distance."""
+    within-bucket pairs are verified by exact Hamming distance.
+
+    Plan choice is cost-based like :func:`~..dedup.exact.exact_dedup`:
+    when the input's size estimate (or the caller's ``size_hint_bytes``
+    upper bound, for transformed inputs with no estimate) fits
+    ``driver_merge_max_bytes``, the (id, simhash) pairs — 16 B/doc —
+    stream to ONE driver pass (bucket self-join + exact Hamming verify +
+    union-find + broadcast drop filter), skipping the hash shuffle's
+    fixed aggregator-actor spawn that dwarfs small corpora. Larger
+    inputs keep the distributed bucket shuffle."""
     if max_hamming >= n_blocks:
         raise ValueError("pigeonhole requires max_hamming < n_blocks")
 
     fps = simhash_fingerprints(ds, id_col, text_col, token_hash)
+    from ..functions.shuffle import metadata_size_estimate
+
+    est = size_hint_bytes if size_hint_bytes is not None else metadata_size_estimate(ds)
+    # driver_max_edges <= 0 means "nothing driver-side" (the distributed-
+    # plan equivalence tests force it); honor that here too
+    if driver_max_edges > 0 and est is not None and est <= driver_merge_max_bytes:
+        tabs = [
+            t
+            for t in fps.iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ]
+        if not tabs:
+            return ds
+        t = pa.concat_tables(tabs, promote_options="default")
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        fp = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ea, eb = _simhash_bucket_edges(ids, fp, n_blocks, max_hamming)
+        if len(ea) == 0:
+            return ds
+        drop = _survivors_from_edges(None, list(zip(ea.tolist(), eb.tolist())))
+        if not drop:
+            return ds
+        return broadcast_value_filter(ds, id_col, np.array(sorted(drop)), keep=False)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)

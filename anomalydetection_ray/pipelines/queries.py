@@ -804,7 +804,7 @@ def curation_pipeline_docs(sf_dir: str):
 
     kept = docs.map_batches(gate, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     ex = exact_dedup(kept, "doc_id", "text", size_hint_bytes=est)
-    final = simhash_dedup(ex, "doc_id", "text", max_hamming=3, token_hash="md5")
+    final = simhash_dedup(ex, "doc_id", "text", max_hamming=3, token_hash="md5", size_hint_bytes=est)
     return as_table(final.select_columns(["doc_id", "lang", "n_tokens"])).sort_by([("doc_id", "ascending")])
 
 
