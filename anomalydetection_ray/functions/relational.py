@@ -147,15 +147,19 @@ def hash_join(
     how: str = "inner",
     broadcast_max_bytes: int = 64 << 20,
     num_blocks: int | None = None,
+    right_size_hint_bytes: int | None = None,
 ):
     """Cost-based join: broadcast the right side when its metadata size
     estimate (never executes — ``metadata_size_estimate``) says it fits a
     single object-store put; otherwise the fully-distributed
     :func:`shuffle_hash_join`. The same plan-choice pattern as the dedup
-    family's driver-vs-distributed tails."""
+    family's driver-vs-distributed tails. A TRANSFORMED right side has no
+    metadata estimate and takes the scale-safe shuffle plan; callers that
+    know an upper bound (e.g. a filter over a fresh read) pass
+    ``right_size_hint_bytes`` to keep the broadcast plan."""
     from .shuffle import metadata_size_estimate
 
-    est = metadata_size_estimate(right_ds)
+    est = right_size_hint_bytes if right_size_hint_bytes is not None else metadata_size_estimate(right_ds)
     if est is not None and est <= broadcast_max_bytes:
         from ..pipelines.queries import as_table
 
