@@ -75,6 +75,12 @@ def test_simhash_distributed_matches_driver(ray_session, stress_ds):
     driver = _kept(simhash_dedup(stress_ds, "doc_id", "text", max_hamming=3, driver_max_edges=10**9))
     dist = _kept(simhash_dedup(stress_ds, "doc_id", "text", max_hamming=3, driver_max_edges=0))
     assert driver == dist
+    # third plan: the size-gated fingerprint-driver pass (stress_ds is
+    # transformed → no metadata estimate, so the hint is what engages it)
+    fp_driver = _kept(
+        simhash_dedup(stress_ds, "doc_id", "text", max_hamming=3, size_hint_bytes=1)
+    )
+    assert fp_driver == dist
 
 
 def test_embedding_dedup_distributed_matches_driver(ray_session):
