@@ -42,7 +42,7 @@ from ..sketches.minhash import (
     shingle_hashes,
     word_hashes,
 )
-from ..sketches.simhash import batch_simhash_fnv, hamming_distance, prefix_blocks, simhash_text
+from ..sketches.simhash import batch_simhash_fnv, batch_simhash_md5, hamming_distance, prefix_blocks
 
 
 class UnionFind:
@@ -803,16 +803,10 @@ def simhash_fingerprints(ds, id_col: str, text_col: str, token_hash: str = "fnv"
 
     def fp(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_numpy(zero_copy_only=False)
-        if token_hash == "fnv":
-            # batch-vectorized, bit-identical to the per-doc loop
-            out = batch_simhash_fnv(texts).view(np.int64)
-        else:
-            # md5 parity variant stays per-doc: hashlib is per-token anyway
-            out = np.fromiter(
-                (np.int64(np.uint64(simhash_text(t if t is not None else "", token_hash))) for t in texts),
-                dtype=np.int64,
-                count=len(texts),
-            )
+        # batch-vectorized, bit-identical to the per-doc simhash_text loop
+        # (md5 hashes each DISTINCT batch token once — SQL parity kept)
+        kernel = batch_simhash_fnv if token_hash == "fnv" else batch_simhash_md5
+        out = kernel(["" if t is None else t for t in texts]).view(np.int64)
         return pa.Table.from_pydict({id_col: batch[id_col], "simhash": pa.array(out)})
 
     return _sel(ds, [id_col, text_col]).map_batches(fp, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

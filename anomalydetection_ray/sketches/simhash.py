@@ -74,25 +74,20 @@ def _fnv1a_batch(tokens: list[bytes]) -> np.ndarray:
     return h
 
 
-def batch_simhash_fnv(texts) -> np.ndarray:
-    """(n,) uint64 SimHash fingerprints for a whole batch — bit-identical
-    to ``simhash_text(t, "fnv")`` per row (tests assert equality), but the
-    per-doc object-array ``np.unique`` + per-token FNV + bit-set loops
-    (~91 µs/doc measured at sf0.1) collapse into: Python ``str.split`` per
-    doc (C-level, keeps exact whitespace semantics), ONE polars group_by
-    for per-(doc, token) counts, ONE vectorized FNV pass over the distinct
-    pairs, and 64 ``np.add.reduceat`` votes."""
+def _doc_token_pairs(texts):
+    """(i, tok, cnt) distinct per-(doc, token) counts for a batch: Python
+    ``str.split`` per doc (C-level, keeps exact whitespace semantics) +
+    ONE polars group_by. Returns (i_s, cnt_s, toks, n) or None when the
+    batch has no tokens."""
     import polars as pl
 
     n = len(texts)
-    fp = np.zeros(n, dtype=np.uint64)
     if n == 0:
-        return fp
+        return None
     tok_lists = [t.split() if t else [] for t in texts]
     lens = np.fromiter((len(l) for l in tok_lists), dtype=np.int64, count=n)
-    total = int(lens.sum())
-    if total == 0:
-        return fp
+    if int(lens.sum()) == 0:
+        return None
     doc_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
     flat: list[str] = [tok for l in tok_lists for tok in l]
     pairs = (
@@ -101,9 +96,18 @@ def batch_simhash_fnv(texts) -> np.ndarray:
         .len()
         .sort("i")
     )
-    i_s = pairs["i"].to_numpy()
-    cnt_s = pairs["len"].to_numpy().astype(np.int64)
-    h_s = _fnv1a_batch([t.encode("utf-8", "surrogatepass") for t in pairs["tok"].to_list()])
+    return (
+        pairs["i"].to_numpy(),
+        pairs["len"].to_numpy().astype(np.int64),
+        pairs["tok"].to_list(),
+        n,
+    )
+
+
+def _simhash_votes(i_s: np.ndarray, cnt_s: np.ndarray, h_s: np.ndarray, n: int) -> np.ndarray:
+    """64 ``np.add.reduceat`` votes over (doc, token-hash, count) triples
+    sorted by doc — the shared SimHash accumulation kernel."""
+    fp = np.zeros(n, dtype=np.uint64)
     docs_present, idx_start = np.unique(i_s, return_index=True)
     tot = np.add.reduceat(cnt_s, idx_start)
     one = np.uint64(1)
@@ -112,6 +116,40 @@ def batch_simhash_fnv(texts) -> np.ndarray:
         col = 2 * np.add.reduceat(cnt_s * bit, idx_start) - tot
         fp[docs_present[col > 0]] |= one << np.uint64(j)
     return fp
+
+
+def batch_simhash_fnv(texts) -> np.ndarray:
+    """(n,) uint64 SimHash fingerprints for a whole batch — bit-identical
+    to ``simhash_text(t, "fnv")`` per row (tests assert equality), but the
+    per-doc object-array ``np.unique`` + per-token FNV + bit-set loops
+    (~91 µs/doc measured at sf0.1) collapse into ONE polars group_by for
+    per-(doc, token) counts, ONE vectorized FNV pass over the distinct
+    pairs, and the shared 64-vote reduceat kernel."""
+    got = _doc_token_pairs(texts)
+    if got is None:
+        return np.zeros(len(texts), dtype=np.uint64)
+    i_s, cnt_s, toks, n = got
+    h_s = _fnv1a_batch([t.encode("utf-8", "surrogatepass") for t in toks])
+    return _simhash_votes(i_s, cnt_s, h_s, n)
+
+
+def batch_simhash_md5(texts) -> np.ndarray:
+    """(n,) uint64 SimHash fingerprints, md5 token hash (DuckDB
+    ``md5_number_lower`` parity) — bit-identical to
+    ``simhash_text(t, "md5")`` per row. hashlib stays per call, but each
+    DISTINCT token of the batch is hashed exactly once (corpora vocabulary
+    is zipf — far smaller than the token stream), and everything else is
+    the shared vectorized kernel."""
+    got = _doc_token_pairs(texts)
+    if got is None:
+        return np.zeros(len(texts), dtype=np.uint64)
+    i_s, cnt_s, toks, n = got
+    vocab: dict[str, np.uint64] = {}
+    for t in toks:
+        if t not in vocab:
+            vocab[t] = _md5_token_hash(t)
+    h_s = np.fromiter((vocab[t] for t in toks), dtype=np.uint64, count=len(toks))
+    return _simhash_votes(i_s, cnt_s, h_s, n)
 
 
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -363,3 +363,15 @@ def test_batch_simhash_fnv_bit_identical():
     )
     assert np.array_equal(ref, batch_simhash_fnv(texts))
     assert batch_simhash_fnv(np.array([], dtype=object)).shape == (0,)
+
+
+def test_batch_simhash_md5_bit_identical():
+    from anomalydetection_ray.sketches.simhash import batch_simhash_md5
+
+    texts = np.array(_PARITY_TEXTS + [None], dtype=object)
+    ref = np.array(
+        [np.uint64(simhash_text(t if t is not None else "", "md5")) for t in texts],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(ref, batch_simhash_md5(texts))
+    assert batch_simhash_md5(np.array([], dtype=object)).shape == (0,)
