@@ -34,7 +34,7 @@ import numpy as np
 import polars as pl
 import pyarrow as pa
 
-from ..functions.shuffle import local_group_map, select_if_needed
+from ..functions.shuffle import arrow_schema, local_group_map, select_if_needed
 
 _SIDE = "__side"
 _KEY = "__k"
@@ -80,7 +80,7 @@ def pair_payload_join(
     cheaper and callers use that instead.
     """
     if payload_type is None:
-        payload_type = payload_ds.schema().base_schema.field(payload_col).type
+        payload_type = arrow_schema(payload_ds).field(payload_col).type
     s1 = pa.schema(
         [(_KEY, pa.int64()), ("a", pa.int64()), ("b", pa.int64()), ("__p", payload_type), (_SIDE, pa.int8())]
     )
@@ -315,7 +315,7 @@ def shuffle_anti_join(ds, id_col: str, drop_ids_ds, num_blocks: int | None = Non
     set: both sides co-partition by id hash, each block filters locally.
     The payload crosses the wire once; no driver materialization of
     either side."""
-    base = ds.schema().base_schema
+    base = arrow_schema(ds)
     marker = "__drop_marker"
     schema = pa.schema(list(base) + [pa.field(marker, pa.int8())])
 

@@ -225,13 +225,30 @@ class _BroadcastJaccardVerify:
             return tb.cast(_PAIR_SCHEMA)
         a = tb["a"].to_numpy(zero_copy_only=False)
         b = tb["b"].to_numpy(zero_copy_only=False)
-        idx_a = np.searchsorted(self.ids, a)
-        idx_b = np.searchsorted(self.ids, b)
+        hi = max(len(self.ids) - 1, 0)
+        idx_a = np.clip(np.searchsorted(self.ids, a), 0, hi)
+        idx_b = np.clip(np.searchsorted(self.ids, b), 0, hi)
+        # membership check (ADVICE round 3): a pair id absent from the
+        # broadcast store (duplicate corpus ids, or pairs built from a
+        # different dataset) must fail loudly, not silently verify
+        # against the wrong doc's hash set
+        if len(self.ids) == 0 or not (
+            bool(np.all(self.ids[idx_a] == a)) and bool(np.all(self.ids[idx_b] == b))
+        ):
+            missing = np.unique(np.concatenate([
+                a[self.ids[idx_a] != a] if len(self.ids) else a,
+                b[self.ids[idx_b] != b] if len(self.ids) else b,
+            ]))[:10]
+            raise ValueError(
+                f"candidate-pair ids missing from the broadcast hash-set store "
+                f"(first few: {missing.tolist()}); the pairs were not built from "
+                f"the dataset that produced the store"
+            )
         keep = _batch_jaccard_keep_flat(self.flat, self.offs, idx_a, idx_b, self.threshold)
         return pa.Table.from_pydict({"a": pa.array(a[keep]), "b": pa.array(b[keep])}, schema=_PAIR_SCHEMA)
 
 
-def _verify_pairs_broadcast(work, pairs_ds, id_col, text_col, threshold, shingle, k, max_bytes=BROADCAST_VERIFY_MAX_BYTES):
+def _verify_pairs_broadcast(work, pairs_ds, id_col, text_col, threshold, shingle, k, max_bytes=None):
     """Middle verification plan: candidate-pair count exceeds the driver
     budget but the candidate DOCS' hash sets fit a broadcast.
 
@@ -243,6 +260,9 @@ def _verify_pairs_broadcast(work, pairs_ds, id_col, text_col, threshold, shingle
     the fallback when candidates outgrow the budget. Returns verified
     edges as a Dataset, or None when over budget."""
     import ray
+
+    if max_bytes is None:
+        max_bytes = BROADCAST_VERIFY_MAX_BYTES
 
     from ..pipelines.queries import as_table
 
@@ -297,6 +317,26 @@ def _verify_pairs_broadcast(work, pairs_ds, id_col, text_col, threshold, shingle
     )
 
 
+def _gather_capped(rows_ds, max_bytes: int | None = None) -> pa.Table | None:
+    """Stream a (candidate-row) gather to the driver under a running byte
+    cap; None = over budget, caller falls back to a distributed plan.
+    ``max_bytes=None`` resolves the module constant at CALL time (tests
+    shrink it to force the abort path)."""
+    if max_bytes is None:
+        max_bytes = BROADCAST_VERIFY_MAX_BYTES
+    parts, gathered = [], 0
+    for blk in rows_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        if blk.num_rows == 0:
+            continue
+        gathered += blk.nbytes
+        if gathered > max_bytes:
+            return None
+        parts.append(blk)
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(parts, promote_options="default")
+
+
 class _HashSetCache:
     """text -> sorted unique hash set, computed once per distinct text."""
 
@@ -315,15 +355,32 @@ class _HashSetCache:
         return i
 
 
-def _verify_edges(ds, id_col: str, text_col: str, edges: list[tuple], threshold: float, shingle: str, k: int) -> list[tuple]:
-    """Exact-Jaccard check of candidate edges; gathers ONLY candidate rows."""
+def _verify_edges(
+    ds,
+    id_col: str,
+    text_col: str,
+    edges: list[tuple],
+    threshold: float,
+    shingle: str,
+    k: int,
+    max_bytes: int | None = None,
+) -> list[tuple] | None:
+    """Exact-Jaccard check of candidate edges; gathers ONLY candidate rows.
+
+    The gather streams under a running BYTE cap (round-3 verdict: the
+    plan gate upstream counts edges, but at the edge-count boundary with
+    multi-KB documents the candidate TEXTS are multi-GB) — over the cap
+    it returns None and the caller falls through to the broadcast-store /
+    shuffle verification plans, which never gather texts to the driver."""
     cand = sorted({i for e in edges for i in e})
     if not cand:
         return []
     rows = broadcast_value_filter(_sel(ds, [id_col, text_col]), id_col, np.array(cand), keep=True)
-    from ..pipelines.queries import as_table
-
-    t = as_table(rows)
+    t = _gather_capped(rows, max_bytes)
+    if t is None:
+        return None
+    if t.num_rows == 0:
+        return []
     texts = dict(zip(t[id_col].to_numpy(zero_copy_only=False), t[text_col].to_numpy(zero_copy_only=False)))
     cache = _HashSetCache(shingle, k)
     set_of = {i: cache.idx(texts.get(i)) for i in cand}
@@ -523,10 +580,13 @@ def _dedup_via_edges(
         edges = _collect_edges(edges_ds)
         if driver_verify is not None:
             edges = driver_verify(edges)
-        drop = _survivors_from_edges(None, edges)
-        if not drop:
-            return ds
-        return broadcast_value_filter(ds, id_col, np.array(sorted(drop)), keep=False)
+        # None = the driver verify's candidate-payload gather exceeded its
+        # byte cap → fall through to the distributed verify/cluster tail
+        if edges is not None:
+            drop = _survivors_from_edges(None, edges)
+            if not drop:
+                return ds
+            return broadcast_value_filter(ds, id_col, np.array(sorted(drop)), keep=False)
     from .distributed import cluster_drop_ids, pair_payload_join
 
     pairs = _edges_to_pairs(edges_ds)
@@ -707,6 +767,7 @@ def minhash_lsh_dedup_verified(
             work = _apply_drop_ds(work, id_col, j1_drops, driver_max_edges).materialize()
     pairs_ds = _lsh_all_pairs(work, id_col, text_col, num_perm, bands, shingle, k, seed)
     n_pairs = pairs_ds.count()
+    kept = None
     if n_pairs > 0 and n_pairs <= driver_max_edges:
         from ..pipelines.queries import as_table
 
@@ -714,13 +775,16 @@ def minhash_lsh_dedup_verified(
         cand = list(
             {(int(a), int(b)) for a, b in zip(t["a"].to_numpy(zero_copy_only=False), t["b"].to_numpy(zero_copy_only=False))}
         )
+        # None = candidate texts exceeded the driver byte cap → fall
+        # through to the broadcast-store plan below (round-3 verdict)
         kept = _verify_edges(work, id_col, text_col, cand, threshold, shingle, k)
-        drop = _survivors_from_edges(None, kept)
-        if drop:
-            drop_sets.append(
-                ray.data.from_arrow(pa.Table.from_pydict({"id": pa.array(sorted(drop), type=pa.int64())}))
-            )
-    elif n_pairs > driver_max_edges:
+        if kept is not None:
+            drop = _survivors_from_edges(None, kept)
+            if drop:
+                drop_sets.append(
+                    ray.data.from_arrow(pa.Table.from_pydict({"id": pa.array(sorted(drop), type=pa.int64())}))
+                )
+    if n_pairs > 0 and (n_pairs > driver_max_edges or kept is None):
         from .distributed import cluster_drop_ids, pair_payload_join
 
         # middle plan: pairs exceed the driver budget but candidate hash
@@ -765,10 +829,18 @@ def neardup_pairs(
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
         return pa.Table.from_pydict({"a": [], "b": []}, schema=_PAIR_SCHEMA)
-    if n_pairs > driver_max_pairs:
-        # distributed exact verification: broadcast hash-set store when the
-        # candidate docs fit the budget, else candidate payloads shuffle to
-        # their pairs — neither gathers to the driver
+    kept = None
+    if n_pairs <= driver_max_pairs:
+        t = as_table(pairs_ds)
+        cand = list(
+            {(int(a), int(b)) for a, b in zip(t["a"].to_numpy(zero_copy_only=False), t["b"].to_numpy(zero_copy_only=False))}
+        )
+        kept = _verify_edges(ds, id_col, text_col, cand, threshold, shingle, k)
+    if kept is None:
+        # distributed exact verification (pair count over the budget, or
+        # candidate texts over the driver byte cap): broadcast hash-set
+        # store when the candidate docs fit the budget, else candidate
+        # payloads shuffle to their pairs — neither gathers to the driver
         verified = _verify_pairs_broadcast(ds, pairs_ds, id_col, text_col, threshold, shingle, k)
         if verified is None:
             from .distributed import pair_payload_join
@@ -777,11 +849,6 @@ def neardup_pairs(
                 ds, pairs_ds, id_col, text_col, _jaccard_verify_block(threshold, shingle, k)
             )
         return as_table(verified).sort_by([("a", "ascending"), ("b", "ascending")])
-    t = as_table(pairs_ds)
-    cand = list(
-        {(int(a), int(b)) for a, b in zip(t["a"].to_numpy(zero_copy_only=False), t["b"].to_numpy(zero_copy_only=False))}
-    )
-    kept = _verify_edges(ds, id_col, text_col, cand, threshold, shingle, k)
     kept.sort()
     return pa.Table.from_pydict(
         {
@@ -999,25 +1066,30 @@ def embedding_neardup_pairs(
     pairs_tbl = local_group_map(triples, ["band", "key"], block_pairs).materialize()
     from ..pipelines.queries import as_table
 
-    if pairs_tbl.count() > driver_max_edges:
+    rt = None
+    cand_pairs: list[tuple] = []
+    if pairs_tbl.count() <= driver_max_edges:
+        t = as_table(pairs_tbl)
+        cand_pairs = list(
+            {(int(a), int(b)) for a, b in zip(t["a"].to_numpy(zero_copy_only=False), t["b"].to_numpy(zero_copy_only=False))}
+        )
+        if not cand_pairs:
+            return pa.Table.from_pydict({"a": [], "b": []}, schema=pair_schema)
+        cand = sorted({i for e in cand_pairs for i in e})
+        rows = broadcast_value_filter(_sel(ds, [id_col, vec_col]), id_col, np.array(cand), keep=True)
+        rt = _gather_capped(rows)
+    if rt is None:
+        # pair count over the budget, or candidate vectors over the
+        # driver byte cap: vectors shuffle to their pairs instead
         from .distributed import pair_payload_join
 
         verified = pair_payload_join(ds, pairs_tbl, id_col, vec_col, _cosine_verify_block(threshold))
         return as_table(verified).sort_by([("a", "ascending"), ("b", "ascending")])
-    t = as_table(pairs_tbl)
-    cand_pairs = list(
-        {(int(a), int(b)) for a, b in zip(t["a"].to_numpy(zero_copy_only=False), t["b"].to_numpy(zero_copy_only=False))}
-    )
-    kept: list[tuple] = []
-    if cand_pairs:
-        cand = sorted({i for e in cand_pairs for i in e})
-        rows = broadcast_value_filter(_sel(ds, [id_col, vec_col]), id_col, np.array(cand), keep=True)
-        rt = as_table(rows)
-        mat = list_column_to_matrix(rt[vec_col])
-        ids = rt[id_col].to_numpy(zero_copy_only=False)
-        norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        vec = {int(i): norm[j] for j, i in enumerate(ids)}
-        kept = sorted((a, b) for a, b in cand_pairs if float(vec[a] @ vec[b]) >= threshold)
+    mat = list_column_to_matrix(rt[vec_col])
+    ids = rt[id_col].to_numpy(zero_copy_only=False)
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    vec = {int(i): norm[j] for j, i in enumerate(ids)}
+    kept = sorted((a, b) for a, b in cand_pairs if float(vec[a] @ vec[b]) >= threshold)
     return pa.Table.from_pydict(
         {"a": pa.array([a for a, _ in kept], type=pa.int64()), "b": pa.array([b for _, b in kept], type=pa.int64())}
     )
@@ -1037,14 +1109,14 @@ def embedding_cosine_dedup(ds, id_col: str, vec_col: str, dim: int, threshold: f
     )
     edges_ds = local_group_map(triples, ["band", "key"], _block_edges)
 
-    def driver_verify(edges: list[tuple]) -> list[tuple]:
+    def driver_verify(edges: list[tuple]) -> list[tuple] | None:
         if not edges:
             return edges
         cand = sorted({i for e in edges for i in e})
         rows = broadcast_value_filter(_sel(ds, [id_col, vec_col]), id_col, np.array(cand), keep=True)
-        from ..pipelines.queries import as_table
-
-        t = as_table(rows)
+        t = _gather_capped(rows)
+        if t is None:  # over the byte cap → distributed verify tail
+            return None
         mat = list_column_to_matrix(t[vec_col])
         ids = t[id_col].to_numpy(zero_copy_only=False)
         norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)

@@ -41,19 +41,100 @@ def broadcast_value_filter(ds, col: str, values, keep: bool = True):
     return ds.map_batches(probe, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
-def frequency_filter(ds, col: str, min_count: int):
+def shuffle_membership_filter(ds, col: str, values_ds, values_col: str, keep: bool = True, num_blocks: int | None = None):
+    """Distributed membership filter: rows of ``ds`` whose ``col`` is
+    (``keep=True``) / is not (``keep=False``) present in a DISTRIBUTED
+    value set — the scale plan when the value set is too large to gather
+    and broadcast. Both sides co-partition by the value hash (the
+    ``dedup/distributed.shuffle_anti_join`` tagged-union pattern); each
+    block filters locally with one vectorized ``is_in``. The payload
+    crosses the wire once; the driver never sees either side. NULL values
+    never match (SQL semantics), so on ``keep=False`` null rows survive."""
+    from .shuffle import arrow_schema
+
+    base = arrow_schema(ds)
+    marker = "__member_marker"
+    schema = pa.schema(list(base) + [pa.field(marker, pa.int8())])
+    val_type = base.field(col).type
+
+    def _norm(tb: pa.Table, values: dict) -> pa.Table:
+        cols = []
+        for f in schema:
+            if f.name in values:
+                arr = values[f.name]
+                cols.append(arr if isinstance(arr, (pa.Array, pa.ChunkedArray)) else pa.array(arr, type=f.type))
+            else:
+                cols.append(pa.nulls(tb.num_rows, type=f.type))
+        return pa.Table.from_arrays(cols, schema=schema)
+
+    def rows_to_u(tb: pa.Table) -> pa.Table:
+        return _norm(tb, {**{c: tb[c] for c in tb.column_names}, marker: pa.nulls(tb.num_rows, pa.int8()).fill_null(0)})
+
+    def vals_to_u(tb: pa.Table) -> pa.Table:
+        return _norm(tb, {col: tb[values_col].combine_chunks().cast(val_type), marker: pa.nulls(tb.num_rows, pa.int8()).fill_null(1)})
+
+    def probe(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return tb.select([f.name for f in base])
+        is_val = pc.equal(tb[marker], 1)
+        val_keys = tb.filter(is_val)[col].combine_chunks()
+        rows = tb.filter(pc.invert(is_val))
+        if len(val_keys):
+            present = pc.is_in(rows[col], value_set=pc.unique(val_keys))
+            mask = present if keep else pc.invert(pc.fill_null(present, False))
+        else:
+            mask = pa.array(np.full(rows.num_rows, not keep))
+        return rows.filter(mask).select([f.name for f in base])
+
+    from .shuffle import local_group_map
+
+    tagged = ds.map_batches(rows_to_u, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).union(
+        values_ds.map_batches(vals_to_u, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+    return local_group_map(tagged, [col], probe, num_blocks)
+
+
+def frequency_filter(ds, col: str, min_count: int, driver_max_keys: int = 2_000_000, num_blocks: int | None = None):
     """Keep rows whose `col` value occurs more than `min_count` times
-    (strict >, matching ``models/preprocessing.py:7-10``)."""
-    counts = key_counts(ds, [col]).to_pandas()
-    keep = counts.loc[counts["cnt"] > min_count, col].to_numpy()
-    return broadcast_value_filter(ds, col, keep, keep=True)
+    (strict >, matching ``models/preprocessing.py:7-10``).
+
+    Cost-based plan (round-3 verdict: the unconditional driver gather was
+    the engine's last O(distinct-keys) driver hot spot): the qualifying
+    key set is computed distributed and MATERIALIZED (object store, not
+    driver), its exact count read from metadata, and only a set under
+    ``driver_max_keys`` is gathered + broadcast; above the budget the
+    filter finishes as a co-partitioned semi-join
+    (:func:`shuffle_membership_filter`) with no driver materialization —
+    on a 100 TB corpus with a high-cardinality column the keep set never
+    converges on one machine. ``driver_max_keys<=0`` forces the shuffle
+    plan (plan-equivalence tests)."""
+    thresh = min_count
+
+    def qualifying(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["cnt"], thresh)).select([col])
+
+    keep_ds = key_counts(ds, [col]).map_batches(
+        qualifying, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    if driver_max_keys > 0 and keep_ds.count() <= driver_max_keys:
+        keep = np.asarray(as_table_column(keep_ds, col))
+        return broadcast_value_filter(ds, col, keep, keep=True)
+    return shuffle_membership_filter(ds, col, keep_ds, col, keep=True, num_blocks=num_blocks)
+
+
+def as_table_column(ds, col: str) -> pa.ChunkedArray:
+    """Gather ONE column of a small-by-contract Dataset to the driver."""
+    chunks = [t[col].combine_chunks() for t in ds.iter_batches(batch_format="pyarrow", batch_size=None) if t.num_rows]
+    if not chunks:
+        return pa.chunked_array([], type=ds.schema().base_schema.field(col).type)
+    return pa.chunked_array(chunks)
 
 
 def shuffle_hash_join(
     left_ds,
-    left_key: str,
+    left_key: str | list[str],
     right_ds,
-    right_key: str,
+    right_key: str | list[str],
     how: str = "inner",
     num_blocks: int | None = None,
     suffix: str = "_r",
@@ -62,41 +143,60 @@ def shuffle_hash_join(
     dim tables too big to broadcast had no plan).
 
     Plan (the ``dedup/distributed.py`` tagged-union pattern): each side
-    maps into one shared union schema — join key + left columns + right
-    columns + an int8 side marker, absent side's columns null — then ONE
-    hash shuffle co-partitions both sides by the key, and each block runs
-    a single vectorized polars hash join over its co-located rows. Each
-    side's payload crosses the wire exactly once; nothing touches the
-    driver. Skewed keys concentrate in single blocks — salt hot keys
-    upstream if a key's rows exceed a block (same documented assumption
-    as ``functions/temporal.py``).
+    maps into one shared union schema — join key(s) + left columns +
+    right columns + an int8 side marker, absent side's columns null —
+    then ONE hash shuffle co-partitions both sides by the key(s), and
+    each block runs a single vectorized polars hash join over its
+    co-located rows. Each side's payload crosses the wire exactly once;
+    nothing touches the driver. Skewed keys concentrate in single
+    blocks — salt hot keys upstream if a key's rows exceed a block (same
+    documented assumption as ``functions/temporal.py``).
 
-    Output matches :func:`broadcast_join`: left columns keep their names
-    and types, the right key column is dropped (it equals the left key on
-    matches), right columns colliding with a left name get ``suffix``.
-    ``how`` ∈ {"inner", "left"}. NULL keys never match (SQL semantics)
-    but DO ride through on ``how="left"``.
+    Keys may be composite (equal-length column lists); right key columns
+    are cast to the left key types. Output matches
+    :func:`broadcast_join`: left columns keep their names and types, the
+    right key columns are dropped (they equal the left keys on matches),
+    right columns colliding with a left name get ``suffix``. A suffixed
+    right name that STILL collides (the left side already had
+    ``col+suffix``) raises up front instead of emitting a duplicate
+    field (ADVICE round 3). ``how`` ∈ {"inner", "left", "semi", "anti"}
+    — semi/anti return left columns only (for anti, the right side ships
+    just its key columns). NULL keys never match (SQL join semantics)
+    but DO ride through on ``how="left"`` and survive ``how="anti"``.
     """
     import polars as pl
 
-    if how not in ("inner", "left"):
-        raise ValueError("how must be 'inner' or 'left'")
-    lschema = left_ds.schema().base_schema
-    rschema = right_ds.schema().base_schema
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError("how must be one of 'inner', 'left', 'semi', 'anti'")
+    lkeys = [left_key] if isinstance(left_key, str) else list(left_key)
+    rkeys = [right_key] if isinstance(right_key, str) else list(right_key)
+    if len(lkeys) != len(rkeys):
+        raise ValueError(f"key arity mismatch: {lkeys} vs {rkeys}")
+    from .shuffle import arrow_schema
+
+    lschema = arrow_schema(left_ds)
+    rschema = arrow_schema(right_ds)
     lnames = [f.name for f in lschema]
-    rmap = {  # right column -> output name (key dropped, collisions suffixed)
+    key_only = how in ("semi", "anti")
+    rmap = {  # right column -> output name (keys dropped, collisions suffixed)
         f.name: (f.name + suffix if f.name in lnames else f.name)
         for f in rschema
-        if f.name != right_key
+        if f.name not in rkeys and not key_only
     }
+    out_rnames = list(rmap.values())
+    if len(set(out_rnames)) != len(out_rnames) or set(out_rnames) & set(lnames):
+        clash = sorted((set(out_rnames) & set(lnames)) | {n for n in out_rnames if out_rnames.count(n) > 1})
+        raise ValueError(
+            f"suffixed right column names collide with the output schema: {clash}; pass a different suffix"
+        )
     marker = "__join_side"
     union_schema = pa.schema(
         list(lschema)
-        + [pa.field(rmap[f.name], f.type) for f in rschema if f.name != right_key]
+        + [pa.field(rmap[f.name], f.type) for f in rschema if f.name in rmap]
         + [pa.field(marker, pa.int8())]
     )
-    out_schema = pa.schema(list(union_schema)[:-1])
-    key_type = lschema.field(left_key).type
+    out_schema = pa.schema(list(lschema) if key_only else list(union_schema)[:-1])
+    key_types = {lk: lschema.field(lk).type for lk in lkeys}
 
     def _norm(tb: pa.Table, values: dict, side: int) -> pa.Table:
         cols = []
@@ -113,11 +213,12 @@ def shuffle_hash_join(
         return _norm(tb, {c: tb[c].combine_chunks() for c in tb.column_names}, 0)
 
     def right_to_u(tb: pa.Table) -> pa.Table:
-        vals = {rmap[c]: tb[c].combine_chunks() for c in tb.column_names if c != right_key}
-        vals[left_key] = tb[right_key].combine_chunks().cast(key_type)
+        vals = {rmap[c]: tb[c].combine_chunks() for c in tb.column_names if c in rmap}
+        for lk, rk in zip(lkeys, rkeys):
+            vals[lk] = tb[rk].combine_chunks().cast(key_types[lk])
         return _norm(tb, vals, 1)
 
-    rcols = [left_key] + list(rmap.values())
+    rcols = lkeys + list(rmap.values())
 
     def joined_block(tb: pa.Table) -> pa.Table:
         if tb.num_rows == 0:
@@ -126,24 +227,31 @@ def shuffle_hash_join(
         side = pl.col(marker)
         l = df.filter(side == 0).select(lnames)
         r = df.filter(side == 1).select(rcols)
-        out = l.join(r, on=left_key, how=how, nulls_equal=False)
+        if key_only:
+            r = r.unique(subset=lkeys)
+        out = l.join(r, on=lkeys, how=how, nulls_equal=False)
         return out.select([f.name for f in out_schema]).to_arrow().cast(out_schema)
 
     from .shuffle import local_group_map
 
+    right_in = right_ds
+    if key_only:
+        from .shuffle import select_if_needed
+
+        right_in = select_if_needed(right_ds, rkeys)
     tagged = left_ds.map_batches(
         left_to_u, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).union(
-        right_ds.map_batches(right_to_u, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        right_in.map_batches(right_to_u, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
-    return local_group_map(tagged, [left_key], joined_block, num_blocks)
+    return local_group_map(tagged, lkeys, joined_block, num_blocks)
 
 
 def hash_join(
     left_ds,
-    left_key: str,
+    left_key: str | list[str],
     right_ds,
-    right_key: str,
+    right_key: str | list[str],
     how: str = "inner",
     broadcast_max_bytes: int = 64 << 20,
     num_blocks: int | None = None,
@@ -167,33 +275,41 @@ def hash_join(
     return shuffle_hash_join(left_ds, left_key, right_ds, right_key, how=how, num_blocks=num_blocks)
 
 
-def broadcast_join(fact_ds, fact_key: str, dim, dim_key: str, how: str = "inner"):
+def broadcast_join(fact_ds, fact_key: str | list[str], dim, dim_key: str | list[str], how: str = "inner"):
     """Join a streaming fact Dataset against a small dim table.
 
     Arrow-native: the dim (pandas DataFrame or pyarrow Table) ships once
     as an Arrow table via ``ray.put``; every batch runs ONE vectorized
     polars hash join on the zero-copy Arrow block — no pandas round-trip
     in the hot path (the round-1 version converted Arrow→pandas→Arrow per
-    batch). ``how`` ∈ {"inner", "left"}; the dim key column is dropped
-    from the output (standard join semantics — it equals the fact key on
-    matches). For dim sides too large to broadcast, use a partitioned
-    hash join (bucket both sides) instead — see SURVEY.md §7.3.
+    batch). Keys may be composite (equal-length lists). The dim key
+    column(s) are dropped from the output (standard join semantics — they
+    equal the fact keys on matches). For dim sides too large to
+    broadcast, use a partitioned hash join (bucket both sides) instead —
+    see SURVEY.md §7.3. ``how`` ∈ {"inner", "left", "semi", "anti"} —
+    semi/anti return fact columns only (the dim ships just its keys).
     """
     import polars as pl
     import ray
 
-    if how not in ("inner", "left"):
-        raise ValueError("how must be 'inner' or 'left'")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError("how must be one of 'inner', 'left', 'semi', 'anti'")
+    fkeys = [fact_key] if isinstance(fact_key, str) else list(fact_key)
+    dkeys = [dim_key] if isinstance(dim_key, str) else list(dim_key)
+    if len(fkeys) != len(dkeys):
+        raise ValueError(f"key arity mismatch: {fkeys} vs {dkeys}")
     dim_tbl = pa.Table.from_pandas(dim, preserve_index=False) if isinstance(dim, pd.DataFrame) else dim
+    if how in ("semi", "anti"):
+        dim_tbl = dim_tbl.select(dkeys)
     ref = ray.put(dim_tbl)
 
-    dim_out = [f for f in dim_tbl.schema if f.name != dim_key]
+    dim_out = [f for f in dim_tbl.schema if f.name not in dkeys]
 
     def join(batch: pa.Table) -> pa.Table:
         d = pl.from_arrow(ray.get(ref))
-        out = pl.from_arrow(batch).join(
-            d, left_on=fact_key, right_on=dim_key, how=how, coalesce=True
-        )
+        f = pl.from_arrow(batch)
+        d = d.with_columns([pl.col(dk).cast(f.schema[fk]) for fk, dk in zip(fkeys, dkeys)])
+        out = f.join(d, left_on=fkeys, right_on=dkeys, how=how, coalesce=True)
         # stable output schema: fact columns keep their exact types,
         # dim columns theirs (polars round-trips string → large_string)
         want = pa.schema(list(batch.schema) + dim_out)

@@ -60,6 +60,22 @@ def select_if_needed(ds, cols: list[str]):
     return ds.select_columns(cols)
 
 
+def arrow_schema(ds) -> pa.Schema:
+    """The dataset's schema as a ``pyarrow.Schema``.
+
+    Parquet reads and pyarrow ``map_batches`` outputs already carry one;
+    pandas-block datasets (``from_pandas`` — test fixtures) carry a
+    ``PandasBlockSchema`` whose object dtypes are ambiguous, so for those
+    the first real batch is consulted (streaming — executes only until
+    one batch exists; never happens on the parquet hot paths)."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    for tb in ds.iter_batches(batch_format="pyarrow", batch_size=1):
+        return tb.schema
+    return pa.schema([])
+
+
 def default_actor_concurrency(min_actors: int = 2) -> int:
     """Actor-pool size for stateful map_batches stages: ~60% of cluster
     CPUs. Actors hold their CPU for the pipeline's lifetime, so sizing the

@@ -88,3 +88,116 @@ def test_cost_based_join_switches_plans(ray_session):
         assert np.array_equal(
             a[col].to_numpy(), b[col].to_numpy()
         ), col
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_composite_key_join_matches_polars(ray_session, how):
+    import polars as pl
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.relational import broadcast_join, shuffle_hash_join
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    left = pa.table(
+        {
+            "k1": pa.array([1, 1, 2, 2, None, 3], type=pa.int64()),
+            "k2": pa.array(["x", "y", "x", "x", "x", None]),
+            "lv": pa.array([10, 20, 30, 40, 50, 60], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "r1": pa.array([1, 2, 2, 9], type=pa.int32()),  # narrower type: cast path
+            "r2": pa.array(["x", "x", "z", "x"]),
+            "rv": pa.array([1.5, 2.5, 3.5, 9.5]),
+        }
+    )
+    lds, rds = rd.from_arrow(left).repartition(3), rd.from_arrow(right).repartition(2)
+    got = as_table(shuffle_hash_join(lds, ["k1", "k2"], rds, ["r1", "r2"], how=how))
+    want = (
+        pl.from_arrow(left)
+        .join(
+            pl.from_arrow(right).with_columns(pl.col("r1").cast(pl.Int64)),
+            left_on=["k1", "k2"],
+            right_on=["r1", "r2"],
+            how=how,
+            nulls_equal=False,
+        )
+        .to_arrow()
+    )
+    assert sorted(got.column_names) == sorted(want.column_names)
+    a, b = _canon(got), _canon(want.cast(got.select(want.column_names).schema))
+    assert a.equals(b), f"\n{a}\nvs\n{b}"
+    # broadcast plan agrees with the shuffle plan
+    bc = as_table(broadcast_join(lds, ["k1", "k2"], right, ["r1", "r2"], how=how))
+    assert _canon(bc).equals(a)
+
+
+@pytest.mark.parametrize("how", ["semi", "anti"])
+def test_semi_anti_join_matches_polars(ray_session, how):
+    import polars as pl
+
+    from anomalydetection_ray.functions.relational import broadcast_join, shuffle_hash_join
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    lds, rds, left, right = _mk_sides()
+    got = as_table(shuffle_hash_join(lds, "k", rds, "rk", how=how))
+    want = (
+        pl.from_arrow(left)
+        .join(pl.from_arrow(right), left_on="k", right_on="rk", how=how, nulls_equal=False)
+        .to_arrow()
+    )
+    # semi/anti return left columns only, no multiplication on dup right keys
+    assert sorted(got.column_names) == sorted(left.column_names)
+    a, b = _canon(got), _canon(want.cast(got.select(want.column_names).schema))
+    assert a.equals(b), f"\n{a}\nvs\n{b}"
+    bc = as_table(broadcast_join(lds, "k", right, "rk", how=how))
+    assert _canon(bc).equals(a)
+
+
+def test_suffix_collision_raises(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.relational import shuffle_hash_join
+
+    left = pa.table({"k": [1], "v": [1], "v_r": [2]})
+    right = pa.table({"rk": [1], "v": [3]})
+    with pytest.raises(ValueError, match="collide"):
+        shuffle_hash_join(rd.from_arrow(left), "k", rd.from_arrow(right), "rk")
+
+
+def test_frequency_filter_plan_equivalence(ray_session):
+    """driver_max_keys<=0 forces the distributed semi-join plan; output
+    must be row-identical to the broadcast plan (round-3 verdict item 3)."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.relational import frequency_filter
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 40, size=5000)
+    tb = pa.table({"v": pa.array(vals, type=pa.int64()), "row": pa.array(np.arange(5000))})
+    ds = rd.from_arrow(tb).repartition(6)
+    a = _canon(as_table(frequency_filter(ds, "v", 130)))
+    b = _canon(as_table(frequency_filter(ds, "v", 130, driver_max_keys=0)))
+    assert len(a) > 0 and len(a) < 5000  # threshold actually splits
+    assert a.equals(b)
+
+
+def test_shuffle_membership_filter_nulls(ray_session):
+    """NULL values never match (SQL semantics): dropped on keep=True,
+    kept on keep=False."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.relational import shuffle_membership_filter
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    rows = pa.table(
+        {"v": pa.array([1, 2, None, 4, 5], type=pa.int64()), "p": pa.array(list("abcde"))}
+    )
+    vals = pa.table({"m": pa.array([2, 4, 99], type=pa.int64())})
+    ds, vds = rd.from_arrow(rows).repartition(3), rd.from_arrow(vals).repartition(2)
+    kept = as_table(shuffle_membership_filter(ds, "v", vds, "m", keep=True))
+    assert sorted(kept["p"].to_pylist()) == ["b", "d"]
+    dropped = as_table(shuffle_membership_filter(ds, "v", vds, "m", keep=False))
+    assert sorted(dropped["p"].to_pylist()) == ["a", "c", "e"]

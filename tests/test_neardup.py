@@ -399,3 +399,33 @@ def test_verified_dedup_distributed_plan_with_collapse(ray_session, docs_ds):
             if ref is None:
                 ref = got
             assert got == ref, (collapse, dme)
+
+
+def test_driver_verify_byte_cap_aborts_to_distributed(ray_session, docs_ds, monkeypatch):
+    """Round-3 verdict item 4: the driver verify plan gates on edge COUNT;
+    with multi-KB documents the candidate-text gather must stream under a
+    byte cap and abort to the distributed plans — output unchanged."""
+    from anomalydetection_ray.dedup import neardup
+    from anomalydetection_ray.dedup import minhash_lsh_dedup_verified, neardup_pairs
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    want_pairs = neardup_pairs(docs_ds, "doc_id", "text", threshold=0.8, shingle="word")
+    want_kept = sorted(
+        as_table(minhash_lsh_dedup_verified(docs_ds, "doc_id", "text", threshold=0.8, shingle="word"))[
+            "doc_id"
+        ].to_pylist()
+    )
+    # 64 bytes: the 10-doc fixture's texts blow the cap immediately, so the
+    # driver plan AND the broadcast-store plan both abort; the shuffle
+    # pair_payload_join tail must produce byte-identical results
+    monkeypatch.setattr(neardup, "BROADCAST_VERIFY_MAX_BYTES", 64)
+    got_pairs = neardup_pairs(docs_ds, "doc_id", "text", threshold=0.8, shingle="word")
+    assert sorted(zip(got_pairs["a"].to_pylist(), got_pairs["b"].to_pylist())) == sorted(
+        zip(want_pairs["a"].to_pylist(), want_pairs["b"].to_pylist())
+    )
+    got_kept = sorted(
+        as_table(minhash_lsh_dedup_verified(docs_ds, "doc_id", "text", threshold=0.8, shingle="word"))[
+            "doc_id"
+        ].to_pylist()
+    )
+    assert got_kept == want_kept
