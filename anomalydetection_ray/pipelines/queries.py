@@ -137,14 +137,95 @@ def doc_stats_by_lang(sf_dir: str):
     return _round_pd(out, {"vmean": 6, "vstd": 6})
 
 
+# shared fixed-bin edges for the drift oracle: integer edges (width 50)
+# so the numpy half-open binning and the SQL FLOOR-division binning place
+# every integer n_chars value identically
+_DRIFT_LO, _DRIFT_HI, _DRIFT_BINS = 0.0, 1000.0, 20
+
+
 @register(
-    "lang_counts",
-    "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang",
+    "psi_drift_by_lang",
+    f"""
+    WITH docs AS (
+      SELECT lang, doc_id % 2 AS side,
+             LEAST(CAST(FLOOR(LEAST(GREATEST(n_chars, {_DRIFT_LO}), {_DRIFT_HI})
+                         / {(_DRIFT_HI - _DRIFT_LO) / _DRIFT_BINS}) AS INTEGER),
+                   {_DRIFT_BINS - 1}) AS bin
+      FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    grid AS (
+      SELECT l.lang, b.bin
+      FROM (SELECT DISTINCT lang FROM docs) l
+      CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {_DRIFT_BINS - 1})) AS bin) b
+    ),
+    counts AS (
+      SELECT g.lang, g.bin,
+             CAST(COALESCE(SUM(CASE WHEN d.side = 0 THEN 1 END), 0) AS DOUBLE) AS cb,
+             CAST(COALESCE(SUM(CASE WHEN d.side = 1 THEN 1 END), 0) AS DOUBLE) AS cc
+      FROM grid g LEFT JOIN docs d ON d.lang = g.lang AND d.bin = g.bin
+      GROUP BY g.lang, g.bin
+    ),
+    tot AS (SELECT lang, SUM(cb) AS tb, SUM(cc) AS tc FROM counts GROUP BY lang),
+    probs AS (
+      SELECT c.lang, c.bin,
+             GREATEST(c.cb / t.tb, 1e-6) AS pc_, GREATEST(c.cc / t.tc, 1e-6) AS qc_,
+             c.cb / t.tb AS pr, c.cc / t.tc AS qr
+      FROM counts c JOIN tot t USING (lang)
+    ),
+    nrm AS (SELECT lang, SUM(pc_) AS sp, SUM(qc_) AS sq FROM probs GROUP BY lang),
+    psi_t AS (
+      SELECT p.lang,
+             SUM((p.qc_ / n.sq - p.pc_ / n.sp) * LN((p.qc_ / n.sq) / (p.pc_ / n.sp))) AS psi
+      FROM probs p JOIN nrm n USING (lang) GROUP BY p.lang
+    ),
+    ks_t AS (
+      SELECT lang, MAX(ABS(cp - cq)) AS ks FROM (
+        SELECT lang,
+               SUM(pr) OVER (PARTITION BY lang ORDER BY bin) AS cp,
+               SUM(qr) OVER (PARTITION BY lang ORDER BY bin) AS cq
+        FROM probs
+      ) GROUP BY lang
+    )
+    SELECT p.lang AS lang, ROUND(p.psi, 6) AS psi, ROUND(k.ks, 6) AS ks,
+           CAST(p.psi > 0.25 OR k.ks > 0.2 AS INTEGER) AS drifted
+    FROM psi_t p JOIN ks_t k USING (lang) ORDER BY lang
+    """,
 )
-def lang_counts(sf_dir: str):
-    """Group-count (A1, ``models/preprocessing.py:7``) with map-side combiner."""
-    ds = read_table(sf_dir, "documents", columns=["lang"])
-    return key_counts(ds, ["lang"])
+def psi_drift_by_lang(sf_dir: str):
+    """Per-partition distribution-drift verdict — the north rule's anomaly
+    signal (A7; reference analog: score histograms
+    ``end_to_end_prediction.py:546``, per-class recon-error histograms
+    ``models/VAE_utils.py:297-303``). Even doc_ids form the baseline
+    snapshot, odd doc_ids the current batch; ONE distributed stats pass
+    builds fixed-bin n_chars histograms per (lang, side) — shared edges so
+    partials sum associatively — then ``checks/drift.partition_drift``
+    scores PSI + binned two-sample KS per lang against thresholds
+    (0.25 / 0.2). Drifted = the partition fails."""
+    from ..checks.drift import partition_drift
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def tag(tb: pa.Table) -> pa.Table:
+        tb = tb.filter(pc.is_valid(tb["doc_id"]))
+        side = pc.cast(pc.bit_wise_and(tb["doc_id"], 1), pa.int8())
+        return tb.append_column("side", side).drop_columns(["doc_id"])
+
+    edges = np.linspace(_DRIFT_LO, _DRIFT_HI, _DRIFT_BINS + 1)
+    st = column_stats(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        columns=["n_chars"],
+        partition_by=["lang", "side"],
+        hist_edges={"n_chars": edges},
+    ).to_pandas()
+    split = st["part"].str.rsplit("|", n=1, expand=True)
+    st = st.assign(lang=split[0], side=split[1])
+    base = st[st["side"] == "0"].assign(part=lambda d: d["lang"])
+    cur = st[st["side"] == "1"].assign(part=lambda d: d["lang"])
+    dr = partition_drift(cur, base, "n_chars", psi_threshold=0.25, ks_threshold=0.2)
+    out = dr.rename(columns={"part": "lang"})
+    out["drifted"] = (~out["passed"]).astype("int32")
+    out = out[["lang", "psi", "ks", "drifted"]].sort_values("lang").reset_index(drop=True)
+    return _round_pd(out, {"psi": 6, "ks": 6})
 
 
 @register(
@@ -962,15 +1043,57 @@ def lang_id_docs(sf_dir: str):
     return as_table(out.select_columns(["doc_id", "lang_pred"]))
 
 
-@register("value_quantiles_kll", None)
+@register(
+    "value_quantiles_kll",
+    """
+    SELECT 'value' AS "column", CAST(COUNT(value) AS BIGINT) AS cnt,
+           q, 1 AS within_bound
+    FROM events, (SELECT UNNEST([0.5, 0.95, 0.99]) AS q) qs
+    GROUP BY q ORDER BY q
+    """,
+)
 def value_quantiles_kll(sf_dir: str):
     """Streaming quantiles via mergeable KLL partials (sketches/kll.py) —
     the scale replacement for the reference's exact global percentile
-    (np.percentile at end_to_end_prediction.py:447). Bounded rank error
-    (tests/test_sketches.py), hence rows-only driver check."""
+    (``np.percentile`` at ``end_to_end_prediction.py:447``).
+
+    Oracle contract (SURVEY §7.4: assert RANK ERROR, not value equality —
+    the sketch is approximate by design): for each q the query re-scans
+    the column once, distributed, to find the estimate's true rank
+    interval [count(< est), count(<= est)]/n (an interval because ties
+    make the CDF jump), and emits ``within_bound`` = the distance from q
+    to that interval is <= 0.02 (k=256's measured bound is ~0.01,
+    tests/test_sketches.py). DuckDB asserts cnt exactly and
+    within_bound == 1."""
+    qs = [0.5, 0.95, 0.99]
     ds = read_table(sf_dir, "events", columns=["value"])
     st = column_stats(ds, columns=["value"]).to_pandas()
-    return st[["column", "count", "p50", "p95", "p99"]]
+    row = st.iloc[0]
+    ests = np.array([row["p50"], row["p95"], row["p99"]], dtype=np.float64)
+
+    def rank_partial(tb: pa.Table) -> pa.Table:
+        v = tb["value"].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        lo = np.array([np.count_nonzero(v < e) for e in ests], dtype=np.int64)
+        hi = np.array([np.count_nonzero(v <= e) for e in ests], dtype=np.int64)
+        return pa.table({"n": pa.array([len(v)] * len(qs), type=pa.int64()),
+                         "qi": pa.array(np.arange(len(qs)), type=pa.int64()),
+                         "lo": pa.array(lo), "hi": pa.array(hi)})
+
+    parts = ds.map_batches(rank_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    agg = as_table(parts).to_pandas().groupby("qi", sort=True).sum()
+    n = max(int(agg["n"].iloc[0]), 1)
+    lo_r, hi_r = agg["lo"].to_numpy() / n, agg["hi"].to_numpy() / n
+    qa = np.array(qs)
+    err = np.maximum(lo_r - qa, 0) + np.maximum(qa - hi_r, 0)
+    return pd.DataFrame(
+        {
+            "column": ["value"] * len(qs),
+            "cnt": np.full(len(qs), int(agg["n"].iloc[0]), dtype=np.int64),
+            "q": qa,
+            "within_bound": (err <= 0.02).astype("int64"),
+        }
+    )
 
 
 @register("hll_distinct_users", None)
@@ -1079,6 +1202,42 @@ def revenue_by_nation(sf_dir: str):
     ).rename(columns={"n_name": "nation"})
     agg["n_orders"] = agg["n_orders"].astype("int64")
     return _round_pd(agg, {"revenue": 2})
+
+
+@register(
+    "dev_from_group_mean",
+    """
+    SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source,
+           ROUND(d.n_chars - g.grp_mean, 6) AS dev
+    FROM documents d
+    JOIN (SELECT lang, source, AVG(n_chars) AS grp_mean
+          FROM documents GROUP BY lang, source) g
+      ON d.lang = g.lang AND d.source = g.source
+    """,
+)
+def dev_from_group_mean(sf_dir: str):
+    """COMPOSITE-KEY distributed join (round-3 verdict item 6): per-row
+    deviation from the (lang, source) group mean — the grouped analog of
+    the reference's per-row deviation scorer (T5,
+    ``end_to_end_prediction.py:444``). The group means are a small
+    aggregate, but the join runs on the FORCED shuffle plan
+    (``shuffle_hash_join`` on a two-column key) so the driver gate checks
+    the tagged-union co-partition path end-to-end against DuckDB."""
+    import ray.data as rd
+
+    from ..functions.relational import shuffle_hash_join
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+    means = driver_grouped_agg(docs, ["lang", "source"], {"grp_mean": ("n_chars", "mean")})
+    joined = shuffle_hash_join(
+        docs, ["lang", "source"], rd.from_pandas(means), ["lang", "source"], how="inner"
+    )
+
+    def dev(tb: pa.Table) -> pa.Table:
+        d = pc.round(pc.subtract(pc.cast(tb["n_chars"], pa.float64()), tb["grp_mean"]), ndigits=6)
+        return tb.select(["doc_id", "lang", "source"]).append_column("dev", d)
+
+    return as_table(joined.map_batches(dev, batch_format="pyarrow", batch_size=None, zero_copy_batch=True))
 
 
 @register(
