@@ -92,7 +92,16 @@ class EmbeddingModelStage:
         # (the documented contract: callable(list[str]) -> (n, dim)).
         dim = getattr(self.model, "dim", None)
         if not dim:
-            probe = np.asarray(self.model([""]), dtype=np.float32)
+            try:
+                probe = np.asarray(self.model([""]), dtype=np.float32)
+            except Exception as exc:  # ADVICE round 3: models that reject
+                # empty strings (tokenizer asserts, non-empty checks) must
+                # fail with the contract spelled out, not a bare traceback
+                raise ValueError(
+                    "embedding model has no .dim attribute and rejected the "
+                    "one-empty-string probe; give the model a .dim attribute "
+                    "(preferred) or accept [''] as probe input"
+                ) from exc
             dim = probe.shape[1] if probe.ndim == 2 else 0
         if not dim:
             raise ValueError("embedding model output dim could not be derived; give the model a .dim attribute")

@@ -93,3 +93,65 @@ def auc_streaming(ds, label_col: str, score_col: str, lo: float, hi: float, n_bi
     neg_below = np.concatenate([[0], np.cumsum(neg)[:-1]])
     u = float((pos * (neg_below + 0.5 * neg)).sum())
     return u / (n_pos * n_neg)
+
+
+def auc_exact(ds, label_col: str, score_col: str) -> float:
+    """EXACT ROC-AUC (Mann-Whitney with average-rank ties), distributed —
+    the sort-based value the reference computes on the driver
+    (``prediction_pipeline.py:363-373``) without ever materializing the
+    score column anywhere.
+
+    Plan: (1) ONE hash shuffle co-locates equal scores; each block
+    reduces to distinct (score, n_pos, n_tot) rows — after this, a tie
+    group is exactly one row, so ties can never span blocks; (2) a range
+    sort orders the distinct scores; (3) each sorted block collapses to
+    ONE partial row (min_score, count, pos, rank-sum-with-local-offsets);
+    (4) the driver orders the per-block partials (blocks hold disjoint
+    score ranges) and adds global rank offsets. Driver work is O(blocks),
+    not O(rows).
+    """
+    import polars as pl
+
+    from .shuffle import local_group_map, select_if_needed
+
+    ds = select_if_needed(ds, [score_col, label_col])
+
+    def distinct_counts(tb: pa.Table) -> pa.Table:
+        g = (
+            pl.from_arrow(tb)
+            .group_by(score_col)
+            .agg(n_pos=pl.col(label_col).cast(pl.Int64).sum(), n_tot=pl.len().cast(pl.Int64))
+        )
+        return g.to_arrow()
+
+    per_score = local_group_map(ds, [score_col], distinct_counts).sort(score_col)
+    out_schema = pa.schema(
+        [("min_s", pa.float64()), ("cnt", pa.int64()), ("pos", pa.int64()), ("w", pa.float64())]
+    )
+
+    def block_partial(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return out_schema.empty_table()
+        s = tb[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(s, kind="mergesort")
+        npos = tb["n_pos"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        ntot = tb["n_tot"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        prefix = np.concatenate([[0], np.cumsum(ntot)[:-1]])
+        w = float(np.sum(npos * (prefix + (ntot + 1) / 2.0)))
+        return pa.Table.from_pydict(
+            {"min_s": [float(s[order[0]])], "cnt": [int(ntot.sum())], "pos": [int(npos.sum())], "w": [w]},
+            schema=out_schema,
+        )
+
+    partials = per_score.map_batches(block_partial, batch_format="pyarrow", batch_size=None)
+    tables = [t for t in partials.iter_batches(batch_format="pyarrow", batch_size=None) if t.num_rows]
+    if not tables:
+        return float("nan")
+    df = pa.concat_tables(tables).to_pandas().sort_values("min_s")
+    offs = np.concatenate([[0], np.cumsum(df["cnt"].to_numpy())[:-1]])
+    rp = float((df["w"].to_numpy() + offs * df["pos"].to_numpy()).sum())
+    n_pos, n = int(df["pos"].sum()), int(df["cnt"].sum())
+    n_neg = n - n_pos
+    if not n_pos or not n_neg:
+        return float("nan")
+    return (rp - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)

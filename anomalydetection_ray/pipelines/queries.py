@@ -37,21 +37,18 @@ def register(name: str, sql: str | None):
     return deco
 
 
-# Within the rows-only group, the few slots left inside the driver's
-# recording window go to the queries whose coverage matters most (the
-# flagship end-to-end run, the learned-model stage, the fixed IVF path);
-# unlisted names follow in registration order.
+# Within the rows-only group, the queries whose coverage matters most
+# (the flagship end-to-end run, the learned-model stage, the fixed IVF
+# path) lead; unlisted names follow in registration order. Since the
+# round-4 consolidation the WHOLE registry (50 entries) fits the
+# driver's recording window, so this only orders the tail.
 _ROWS_ONLY_PRIORITY = [
     "end_to_end_log_predict",
     "mlp_reconstruction_scores",
     "ann_ivf_topk",
-    "dedup_embedding_docs",
     "stratified_split_counts",
-    "dedup_minhash_docs",
-    "dedup_simhash_docs",
-    "value_quantiles_kll",
-    "hll_distinct_users",
     "lang_id_docs",
+    "sampled_docs",
 ]
 
 
@@ -260,38 +257,63 @@ def freq_filter_docs(sf_dir: str):
 
 
 @register(
-    "null_counts_docs",
-    """
-    SELECT COUNT(*) AS n_rows,
+    "corpus_totals_docs",
+    r"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CASE WHEN text   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
            CAST(SUM(CASE WHEN lang   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
-           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls
-    FROM documents
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls,
+           CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+           CAST(SUM(n_urls) AS BIGINT) AS total_urls,
+           CAST(SUM(n_ips) AS BIGINT) AS total_ips,
+           CAST(SUM(CASE WHEN n_emails + n_urls + n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged
+    FROM (
+      SELECT text, lang, source,
+             len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(COALESCE(text, ''), 'https?://[^\s]+')) AS n_urls,
+             len(regexp_extract_all(COALESCE(text, ''), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
+      FROM documents)
     """,
 )
-def null_counts_docs(sf_dir: str):
-    """Null-rate scan (M5, ``models/feature_extraction.py:79``) as partial
-    sums per block → one global sum row."""
+def corpus_totals_docs(sf_dir: str):
+    """Corpus-wide scalar totals, ONE fused scan (formerly two driver rows
+    — null counts and PII counts — merged per round-3 verdict item 2):
+
+    - null-rate scan (M5, ``models/feature_extraction.py:79``);
+    - PII-surface scan (training-data staple): per-doc email / URL / IPv4
+      pattern counts (three RE2 kernels, functions/text.py) reduced to
+      corpus totals + flagged-doc count via per-block partials."""
+    from ..functions.text import pii_pattern_counts_batch
+
     ds = read_table(sf_dir, "documents", columns=["text", "lang", "source"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        b = pii_pattern_counts_batch(batch)
+        flagged = pc.sum(
+            pc.cast(
+                pc.greater(pc.add(pc.add(b["n_emails"], b["n_urls"]), b["n_ips"]), 0), pa.int64()
+            )
+        ).as_py() or 0
         return pa.Table.from_pydict(
             {
                 "n_rows": [batch.num_rows],
                 "text_nulls": [batch["text"].null_count],
                 "lang_nulls": [batch["lang"].null_count],
                 "source_nulls": [batch["source"].null_count],
+                "total_emails": [pc.sum(b["n_emails"]).as_py() or 0],
+                "total_urls": [pc.sum(b["n_urls"]).as_py() or 0],
+                "total_ips": [pc.sum(b["n_ips"]).as_py() or 0],
+                "docs_flagged": [flagged],
             }
         )
 
     p = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    row = p.aggregate(
-        Sum("n_rows", alias_name="n_rows"),
-        Sum("text_nulls", alias_name="text_nulls"),
-        Sum("lang_nulls", alias_name="lang_nulls"),
-        Sum("source_nulls", alias_name="source_nulls"),
-    )
-    return pd.DataFrame([row]).astype("int64")
+    cols = [
+        "n_rows", "text_nulls", "lang_nulls", "source_nulls",
+        "total_emails", "total_urls", "total_ips", "docs_flagged",
+    ]
+    row = p.aggregate(*[Sum(c, alias_name=c) for c in cols])
+    return pd.DataFrame([row])[cols].astype("int64")
 
 
 # ---------------------------------------------------------------------------
@@ -536,56 +558,34 @@ def _hour_bucket(batch: pa.Table) -> pa.Table:
 
 
 @register(
-    "hourly_event_counts",
-    """
-    SELECT event_type,
-           CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
-           COUNT(*) AS cnt,
-           ROUND(SUM(value), 4) AS sum_value
-    FROM events GROUP BY event_type, hour_bucket
-    """,
-)
-def hourly_event_counts(sf_dir: str):
-    """Tumbling-window aggregate (engine's streaming-window analog,
-    SURVEY.md §2.9): event-time bucketing inside map_batches, then grouped
-    partial+final aggregation — no watermarks needed for batch replay."""
-    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
-    bucket = _hour_bucket
-
-    agg = driver_grouped_agg(
-        ds.map_batches(bucket, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
-        ["event_type", "hour_bucket"],
-        {"cnt": (None, "count"), "sum_value": ("value", "sum")},
-    )
-    agg["cnt"] = agg["cnt"].astype("int64")
-    return _round_pd(agg, {"sum_value": 4})
-
-
-@register(
-    "sliding_event_counts",
+    "windowed_event_counts",
     """
     WITH h AS (
       SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
-             COUNT(*) AS cnt
-      FROM events GROUP BY event_type, hour_bucket
-    )
-    SELECT event_type, hour_bucket,
+             COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+      FROM events GROUP BY event_type, hour_bucket)
+    SELECT event_type, hour_bucket, CAST(cnt AS BIGINT) AS cnt, sum_value,
            CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY hour_bucket
                 RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_3h
     FROM h
     """,
 )
-def sliding_event_counts(sf_dir: str):
-    """SLIDING window (3 h window, 1 h slide) — the streaming §2.9 analog
-    beyond tumbling: tumbling partials first (shuffle-free partial+final,
-    raw events never re-scanned), then a vectorized gap-aware window
-    combine over bucket VALUES (cumsum + searchsorted — RANGE semantics,
-    so missing hours shrink the window exactly like the SQL oracle)."""
-    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+def windowed_event_counts(sf_dir: str):
+    """Tumbling AND sliding event-time windows in one driver row (formerly
+    two near-duplicate rows; round-3 verdict item 2) — the engine's
+    streaming-window analog (SURVEY.md §2.9):
+
+    - tumbling (1 h): event-time bucketing inside map_batches, grouped
+      partial+final aggregation — no watermarks needed for batch replay;
+    - sliding (3 h window, 1 h slide) layered ON the tumbling partials
+      (raw events never re-scanned): a vectorized gap-aware combine over
+      bucket VALUES (cumsum + searchsorted — RANGE semantics, so missing
+      hours shrink the window exactly like the SQL oracle)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
     hourly = driver_grouped_agg(
         ds.map_batches(_hour_bucket, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
         ["event_type", "hour_bucket"],
-        {"cnt": (None, "count")},
+        {"cnt": (None, "count"), "sum_value": ("value", "sum")},
     )
     pieces = []
     for _, g in hourly.groupby("event_type", sort=False):
@@ -595,9 +595,11 @@ def sliding_event_counts(sf_dir: str):
         cum = np.concatenate([[0], np.cumsum(c)])
         lo = np.searchsorted(b, b - 2, side="left")
         pieces.append(g.assign(cnt_3h=(cum[1 : len(b) + 1] - cum[lo]).astype("int64")))
-    out = pd.concat(pieces).reset_index(drop=True)[["event_type", "hour_bucket", "cnt_3h"]]
+    out = pd.concat(pieces).reset_index(drop=True)
     out["hour_bucket"] = out["hour_bucket"].astype("int64")
-    return out
+    out["cnt"] = out["cnt"].astype("int64")
+    out = out[["event_type", "hour_bucket", "cnt", "sum_value", "cnt_3h"]]
+    return _round_pd(out, {"sum_value": 4})
 
 
 # ---------------------------------------------------------------------------
@@ -651,56 +653,66 @@ def anomaly_scores(sf_dir: str):
 
 
 @register(
-    "token_counts_docs",
+    "doc_scalar_functions",
     r"""
-    SELECT doc_id,
-           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
-    FROM documents
+    WITH rep AS (
+      SELECT doc_id, len(t) AS n_toks, len(list_distinct(t)) AS n_distinct_tokens,
+             CASE WHEN len(t) = 0 THEN 0
+                  ELSE (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM unnest(t) AS u(tok) GROUP BY tok))
+             END AS top
+      FROM (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS t FROM documents))
+    SELECT d.doc_id AS doc_id,
+           CAST(length(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens,
+           CAST(FLOOR(length(regexp_extract_all(d.text, '[!-/:-@\[-`{-~]')) * 1000000.0
+                 / GREATEST(length(d.text), 1)) AS BIGINT) AS punct_ppm,
+           CAST(FLOOR(length(regexp_extract_all(d.text, '[A-Z]')) * 1000000.0
+                 / GREATEST(length(d.text), 1)) AS BIGINT) AS upper_ppm,
+           CAST(len(regexp_extract_all(COALESCE(d.text, ''), ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(r.n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+           ROUND(CAST(r.n_distinct_tokens AS DOUBLE) / GREATEST(r.n_toks, 1), 6) AS distinct_ratio,
+           ROUND(CAST(r.top AS DOUBLE) / GREATEST(r.n_toks, 1), 6) AS top_token_share
+    FROM documents d JOIN rep r USING (doc_id)
     """,
 )
-def token_counts_docs(sf_dir: str):
-    """Token counting via vectorized regex (pc.count_substring_regex) —
-    whitespace-token semantics of ``models/drain.py:27``."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(token_count_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).select_columns(
-        ["doc_id", "n_tokens"]
-    )
+def doc_scalar_functions(sf_dir: str):
+    """Per-doc scalar text functions, ONE fused scan (round-3 verdict item
+    2: the four formerly-separate driver rows were near-duplicate per-doc
+    shapes; merged so the whole registry fits the recording window):
 
+    - whitespace token count (M3 analog, ``models/drain.py:27``) —
+      vectorized ``pc.count_substring_regex``;
+    - quality ratios (punct/upper parts-per-million; floor of identical
+      float64 ops on both sides: bit-stable vs DuckDB);
+    - GPT-2-shaped BPE-pretokenizer count (RE2 on both engines);
+    - repetition signals (distinct-token ratio, top-token share) via one
+      polars tokenize + grouped count per batch (functions/text.py)."""
+    from ..functions.text import bpe_token_count_batch, repetition_batch
 
-@register(
-    "doc_quality",
-    r"""
-    SELECT doc_id,
-           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-           CAST(FLOOR(length(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) * 1000000.0
-                 / GREATEST(length(text), 1)) AS BIGINT) AS punct_ppm,
-           CAST(FLOOR(length(regexp_extract_all(text, '[A-Z]')) * 1000000.0
-                 / GREATEST(length(text), 1)) AS BIGINT) AS upper_ppm
-    FROM documents
-    """,
-)
-def doc_quality(sf_dir: str):
-    """Quality scoring (length/punctuation/uppercase ratios) — vectorized
-    Arrow kernels, no Python row loop. Ratios are integer parts-per-million
-    (floor of identical float64 ops on both sides: bit-stable compare,
-    immune to round-half mode differences between engines)."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    scored = ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def project(batch: pa.Table) -> pa.Table:
-        safe = pc.max_element_wise(pc.cast(batch["n_chars_q"], pa.float64()), 1.0)
-        punct_ppm = pc.floor(pc.divide(pc.multiply(pc.cast(batch["n_punct"], pa.float64()), 1e6), safe))
-        upper_ppm = pc.floor(pc.divide(pc.multiply(pc.cast(batch["n_upper"], pa.float64()), 1e6), safe))
+    def scalars(tb: pa.Table) -> pa.Table:
+        q = quality_batch(tb)
+        b = bpe_token_count_batch(tb)
+        r = repetition_batch(tb)
+        safe = pc.max_element_wise(pc.cast(q["n_chars_q"], pa.float64()), 1.0)
+        punct_ppm = pc.floor(pc.divide(pc.multiply(pc.cast(q["n_punct"], pa.float64()), 1e6), safe))
+        upper_ppm = pc.floor(pc.divide(pc.multiply(pc.cast(q["n_upper"], pa.float64()), 1e6), safe))
         return pa.Table.from_pydict(
             {
-                "doc_id": batch["doc_id"],
-                "n_tokens": batch["n_tokens"],
+                "doc_id": tb["doc_id"],
+                "n_tokens": q["n_tokens"],
                 "punct_ppm": pc.cast(punct_ppm, pa.int64()),
                 "upper_ppm": pc.cast(upper_ppm, pa.int64()),
+                "n_bpe_tokens": b["n_bpe_tokens"],
+                "n_distinct_tokens": r["n_distinct_tokens"],
+                "distinct_ratio": pc.round(r["distinct_ratio"], ndigits=6),
+                "top_token_share": pc.round(r["top_token_share"], ndigits=6),
             }
         )
 
-    return scored.map_batches(project, batch_format="pyarrow", batch_size=None)
+    out = docs.map_batches(scalars, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    return as_table(out).sort_by([("doc_id", "ascending")])
 
 
 @register(
@@ -755,28 +767,6 @@ def neardup_pairs_docs(sf_dir: str):
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return neardup_pairs(docs, "doc_id", "text", threshold=0.8, shingle="word")
-
-
-@register("dedup_minhash_docs", None)
-def dedup_minhash_docs(sf_dir: str):
-    """MinHash-LSH near-dup dedup survivors (char 5-shingles, exact-Jaccard
-    verified edges at 0.8): cluster via union-find, keep min doc_id."""
-    from ..dedup import minhash_lsh_dedup
-
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    out = minhash_lsh_dedup(docs, "doc_id", "text", verify_threshold=0.8)
-    return as_table(out.select_columns(["doc_id", "lang"]))
-
-
-@register("dedup_simhash_docs", None)
-def dedup_simhash_docs(sf_dir: str):
-    """SimHash dedup survivors: Manku prefix-block LSH (4 × 16-bit blocks)
-    + exact Hamming <= 3 verification, keep cluster-min doc_id."""
-    from ..dedup import simhash_dedup
-
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = simhash_dedup(docs, "doc_id", "text", max_hamming=3)
-    return as_table(out.select_columns(["doc_id"]))
 
 
 @register(
@@ -907,21 +897,6 @@ def embedding_neardup_pairs_q(sf_dir: str):
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     dim = 64
     return embedding_neardup_pairs(emb, "vec_id", "embedding", dim=dim, threshold=0.95)
-
-
-@register("dedup_embedding_docs", None)
-def dedup_embedding_docs(sf_dir: str):
-    """Embedding-cosine near-dup dedup survivors (threshold 0.98)."""
-    from ..dedup import embedding_cosine_dedup
-
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = embedding_cosine_dedup(emb, "vec_id", "embedding", dim=64, threshold=0.98)
-    return as_table(out.select_columns(["vec_id"]))
-
-
-# ---------------------------------------------------------------------------
-# Similarity search (ANN)
-# ---------------------------------------------------------------------------
 
 
 @register(
@@ -1096,34 +1071,35 @@ def value_quantiles_kll(sf_dir: str):
     )
 
 
-@register("hll_distinct_users", None)
-def hll_distinct_users(sf_dir: str):
-    """HLL distinct-user estimate per event_type (±~1.6% at p=12) — the
-    streaming dual of exact COUNT(DISTINCT) (distinct_users_by_type)."""
-    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
-    st = column_stats(ds, columns=["user_id"], partition_by=["event_type"]).to_pandas()
-    out = st.rename(columns={"part": "event_type", "distinct_est": "n_users_est"})[
-        ["event_type", "n_users_est"]
-    ]
-    return out
-
-
 @register(
     "distinct_users_by_type",
     """
-    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           1 AS hll_within_bound
     FROM events GROUP BY event_type
     """,
 )
 def distinct_users_by_type(sf_dir: str):
-    """Exact distinct via two-level aggregation: hash-shuffle the
-    (event_type, user_id) pairs to per-key counts (high-cardinality safe,
-    functions/shuffle.py), then a tiny groupby-count per event_type."""
+    """Distinct users per event_type, exact AND sketched in one driver row
+    (round-3 verdict item 2 consolidation):
+
+    - exact via two-level aggregation: hash-shuffle the (event_type,
+      user_id) pairs to per-key counts (high-cardinality safe,
+      functions/shuffle.py), then a tiny groupby-count per event_type;
+    - HLL (p=12, ±~1.6% standard error) from the same scan via
+      column_stats; ``hll_within_bound`` asserts the estimate lands
+      within 5% relative error of the exact count (SURVEY §7.4: assert
+      the sketch's bound, not value equality — DuckDB checks it == 1)."""
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
     pairs = key_counts(ds, ["event_type", "user_id"])
     agg = pairs.groupby("event_type").aggregate(Count(alias_name="n_users")).to_pandas()
     agg["n_users"] = agg["n_users"].astype("int64")
-    return agg
+    st = column_stats(ds, columns=["user_id"], partition_by=["event_type"]).to_pandas()
+    est = st.rename(columns={"part": "event_type"})[["event_type", "distinct_est"]]
+    out = agg.merge(est, on="event_type", how="left")
+    rel_err = (out["distinct_est"] - out["n_users"]).abs() / out["n_users"].clip(lower=1)
+    out["hll_within_bound"] = (rel_err <= 0.05).astype("int64")
+    return out[["event_type", "n_users", "hll_within_bound"]]
 
 
 # ---------------------------------------------------------------------------
@@ -1238,30 +1214,6 @@ def dev_from_group_mean(sf_dir: str):
         return tb.select(["doc_id", "lang", "source"]).append_column("dev", d)
 
     return as_table(joined.map_batches(dev, batch_format="pyarrow", batch_size=None, zero_copy_batch=True))
-
-
-@register(
-    "bpe_token_counts_docs",
-    r"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(COALESCE(text, ''), ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT)
-             AS n_bpe_tokens
-    FROM documents
-    """,
-)
-def bpe_token_counts_docs(sf_dir: str):
-    """Subword-style token budgeting: a lookahead-free GPT-2-shaped
-    pretokenizer regex (letter/digit/punctuation segments) counted per
-    doc — Arrow and DuckDB share the RE2 engine, so counts match
-    byte-exactly."""
-    from ..functions.text import bpe_token_count_batch
-
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(
-        lambda t: bpe_token_count_batch(t).drop_columns(["text"]),
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-    )
-    return as_table(out).sort_by([("doc_id", "ascending")])
 
 
 @register(
@@ -1382,129 +1334,40 @@ def top_bigrams_docs(sf_dir: str):
 
 
 @register(
-    "pii_counts_docs",
-    r"""
-    SELECT CAST(SUM(n_emails) AS BIGINT) AS total_emails,
-           CAST(SUM(n_urls) AS BIGINT) AS total_urls,
-           CAST(SUM(n_ips) AS BIGINT) AS total_ips,
-           CAST(SUM(CASE WHEN n_emails + n_urls + n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged
-    FROM (
-      SELECT len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_emails,
-             len(regexp_extract_all(COALESCE(text, ''), 'https?://[^\s]+')) AS n_urls,
-             len(regexp_extract_all(COALESCE(text, ''), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
-      FROM documents)
-    """,
-)
-def pii_counts_docs(sf_dir: str):
-    """PII-surface scan (training-data pipeline staple): per-doc email /
-    URL / IPv4 pattern counts (three RE2 kernels, functions/text.py)
-    reduced to corpus totals + flagged-doc count via per-block partials."""
-    from ..functions.text import pii_pattern_counts_batch
-
-    docs = read_table(sf_dir, "documents", columns=["text"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        b = pii_pattern_counts_batch(batch)
-        flagged = pc.sum(
-            pc.cast(
-                pc.greater(pc.add(pc.add(b["n_emails"], b["n_urls"]), b["n_ips"]), 0), pa.int64()
-            )
-        ).as_py() or 0
-        return pa.table(
-            {
-                "e": pa.array([pc.sum(b["n_emails"]).as_py() or 0], type=pa.int64()),
-                "u": pa.array([pc.sum(b["n_urls"]).as_py() or 0], type=pa.int64()),
-                "i": pa.array([pc.sum(b["n_ips"]).as_py() or 0], type=pa.int64()),
-                "f": pa.array([flagged], type=pa.int64()),
-            }
-        )
-
-    parts = as_table(docs.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True))
-    return pd.DataFrame(
-        {
-            "total_emails": [int(pc.sum(parts["e"]).as_py() or 0)],
-            "total_urls": [int(pc.sum(parts["u"]).as_py() or 0)],
-            "total_ips": [int(pc.sum(parts["i"]).as_py() or 0)],
-            "docs_flagged": [int(pc.sum(parts["f"]).as_py() or 0)],
-        }
-    )
-
-
-@register(
-    "doc_repetition",
-    r"""
-    WITH toks AS (
-      SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS t FROM documents),
-    cnts AS (
-      SELECT doc_id, len(t) AS n_tokens_r, len(list_distinct(t)) AS n_distinct_tokens,
-             CASE WHEN len(t) = 0 THEN 0
-                  ELSE (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM unnest(t) AS u(tok) GROUP BY tok))
-             END AS top
-      FROM toks)
-    SELECT doc_id, CAST(n_tokens_r AS BIGINT) AS n_tokens_r,
-           CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
-           ROUND(CAST(n_distinct_tokens AS DOUBLE) / GREATEST(n_tokens_r, 1), 6) AS distinct_ratio,
-           ROUND(CAST(top AS DOUBLE) / GREATEST(n_tokens_r, 1), 6) AS top_token_share
-    FROM cnts
-    """,
-)
-def doc_repetition(sf_dir: str):
-    """Repetition quality signals (boilerplate / degenerate-generation
-    detection): distinct-token ratio + most-frequent-token share, one
-    polars tokenize + grouped count per batch (functions/text.py)."""
-    from ..functions.text import repetition_batch
-
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = docs.map_batches(
-        lambda t: repetition_batch(t).drop_columns(["text"]),
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-    )
-    df = as_table(out).sort_by([("doc_id", "ascending")]).to_pandas()
-    return _round_pd(df, {"distinct_ratio": 6, "top_token_share": 6})
-
-
-@register(
-    "users_click_and_purchase",
+    "user_setops",
     """
-    SELECT user_id FROM events WHERE event_type = 'click'
-    INTERSECT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT 'intersect' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'except' AS op, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'view'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase' AND user_id < 50)
+    ORDER BY op, user_id
     """,
 )
-def users_click_and_purchase(sf_dir: str):
-    """Distributed INTERSECT (set ops absent from both the reference and
-    Ray Data): per-block distinct combiner → one hash shuffle → per-block
-    side-membership group (functions/setops.py)."""
-    from ..functions.setops import intersect_distinct
+def user_setops(sf_dir: str):
+    """Distributed INTERSECT + EXCEPT (set ops absent from both the
+    reference and Ray Data), one driver row for both (round-3 verdict item
+    2): per-block distinct combiner → one hash shuffle → per-block
+    side-membership group (functions/setops.py). The EXCEPT subtrahend is
+    range-restricted so the difference is non-empty on the dense synthetic
+    events table — an all-empty EXCEPT would be a vacuous check."""
+    from ..functions.setops import except_distinct, intersect_distinct
 
     ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
     clicks = ev.filter(expr="event_type == 'click'")
-    buys = ev.filter(expr="event_type == 'purchase'")
-    return as_table(intersect_distinct(clicks, buys, ["user_id"])).sort_by(
-        [("user_id", "ascending")]
-    )
-
-
-@register(
-    "users_view_not_purchase",
-    """
-    SELECT user_id FROM events WHERE event_type = 'view'
-    EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase' AND user_id < 50
-    """,
-)
-def users_view_not_purchase(sf_dir: str):
-    """Distributed EXCEPT over the same machinery (the subtrahend is
-    range-restricted so the difference is non-empty on the dense synthetic
-    events table — an all-empty EXCEPT would be a vacuous check)."""
-    from ..functions.setops import except_distinct
-
-    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    buys_all = ev.filter(expr="event_type == 'purchase'")
     views = ev.filter(expr="event_type == 'view'")
-    buys = ev.filter(expr="event_type == 'purchase' and user_id < 50")
-    return as_table(except_distinct(views, buys, ["user_id"])).sort_by(
-        [("user_id", "ascending")]
-    )
+    buys_lo = ev.filter(expr="event_type == 'purchase' and user_id < 50")
+    inter = as_table(intersect_distinct(clicks, buys_all, ["user_id"])).to_pandas()
+    exc = as_table(except_distinct(views, buys_lo, ["user_id"])).to_pandas()
+    inter.insert(0, "op", "intersect")
+    exc.insert(0, "op", "except")
+    out = pd.concat([exc, inter], ignore_index=True)
+    return out.sort_values(["op", "user_id"]).reset_index(drop=True)
 
 
 @register(
@@ -1643,19 +1506,75 @@ def stratified_split_counts(sf_dir: str):
     )
 
 
-@register("media_real_decode", None)
-def media_real_decode(sf_dir: str):
-    """REAL media decode end-to-end (no media libraries needed): PNG
-    images, PCM WAV audio and RAWV video are synthesized as genuine
-    bytes, then decoded inside actor pools — pixels/samples out, feature
-    columns back (functions/codecs.py stdlib codecs; PIL/soundfile/av
-    are preferred when importable). Returns per-item decoded facts that
-    only a real decode can produce (true dims, true duration)."""
+def _media_expected_rows() -> list[tuple]:
+    """Ground-truth facts for the media oracle, from the SYNTHESIS side:
+    replay ``synthesize_media_table(120, seed=17, real_payloads=True)``'s
+    rng to get the raw pixel/sample arrays BEFORE any codec touches them,
+    then state what a correct decode must recover — true dims + gray mean
+    for images (PNG is lossless, so decoded pixels must equal the raw
+    array bit-for-bit), the same after a nearest-neighbor resize, the
+    true duration for audio, the true frame count for video. The pipeline
+    side round-trips every payload through encode→(actor-pool)→decode, so
+    a codec or plumbing bug breaks the match."""
+    from ..functions.codecs import resize_nearest
+    from ..functions.multimodal import _image_features
+
+    n, seed = 120, 17
+    rng = np.random.RandomState(seed)
+    types = np.array(["image", "audio", "video"], dtype=object)[rng.randint(0, 3, n)]
+    widths = rng.randint(16, 64, n).astype(np.int32)
+    heights = rng.randint(16, 64, n).astype(np.int32)
+    n_frames = rng.randint(1, 12, n).astype(np.int32)
+    rows = []
+    for i in range(n):
+        if types[i] == "image":
+            pix = rng.randint(0, 256, (int(heights[i]), int(widths[i]), 3), dtype=np.uint8)
+            fact = float(np.round(np.float64(_image_features(pix, 32)[3]), 6))
+            rows.append((i, "decode", int(widths[i]), int(heights[i]), fact))
+            rfact = float(np.round(np.float64(_image_features(resize_nearest(pix, 24, 24), 16)[3]), 6))
+            rows.append((i, "resize", 24, 24, rfact))
+        elif types[i] == "audio":
+            rows.append((i, "audio", 0, 0, 0.1))  # 1600 samples @ 16 kHz
+        else:
+            rng.randint(0, 256, (int(n_frames[i]), int(heights[i]), int(widths[i])), dtype=np.uint8)
+            rows.append((i, "video", 0, 0, float(n_frames[i])))
+    return sorted(rows, key=lambda r: (r[1], r[0]))
+
+
+def _media_oracle_sql() -> str:
+    vals = ",\n      ".join(
+        f"({mid}, '{stage}', {w}, {h}, {fact!r})" for mid, stage, w, h, fact in _media_expected_rows()
+    )
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + vals
+        + ") AS t(media_id, stage, decoded_w, decoded_h, fact) ORDER BY stage, media_id"
+    )
+
+
+@register("media_decode_facts", _media_oracle_sql())
+def media_decode_facts(sf_dir: str):
+    """REAL multimodal decode, oracle-checked (round-3 verdict item 8; one
+    driver row subsumes the former decode + resize-chain rows-only pair):
+    PNG images, PCM WAV audio and RAWV video synthesized as genuine bytes,
+    decoded inside actor pools (functions/codecs.py stdlib codecs;
+    PIL/soundfile/av preferred when importable). Three chains:
+
+    - image → real decode+feature: true dims + gray-mean fact;
+    - image → real resize (nearest-neighbor, PNG re-encode) → real
+      feature: the CHAINED two-actor-pool path, facts after resize;
+    - audio → true decoded duration; video → true decoded frame count.
+
+    The DuckDB oracle is a literal VALUES table computed from the
+    synthesis ground truth (raw arrays, pre-codec) — see
+    :func:`_media_expected_rows`."""
     import ray.data as rd
 
     from ..functions.multimodal import (
         AudioFeatureStage,
         ImageFeatureStage,
+        ImageResizeStage,
+        VideoFrameSampleStage,
         media_features,
         synthesize_media_table,
     )
@@ -1663,6 +1582,8 @@ def media_real_decode(sf_dir: str):
     t = synthesize_media_table(120, seed=17, real_payloads=True)
     images = rd.from_arrow(t.filter(pc.equal(t["media_type"], "image")))
     audio = rd.from_arrow(t.filter(pc.equal(t["media_type"], "audio")))
+    video = rd.from_arrow(t.filter(pc.equal(t["media_type"], "video")))
+    # one actor per pool: FOUR pools must fit a 4-CPU test session
     imf = media_features(images, ImageFeatureStage, batch_size=16, concurrency=1, mode="real", dim=32)
 
     def img_row(batch: pa.Table) -> pa.Table:
@@ -1670,10 +1591,25 @@ def media_real_decode(sf_dir: str):
         return pa.Table.from_pydict(
             {
                 "media_id": batch["media_id"],
-                "kind": pa.array(["image"] * batch.num_rows),
+                "stage": pa.array(["decode"] * batch.num_rows),
                 "decoded_w": pa.array(m[:, 0].astype(np.int64)),
                 "decoded_h": pa.array(m[:, 1].astype(np.int64)),
-                "fact": pa.array(np.round(m[:, 3].astype(np.float64), 6)),  # mean intensity
+                "fact": pa.array(np.round(m[:, 3].astype(np.float64), 6)),
+            }
+        )
+
+    rsz = media_features(images, ImageResizeStage, batch_size=16, concurrency=1, mode="real", target_w=24, target_h=24)
+    rsf = media_features(rsz, ImageFeatureStage, batch_size=16, concurrency=1, mode="real", dim=16)
+
+    def rsz_row(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch["image_feat"].combine_chunks().flatten()).reshape(-1, 16)
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch["media_id"],
+                "stage": pa.array(["resize"] * batch.num_rows),
+                "decoded_w": pa.array(m[:, 0].astype(np.int64)),
+                "decoded_h": pa.array(m[:, 1].astype(np.int64)),
+                "fact": pa.array(np.round(m[:, 3].astype(np.float64), 6)),
             }
         )
 
@@ -1683,60 +1619,35 @@ def media_real_decode(sf_dir: str):
         return pa.Table.from_pydict(
             {
                 "media_id": batch["media_id"],
-                "kind": pa.array(["audio"] * batch.num_rows),
+                "stage": pa.array(["audio"] * batch.num_rows),
                 "decoded_w": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
                 "decoded_h": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
                 "fact": pa.array(np.round(batch["duration_s"].to_numpy(zero_copy_only=False), 6)),
             }
         )
 
-    out = pa.concat_tables(
-        [
-            as_table(imf.map_batches(img_row, batch_format="pyarrow", batch_size=None)),
-            as_table(auf.map_batches(aud_row, batch_format="pyarrow", batch_size=None)),
-        ]
-    )
-    return out.sort_by([("kind", "ascending"), ("media_id", "ascending")])
+    vif = media_features(video, VideoFrameSampleStage, batch_size=16, concurrency=1, mode="real", stride=1, dim=8)
 
-
-@register("media_resize_features", None)
-def media_resize_features(sf_dir: str):
-    """Resize → feature-extract actor-pool CHAIN over binary image
-    payloads: the resize stage rewrites payload + width/height metadata
-    (byte volume drops with target/source area), then the feature stage
-    consumes the resized payloads — both stages hold their state per
-    actor. Decode kernels stubbed deterministically (no image libs here);
-    the Ray plumbing (schemas, small batches, actor pools, chaining) is
-    real. (Subsumes the former feature-only media query — the chain
-    exercises the feature stage on every row; round-2 verdict asked for
-    consolidated rows-only variants.)"""
-    import ray.data as rd
-
-    from ..functions.multimodal import (
-        ImageFeatureStage,
-        ImageResizeStage,
-        media_features,
-        synthesize_media_table,
-    )
-
-    # one actor per pool: TWO chained pools must fit the cluster alongside
-    # the upstream tasks — 2×2 actors starves a 4-CPU session into deadlock
-    media = rd.from_arrow(synthesize_media_table(200)).filter(expr="media_type == 'image'")
-    rsz = media_features(media, ImageResizeStage, batch_size=32, concurrency=1, target_w=64, target_h=64)
-    feats = media_features(rsz, ImageFeatureStage, batch_size=32, concurrency=1, dim=16)
-
-    def norm(batch: pa.Table) -> pa.Table:
-        m = np.asarray(batch["image_feat"].combine_chunks().flatten()).reshape(-1, 16)
+    def vid_row(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {
                 "media_id": batch["media_id"],
-                "width": batch["width"],
-                "height": batch["height"],
-                "feat_norm": pa.array(np.round(np.linalg.norm(m, axis=1), 6)),
+                "stage": pa.array(["video"] * batch.num_rows),
+                "decoded_w": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+                "decoded_h": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+                "fact": pc.cast(batch["n_frames_sampled"], pa.float64()),
             }
         )
 
-    return as_table(feats.map_batches(norm, batch_format="pyarrow", batch_size=None))
+    out = pa.concat_tables(
+        [
+            as_table(imf.map_batches(img_row, batch_format="pyarrow", batch_size=None)),
+            as_table(rsf.map_batches(rsz_row, batch_format="pyarrow", batch_size=None)),
+            as_table(auf.map_batches(aud_row, batch_format="pyarrow", batch_size=None)),
+            as_table(vif.map_batches(vid_row, batch_format="pyarrow", batch_size=None)),
+        ]
+    )
+    return out.sort_by([("stage", "ascending"), ("media_id", "ascending")])
 
 
 # ---------------------------------------------------------------------------
@@ -2010,12 +1921,38 @@ def classification_metrics_q(sf_dir: str):
     )
 
 
-@register("auc_scores_approx", None)
-def auc_scores_approx(sf_dir: str):
-    """Streaming approximate ROC-AUC (A5's AUC) from per-class fixed-bin
-    score histograms — bounded tie error, no global sort; rows-only check
-    (the exact sort-based value differs in the ~3rd decimal)."""
-    from ..functions.metrics import auc_streaming
+@register(
+    "auc_scores",
+    """
+    WITH s AS (
+      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS sc
+      FROM embeddings),
+    r AS (
+      SELECT y, AVG(rn) OVER (PARTITION BY sc) AS ar
+      FROM (SELECT y, sc, CAST(ROW_NUMBER() OVER (ORDER BY sc) AS DOUBLE) AS rn FROM s)),
+    agg AS (
+      SELECT SUM(CASE WHEN y = 1 THEN ar END) AS rp,
+             SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np_,
+             COUNT(*) AS n
+      FROM r)
+    SELECT ROUND((rp - np_ * (np_ + 1) / 2.0) / (np_ * (n - np_)), 6) AS auc_exact,
+           1 AS stream_within_bound
+    FROM agg
+    """,
+)
+def auc_scores(sf_dir: str):
+    """ROC-AUC (A5's AUC, ``prediction_pipeline.py:363-373``) — both
+    engines' answers in one driver row (round-3 verdict item 2):
+
+    - ``auc_exact``: the DISTRIBUTED exact Mann-Whitney rank-sum
+      (functions/metrics.auc_exact — shuffle to distinct scores, range
+      sort, per-block rank partials; O(blocks) driver work), matched
+      against DuckDB's sort-based average-rank AUC;
+    - ``stream_within_bound``: the one-pass histogram approximation
+      (auc_streaming) agrees with the exact value to 0.005 (its tie-bin
+      error bound; SURVEY §7.4 — assert the bound, not equality)."""
+    from ..functions.metrics import auc_exact, auc_streaming
     from ..functions.vector import l2_norm_batch
 
     ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
@@ -2027,13 +1964,16 @@ def auc_scores_approx(sf_dir: str):
     scored = ds.map_batches(l2_norm_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).map_batches(
         binarize, batch_format="pyarrow", batch_size=None
     )
+    exact = auc_exact(scored, "label", "anomaly_score")
     # score range via streaming aggregates — collecting the full column
     # just for min/max would materialize it on the driver
     mm = scored.aggregate(Min("anomaly_score"), Max("anomaly_score"))
-    auc = auc_streaming(
+    approx = auc_streaming(
         scored, "label", "anomaly_score", float(mm["min(anomaly_score)"]), float(mm["max(anomaly_score)"]) + 1e-9
     )
-    return pd.DataFrame([{"auc": round(auc, 4)}])
+    return pd.DataFrame(
+        [{"auc_exact": round(exact, 6), "stream_within_bound": int(abs(approx - exact) <= 0.005)}]
+    )
 
 
 @register(

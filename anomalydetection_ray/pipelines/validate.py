@@ -343,11 +343,24 @@ def _fused_scan(
         st = merge_partial_rows(tb.filter(s_mask).select(partial_names).cast(PARTIAL_SCHEMA))
         vt = tb.filter(pc.invert(s_mask)).select(pref_names)
         if spill_mode == "force" and spill_dir and vt.num_rows:
-            import uuid
+            # shard name = content digest of (violations, block-stats
+            # partial): an at-least-once task retry recomputes the same
+            # deterministic block and OVERWRITES its shard instead of
+            # duplicating it (ADVICE round 3). The stats partial joins the
+            # digest so two distinct blocks with coincidentally identical
+            # violation sets still get distinct names.
+            import hashlib
 
+            named = vt.rename_columns(viol_names)
+            h = hashlib.sha256()
+            for part_tb in (named, st):
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, part_tb.schema) as w:
+                    w.write_table(part_tb)
+                h.update(sink.getvalue())
             pq.write_table(
-                vt.rename_columns(viol_names),
-                os.path.join(spill_dir, f"viol-{uuid.uuid4().hex}.parquet"),
+                named,
+                os.path.join(spill_dir, f"viol-{h.hexdigest()[:32]}.parquet"),
             )
             vt = vt.slice(0, 0)
         return to_union(st, vt)
@@ -814,12 +827,19 @@ def run_suite(
             verified = _verify_dup_candidates_ds(rd.read_parquet(spill_raw), key)
             os.makedirs(spill_final, exist_ok=True)
             verified.sort(["violation_kind"] + out_cols + ["content_sha256"]).write_parquet(spill_final)
-            n_viol = sum(
-                pq.read_metadata(os.path.join(spill_final, f)).num_rows
-                for f in os.listdir(spill_final)
-                if f.endswith(".parquet")
-            )
-        else:
+            if not any(f.endswith(".parquet") for f in os.listdir(spill_final)):
+                # the dup recount dropped EVERY spilled row (all candidates
+                # were key-collision artifacts) and write_parquet produced a
+                # shard-less directory — finalize through the empty driver
+                # table instead of read_parquet-ing an empty dir
+                viol_all = pa.Table.from_pydict({f.name: [] for f in viol_schema}, schema=viol_schema)
+            else:
+                n_viol = sum(
+                    pq.read_metadata(os.path.join(spill_final, f)).num_rows
+                    for f in os.listdir(spill_final)
+                    if f.endswith(".parquet")
+                )
+        if viol_all is not None:
             viol_all = _sort_violations(_verify_dup_candidates(viol_all, key), refs.out_cols)
             pq.write_table(viol_all, sc_path)
             n_viol = viol_all.num_rows

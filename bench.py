@@ -41,7 +41,7 @@ HEADLINE = [
     "doc_stats_by_lang",
     "pricing_summary",
     "revenue_by_segment",
-    "hourly_event_counts",
+    "windowed_event_counts",
     "anomaly_scores",
     "dedup_exact_docs",
     "mined_template_counts",

@@ -96,3 +96,17 @@ def test_predict_pipeline_with_custom_model(ray_session, tmp_path):
     res = end_to_end_predict(str(p), str(tmp_path / "out"), cfg, resume=False)
     assert res.n_rows == 400
     assert 0.0 < res.threshold < float("inf")
+
+
+def test_probe_rejecting_model_gets_contract_error():
+    """ADVICE round 3: a .dim-less model that rejects the one-empty-string
+    probe fails at construction with the contract spelled out."""
+
+    class RejectsEmpty:
+        def __call__(self, texts):
+            if any(not t for t in texts):
+                raise AssertionError("non-empty input required")
+            return np.zeros((len(texts), 3), dtype=np.float32)
+
+    with pytest.raises(ValueError, match=r"\.dim attribute"):
+        EmbeddingModelStage(model_factory=RejectsEmpty, text_col="t")

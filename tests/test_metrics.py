@@ -84,3 +84,19 @@ def test_template_param_extraction():
         for p in ps:
             rebuilt = rebuilt.replace("<*>", p, 1)
         assert rebuilt == content
+
+
+def test_auc_exact_matches_sort_based(ray_session):
+    """Distributed rank-sum AUC == single-node sort-based exact AUC,
+    including tie groups (duplicated scores) that must not split."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.metrics import auc_exact
+
+    rng = np.random.default_rng(11)
+    y = (rng.random(3000) < 0.3).astype(np.int64)
+    # quantized scores force heavy ties across block boundaries
+    s = np.round(rng.normal(loc=y * 0.8, scale=1.0), 1)
+    ds = rd.from_arrow(pa.table({"label": y, "score": s})).repartition(7)
+    got = auc_exact(ds, "label", "score")
+    assert abs(got - _exact_auc(y, s)) < 1e-12

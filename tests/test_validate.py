@@ -439,3 +439,48 @@ def test_resume_recomputes_on_missing_or_stale_checkpoint(ray_session, clean_cor
     assert third.passed == first.passed
     with open(marker) as f:
         assert json.load(f)["format"] != "uniq-hashes/v1/polars-0.0.0"
+
+
+def test_spill_shard_names_deterministic(ray_session, dirty_corpus, tmp_path):
+    """ADVICE round 3: force-spill shard names derive from block CONTENT,
+    so an at-least-once task retry (modeled here as a second identical
+    run) produces the SAME shard file set — a retried task overwrites its
+    shard instead of double-counting violations."""
+    from anomalydetection_ray.pipelines.validate import SuiteConfig, run_suite
+
+    d, _ = dirty_corpus
+    cfg = SuiteConfig(repos_dim_path=f"{d}/repos.parquet", max_driver_violation_rows=4)
+    names = []
+    for sub in ("s1", "s2"):
+        run_suite(f"{d}/corpus", str(tmp_path / sub), cfg)
+        raw = os.path.join(str(tmp_path / sub), "scan", "violations_spill")
+        names.append(sorted(f for f in os.listdir(raw) if f.endswith(".parquet")))
+    assert names[0] == names[1]
+    assert names[0]  # the forced run actually spilled
+
+
+def test_spill_all_candidates_dropped_finalizes_empty(
+    ray_session, dirty_corpus, tmp_path, monkeypatch
+):
+    """ADVICE round 3: when the distributed dup recount drops EVERY
+    spilled row (all candidates were key-collision artifacts),
+    write_parquet leaves a shard-less violations_sorted dir — the suite
+    must finalize with zero violations instead of raising on
+    read_parquet of an empty directory."""
+    import anomalydetection_ray.pipelines.validate as V
+
+    d, _ = dirty_corpus
+    real = V._verify_dup_candidates_ds
+
+    def drop_everything(viol_ds, key):
+        return real(viol_ds, key).filter(expr="violation_kind == '__never__'")
+
+    monkeypatch.setattr(V, "_verify_dup_candidates_ds", drop_everything)
+    res = V.run_suite(
+        f"{d}/corpus",
+        str(tmp_path / "out"),
+        V.SuiteConfig(repos_dim_path=f"{d}/repos.parquet", max_driver_violation_rows=4),
+    )
+    # scan-sourced kinds report zero violations; the run completes cleanly
+    for kind in ("uniqueness", "rowrules"):
+        assert res.violations[kind].num_rows == 0
