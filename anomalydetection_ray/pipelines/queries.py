@@ -816,14 +816,42 @@ def dedup_simhash_md5_docs(sf_dir: str):
     r"""
     WITH RECURSIVE q AS (
       SELECT doc_id, text, lang,
-             CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+             regexp_extract_all(COALESCE(text, ''), '\S+') AS t,
+             len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+               + len(regexp_extract_all(COALESCE(text, ''), 'https?://[^\s]+'))
+               + len(regexp_extract_all(COALESCE(text, ''), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_pii
       FROM documents
       WHERE text IS NOT NULL AND length(text) > 0),
-    kept AS (SELECT * FROM q WHERE n_tokens >= 24),
+    kept AS (
+      SELECT doc_id, text, lang, CAST(len(t) AS BIGINT) AS n_tokens
+      FROM q
+      WHERE len(t) >= 24
+        AND len(list_distinct(t)) * 10 >= len(t) * 3
+        AND n_pii = 0),
     ex AS (SELECT * FROM kept WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY text)),
+    mtoks AS (
+      SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS tok FROM ex),
+    msizes AS (SELECT doc_id, COUNT(*) AS n FROM mtoks GROUP BY doc_id),
+    minter AS (
+      SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS i
+      FROM mtoks ta JOIN mtoks tb ON ta.tok = tb.tok AND ta.doc_id < tb.doc_id
+      GROUP BY 1, 2),
+    mpairs AS (
+      SELECT i.a, i.b FROM minter i
+      JOIN msizes sa ON sa.doc_id = i.a
+      JOIN msizes sb ON sb.doc_id = i.b
+      WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8),
+    medges AS (SELECT a AS u, b AS v FROM mpairs UNION SELECT b, a FROM mpairs),
+    mreach AS (SELECT u, v FROM medges
+               UNION SELECT r.u, e.v FROM mreach r JOIN medges e ON r.v = e.u),
+    mcomp AS (SELECT u AS cid, MIN(v) AS mn FROM mreach GROUP BY u),
+    mh AS (
+      SELECT e.doc_id, e.text, e.lang, e.n_tokens
+      FROM ex e LEFT JOIN mcomp c ON e.doc_id = c.cid
+      WHERE c.cid IS NULL OR LEAST(c.cid, c.mn) = e.doc_id),
     toks AS (
       SELECT doc_id, tok, COUNT(*) AS cnt FROM (
-        SELECT doc_id, unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS tok FROM ex)
+        SELECT doc_id, unnest(regexp_extract_all(COALESCE(text, ''), '\S+')) AS tok FROM mh)
       GROUP BY doc_id, tok),
     bits AS (SELECT unnest(range(0, 64)) AS bit),
     votes AS (
@@ -833,29 +861,43 @@ def dedup_simhash_md5_docs(sf_dir: str):
     fps AS (
       SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << bit) ELSE 0 END) AS UBIGINT) AS fp
       FROM votes GROUP BY doc_id),
-    allfps AS (SELECT e.doc_id, COALESCE(f.fp, 0) AS fp FROM ex e LEFT JOIN fps f USING (doc_id)),
+    allfps AS (SELECT m.doc_id, COALESCE(f.fp, 0) AS fp FROM mh m LEFT JOIN fps f USING (doc_id)),
     pairs AS (
       SELECT a.doc_id AS a, b.doc_id AS b FROM allfps a JOIN allfps b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.fp, b.fp)) <= 3),
     edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
     reach AS (SELECT u, v FROM edges UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
     comp AS (SELECT u AS cid, MIN(v) AS mn FROM reach GROUP BY u)
-    SELECT e.doc_id, e.lang, e.n_tokens FROM ex e LEFT JOIN comp c ON e.doc_id = c.cid
-    WHERE c.cid IS NULL OR LEAST(c.cid, c.mn) = e.doc_id
+    SELECT m.doc_id, m.lang, m.n_tokens FROM mh m LEFT JOIN comp c ON m.doc_id = c.cid
+    WHERE c.cid IS NULL OR LEAST(c.cid, c.mn) = m.doc_id
     """,
 )
 def curation_pipeline_docs(sf_dir: str):
     """Flagship training-data CURATION composition, end-to-end as ONE lazy
-    Ray Data pipeline with a single composed DuckDB oracle: quality gate
-    (vectorized Arrow kernels: non-empty text, n_tokens >= 24) → exact
-    dedup (hash-partitioned survivor selection) → SimHash near-dup dedup
-    (md5 token hash: SQL-reproducible, Hamming <= 3 component closure).
+    Ray Data pipeline with a single composed DuckDB oracle (round-3
+    verdict item 7 extended the chain):
+
+    1. quality + repetition + PII gate, one fused Arrow scan — non-empty
+       text, n_tokens >= 24, integer-exact repetition bound
+       (10*n_distinct_tokens >= 3*n_tokens, i.e. distinct_ratio >= 0.3;
+       integers so the engine and DuckDB agree bit-for-bit), and zero
+       email/URL/IPv4 PII hits (three RE2 kernels — vacuous on the
+       synthetic corpus by construction, exercised by the planted-PII
+       pytest in tests/test_text.py);
+    2. exact dedup (hash-partitioned survivor selection);
+    3. VERIFIED MinHash-LSH near-dup dedup (word shingles, exact
+       Jaccard >= 0.8 connectivity, component minima — the oracle
+       recomputes brute-force pairs + a recursive-CTE closure);
+    4. SimHash near-dup dedup (md5 token hash: SQL-reproducible,
+       Hamming <= 3 component closure).
+
     No stage materializes the corpus on the driver; every stage is the
     same operator a 100 TB run would use. The composition mirrors the
     reference's step1→7 chain (`end_to_end_prediction.py:657-664`) recast
     over curation operators."""
-    from ..dedup import exact_dedup, simhash_dedup
+    from ..dedup import exact_dedup, minhash_lsh_dedup_verified, simhash_dedup
     from ..functions.shuffle import metadata_size_estimate
+    from ..functions.text import pii_pattern_counts_batch, repetition_batch
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     # The gate only shrinks data, so the fresh read's metadata estimate is
@@ -864,18 +906,33 @@ def curation_pipeline_docs(sf_dir: str):
 
     def gate(batch: pa.Table) -> pa.Table:
         b = quality_batch(batch)
+        b = repetition_batch(b)
+        b = pii_pattern_counts_batch(b)
+        n_pii = pc.add(pc.add(b["n_emails"], b["n_urls"]), b["n_ips"])
         mask = pc.and_(
             pc.and_(
-                pc.is_valid(batch["text"]),
-                pc.greater(pc.utf8_length(batch["text"]), 0),
+                pc.and_(
+                    pc.is_valid(batch["text"]),
+                    pc.greater(pc.utf8_length(batch["text"]), 0),
+                ),
+                pc.greater_equal(b["n_tokens"], 24),
             ),
-            pc.greater_equal(b["n_tokens"], 24),
+            pc.and_(
+                pc.greater_equal(
+                    pc.multiply(b["n_distinct_tokens"], 10),
+                    pc.multiply(b["n_tokens_r"], 3),
+                ),
+                pc.equal(n_pii, 0),
+            ),
         )
         return b.filter(mask).select(["doc_id", "text", "lang", "n_tokens"])
 
     kept = docs.map_batches(gate, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     ex = exact_dedup(kept, "doc_id", "text", size_hint_bytes=est)
-    final = simhash_dedup(ex, "doc_id", "text", max_hamming=3, token_hash="md5", size_hint_bytes=est)
+    mh = minhash_lsh_dedup_verified(
+        ex, "doc_id", "text", threshold=0.8, num_perm=256, bands=64, shingle="word"
+    )
+    final = simhash_dedup(mh, "doc_id", "text", max_hamming=3, token_hash="md5", size_hint_bytes=est)
     return as_table(final.select_columns(["doc_id", "lang", "n_tokens"])).sort_by([("doc_id", "ascending")])
 
 
