@@ -159,15 +159,17 @@ def shuffle_hash_join(
     right columns colliding with a left name get ``suffix``. A suffixed
     right name that STILL collides (the left side already had
     ``col+suffix``) raises up front instead of emitting a duplicate
-    field (ADVICE round 3). ``how`` ∈ {"inner", "left", "semi", "anti"}
-    — semi/anti return left columns only (for anti, the right side ships
-    just its key columns). NULL keys never match (SQL join semantics)
-    but DO ride through on ``how="left"`` and survive ``how="anti"``.
+    field (ADVICE round 3). ``how`` ∈ {"inner", "left", "right", "full",
+    "semi", "anti"} — semi/anti return left columns only (for anti, the
+    right side ships just its key columns); right/full keep unmatched
+    right (resp. both) rows with nulls for the absent side, key columns
+    coalesced under the left names. NULL keys never match (SQL join
+    semantics) but DO ride through unmatched on left/right/full/anti.
     """
     import polars as pl
 
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError("how must be one of 'inner', 'left', 'semi', 'anti'")
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
+        raise ValueError("how must be one of 'inner', 'left', 'right', 'full', 'semi', 'anti'")
     lkeys = [left_key] if isinstance(left_key, str) else list(left_key)
     rkeys = [right_key] if isinstance(right_key, str) else list(right_key)
     if len(lkeys) != len(rkeys):
@@ -229,7 +231,9 @@ def shuffle_hash_join(
         r = df.filter(side == 1).select(rcols)
         if key_only:
             r = r.unique(subset=lkeys)
-        out = l.join(r, on=lkeys, how=how, nulls_equal=False)
+        out = l.join(
+            r, on=lkeys, how=how, nulls_equal=False, coalesce=how in ("right", "full")
+        )
         return out.select([f.name for f in out_schema]).to_arrow().cast(out_schema)
 
     from .shuffle import local_group_map
@@ -264,9 +268,13 @@ def hash_join(
     family's driver-vs-distributed tails. A TRANSFORMED right side has no
     metadata estimate and takes the scale-safe shuffle plan; callers that
     know an upper bound (e.g. a filter over a fresh read) pass
-    ``right_size_hint_bytes`` to keep the broadcast plan."""
+    ``right_size_hint_bytes`` to keep the broadcast plan. ``how`` ∈
+    {"right", "full"} always takes the shuffle plan: unmatched right
+    rows span batches, which the per-batch broadcast join can't see."""
     from .shuffle import metadata_size_estimate
 
+    if how in ("right", "full"):
+        return shuffle_hash_join(left_ds, left_key, right_ds, right_key, how=how, num_blocks=num_blocks)
     est = right_size_hint_bytes if right_size_hint_bytes is not None else metadata_size_estimate(right_ds)
     if est is not None and est <= broadcast_max_bytes:
         from ..pipelines.queries import as_table

@@ -201,3 +201,34 @@ def test_shuffle_membership_filter_nulls(ray_session):
     assert sorted(kept["p"].to_pylist()) == ["b", "d"]
     dropped = as_table(shuffle_membership_filter(ds, "v", vds, "m", keep=False))
     assert sorted(dropped["p"].to_pylist()) == ["a", "c", "e"]
+
+
+@pytest.mark.parametrize("how", ["right", "full"])
+def test_right_full_outer_join_matches_duckdb(ray_session, how):
+    """RIGHT / FULL OUTER modes vs a DuckDB oracle, including null keys
+    (never match, ride through unmatched) and collision suffixing."""
+    import duckdb
+
+    from anomalydetection_ray.functions.relational import hash_join, shuffle_hash_join
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    lds, rds, left, right = _mk_sides()
+    got = as_table(shuffle_hash_join(lds, "k", rds, "rk", how=how))
+    # the cost-based wrapper must route right/full to the shuffle plan
+    via_wrapper = as_table(hash_join(lds, "k", rds, "rk", how=how, broadcast_max_bytes=1 << 30))
+
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    sqlhow = {"right": "RIGHT", "full": "FULL OUTER"}[how]
+    want = con.sql(
+        f"""SELECT COALESCE(l.k, r.rk) AS k, l.lv, l.shared,
+                   r.rv, r.shared AS shared_r
+            FROM l {sqlhow} JOIN r ON l.k = r.rk"""
+    ).arrow()
+
+    assert sorted(got.column_names) == sorted(want.column_names)
+    a = _canon(got)
+    b = _canon(want.cast(got.select(want.column_names).schema))
+    assert a.equals(b), f"\n{a}\nvs\n{b}"
+    assert _canon(via_wrapper).equals(a)
