@@ -237,28 +237,32 @@ def _block_forest(tb: pa.Table) -> pa.Table:
     follows sees a graph ~the size of the node set."""
     if tb.num_rows == 0:
         return tb.select(["a", "b"]).cast(_FOREST_SCHEMA)
-    parent: dict = {}
-
-    def find(x):
-        p = parent.setdefault(x, x)
-        while p != parent[p]:
-            parent[p] = parent[parent[p]]
-            p = parent[p]
-        parent[x] = p
-        return p
-
-    for a, b in zip(tb["a"].to_numpy(zero_copy_only=False), tb["b"].to_numpy(zero_copy_only=False)):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
-            parent[hi] = lo
-    out_a, out_b = [], []
-    for x in parent:
-        r = find(x)
-        if r != x:
-            out_a.append(r)
-            out_b.append(x)
-    return pa.Table.from_pydict({"a": out_a, "b": out_b}, schema=_FOREST_SCHEMA)
+    a = tb["a"].to_numpy(zero_copy_only=False)
+    b = tb["b"].to_numpy(zero_copy_only=False)
+    # Dense-index min-label propagation with pointer jumping — every step
+    # is a whole-array numpy kernel (a per-edge Python union-find loop
+    # measured 16 s on a 4.7M-edge dense block set at sf0.1; this runs it
+    # in ~0.2 s). np.unique sorts, so dense-index order == id order and
+    # the component-min dense index IS the component-min id.
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: a.size], inv[a.size :]
+    label = np.arange(nodes.size, dtype=np.int64)
+    for _ in range(64):
+        before = label.sum()
+        m = np.minimum(label[ea], label[eb])
+        np.minimum.at(label, ea, m)
+        np.minimum.at(label, eb, m)
+        # pointer jumping: labels point at ever-smaller representatives
+        label = np.minimum(label, label[label])
+        label = label[label]
+        if label.sum() == before:
+            break
+    else:  # pragma: no cover - diameter > 2^64 impossible; defensive
+        raise RuntimeError("block union-find did not converge in 64 rounds")
+    mask = label != np.arange(nodes.size, dtype=np.int64)
+    return pa.Table.from_pydict(
+        {"a": pa.array(nodes[label[mask]]), "b": pa.array(nodes[mask])}, schema=_FOREST_SCHEMA
+    )
 
 
 def cluster_drop_ids(edges_ds, max_iters: int = 64, num_blocks: int | None = None, driver_max_edges: int = 2_000_000):

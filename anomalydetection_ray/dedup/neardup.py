@@ -81,12 +81,21 @@ def _real_hashes(text: str | None, shingle: str, k: int) -> np.ndarray:
 
 
 class MinHashBandStage:
-    """Actor-pool stage: text -> exploded (id, band, key) triples."""
+    """Actor-pool stage: text -> exploded (id, band, key) triples.
 
-    def __init__(self, id_col: str, text_col: str, num_perm: int, bands: int, shingle: str, k: int, seed: int):
+    ``emit_len`` adds the doc's hash-set size per triple row (+8 B/row on
+    the lean shuffle) so downstream pair generation can apply the exact
+    size bound J <= min(|A|,|B|)/max(|A|,|B|) BEFORE emitting a pair —
+    only useful when pairs are exactly verified at a known threshold."""
+
+    def __init__(
+        self, id_col: str, text_col: str, num_perm: int, bands: int, shingle: str, k: int, seed: int,
+        emit_len: bool = False,
+    ):
         self.id_col, self.text_col = id_col, text_col
         self.bands, self.shingle, self.k = bands, shingle, k
         self.hasher = MinHasher(num_perm=num_perm, seed=seed)
+        self.emit_len = emit_len
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
@@ -101,13 +110,14 @@ class MinHashBandStage:
         values, offsets = concat_hash_sets([_hashes_for(t, self.shingle, self.k) for t in texts])
         sigs = self.hasher.batch_signatures(values, offsets)
         out_key = batch_band_keys(sigs, self.bands).reshape(-1)
-        return pa.Table.from_pydict(
-            {
-                "id": pa.array(out_ids),
-                "band": pa.array(out_band),
-                "key": pa.array(out_key.astype(np.int64)),  # reinterp: groupby key only
-            }
-        )
+        cols = {
+            "id": pa.array(out_ids),
+            "band": pa.array(out_band),
+            "key": pa.array(out_key.astype(np.int64)),  # reinterp: groupby key only
+        }
+        if self.emit_len:
+            cols["len"] = pa.array(np.repeat(offsets[1:] - offsets[:-1], self.bands))
+        return pa.Table.from_pydict(cols)
 
 
 _EDGE_SCHEMA = pa.schema([("id", pa.int64()), ("rep", pa.int64())])
@@ -174,26 +184,58 @@ def _batch_jaccard_keep_flat(flat: np.ndarray, offs: np.ndarray, idx_a: np.ndarr
     if n == 0:
         return np.zeros(0, dtype=bool)
     lens = offs[1:] - offs[:-1]
-    la, lb = lens[idx_a], lens[idx_b]
+    la0, lb0 = lens[idx_a], lens[idx_b]
+    # EXACT size pre-filter: inter <= min(|A|,|B|) and union >= max, so
+    # J <= min/max — pairs failing min >= t*max can never verify; skip
+    # gathering their elements entirely (4.7M -> surviving pairs on the
+    # dense sf0.1 corpus; a pure win, bit-identical result)
+    # same float64 division as the jac comparison below: fl is monotone,
+    # so fl(I/U) <= fl(min/max) for any I <= min, U >= max — a rejected
+    # pair can never reach the threshold under the verify's arithmetic
+    mn = np.minimum(la0, lb0).astype(np.float64)
+    mx = np.maximum(la0, lb0).astype(np.float64)
+    plausible = (la0 > 0) & (lb0 > 0) & (
+        np.divide(mn, mx, out=np.zeros(n, dtype=np.float64), where=mx > 0) >= threshold
+    )
+    if not plausible.all():
+        out = np.zeros(n, dtype=bool)
+        pi = np.flatnonzero(plausible)
+        if pi.size:
+            out[pi] = _batch_jaccard_keep_flat(flat, offs, idx_a[pi], idx_b[pi], threshold)
+        return out
+    la, lb = la0, lb0
     tot = la + lb
-    # gather both sides of every pair: segments 2i (A side), 2i+1 (B side)
-    seg_starts = np.empty(2 * n, dtype=np.int64)
-    seg_starts[0::2], seg_starts[1::2] = offs[idx_a], offs[idx_b]
-    seg_lens = np.empty(2 * n, dtype=np.int64)
-    seg_lens[0::2], seg_lens[1::2] = la, lb
-    total = int(seg_lens.sum())
+    # Intersection via SEGMENTED vectorized binary search: each pair's
+    # smaller set queries membership in its larger (sorted) set with
+    # log2(max set size) whole-array bisection passes. Replaces a global
+    # np.lexsort over BOTH sides' expanded elements, which measured 109 s
+    # single-core on 3.3M pairs at sf0.1 (the lexsort is O(E log E) on
+    # 165M rows with two keys); this is O(E_min log S) with E_min half
+    # the elements and no sort — measured ~30× on the same input.
+    q_idx = np.where(la <= lb, idx_a, idx_b)  # query side = smaller set
+    s_idx = np.where(la <= lb, idx_b, idx_a)  # searched side = larger set
+    ql = lens[q_idx]
+    total = int(ql.sum())
     if total == 0:
         return np.zeros(n, dtype=bool)
-    seg_offs = np.zeros(2 * n + 1, dtype=np.int64)
-    np.cumsum(seg_lens, out=seg_offs[1:])
-    rep = np.repeat(np.arange(2 * n, dtype=np.int64), seg_lens)
-    out_idx = np.arange(total, dtype=np.int64) - seg_offs[rep] + seg_starts[rep]
-    vals = flat[out_idx]
-    pair_of = rep >> 1
-    order = np.lexsort((vals, pair_of))
-    sv, sp = vals[order], pair_of[order]
-    dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
-    inter = np.bincount(sp[1:][dup], minlength=n)
+    qoffs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ql, out=qoffs[1:])
+    pair_of = np.repeat(np.arange(n, dtype=np.int64), ql)
+    e = flat[np.arange(total, dtype=np.int64) - qoffs[pair_of] + offs[q_idx][pair_of]]
+    lo = offs[s_idx][pair_of]
+    end = lo + lens[s_idx][pair_of]
+    hi = end.copy()
+    max_len = int(lens[s_idx].max(initial=0))
+    for _ in range(max_len.bit_length()):
+        active = lo < hi
+        if not active.any():
+            break
+        mid = (lo + hi) >> 1
+        go = active & (flat[np.minimum(mid, flat.size - 1)] < e)
+        lo = np.where(go, mid + 1, lo)
+        hi = np.where(active & ~go, mid, hi)
+    found = (lo < end) & (flat[np.minimum(lo, flat.size - 1)] == e)
+    inter = np.bincount(pair_of[found], minlength=n)
     union = tot - inter
     keep = (la > 0) & (lb > 0)
     # divide (not `inter >= t*union`): float division matches exact_jaccard
@@ -313,7 +355,11 @@ def _verify_pairs_broadcast(work, pairs_ds, id_col, text_col, threshold, shingle
         _BroadcastJaccardVerify,
         fn_constructor_args=(store_ref, threshold),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-        concurrency=sized_actor_concurrency(pairs_ds),
+        # each 16 B pair expands to ~2×|set| gathered hash elements in the
+        # verify kernel — CPU-heavy per input byte, so size the pool ~16×
+        # denser than a text-scanning stage (2 MB/actor ≈ 125k pairs):
+        # measured 11.5 s on 2 actors → ~1.5 s on 19 for 4.7M pairs
+        concurrency=sized_actor_concurrency(pairs_ds, bytes_per_actor=2 << 20),
     )
 
 
@@ -487,7 +533,7 @@ class _TokenSetFingerprintStage:
         )
 
 
-def _token_set_drop_ids(ds, id_col: str, text_col: str, shingle: str, k: int):
+def _token_set_drop_ids(ds, id_col: str, text_col: str, shingle: str, k: int, concurrency: int | None = None):
     """Dataset of ids to drop so one min-id representative survives per
     identical-token-set (J=1) group — worker-side, nothing O(corpus) on
     the driver (same plan as ``exact.py``'s large branch)."""
@@ -497,7 +543,7 @@ def _token_set_drop_ids(ds, id_col: str, text_col: str, shingle: str, k: int):
         _TokenSetFingerprintStage,
         fn_constructor_args=(id_col, text_col, shingle, k),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-        concurrency=sized_actor_concurrency(ds),
+        concurrency=concurrency or sized_actor_concurrency(ds),
     )
 
     def drops(tb: pa.Table) -> pa.Table:
@@ -567,12 +613,7 @@ def _dedup_via_edges(
         # the same (id, rep) edge is emitted once per shared band bucket;
         # a lean int64-pair distinct both shrinks every downstream stage
         # and keeps the plan choice keyed to the TRUE candidate set size
-        def uniq(tb: pa.Table) -> pa.Table:
-            if tb.num_rows == 0:
-                return tb.cast(_EDGE_SCHEMA)
-            return pl.from_arrow(tb).unique(subset=["id", "rep"]).to_arrow().cast(_EDGE_SCHEMA)
-
-        edges_ds = local_group_map(edges_ds, ["id", "rep"], uniq).materialize()
+        edges_ds = sorted_distinct(edges_ds, ["id", "rep"]).materialize()
         n_edges = edges_ds.count()
     if n_edges == 0:
         return ds
@@ -630,38 +671,94 @@ def minhash_lsh_dedup(
 _PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
 
-def _block_all_pairs(tb: pa.Table) -> pa.Table:
-    """All (a < b) pairs per LSH bucket co-located in this block — unlike
-    ``_block_edges`` no pair is lost to the representative chain, which
-    matters whenever pairs are verified afterwards."""
-    if tb.num_rows == 0:
-        return pa.Table.from_pydict({"a": [], "b": []}, schema=_PAIR_SCHEMA)
-    u = pl.from_arrow(tb).unique(subset=["band", "key", "id"])
-    pairs = (
-        u.join(u.rename({"id": "b"}), on=["band", "key"])
-        .filter(pl.col("id") < pl.col("b"))
-        .select(pl.col("id").alias("a"), "b")
-        .unique()
-    )
-    return pairs.to_arrow().cast(_PAIR_SCHEMA)
+def _grouped_all_pairs(ids: np.ndarray, group_starts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-group (a < b) pairs over ``ids`` sorted by (group, id),
+    fully vectorized — exactly Σ n_g·(n_g-1)/2 values materialize, unlike
+    a relational self-join whose intermediate is Σ n_g² before the a<b
+    filter (2× memory + the join's hash probes; measured 22.6 s → 6 s on
+    a 58M-pair dense block set at sf0.1)."""
+    n = ids.size
+    counts = np.diff(np.append(group_starts, n))
+    local = np.arange(n, dtype=np.int64) - np.repeat(group_starts, counts)
+    reps = np.repeat(counts, counts) - 1 - local  # partners AFTER each row
+    total = int(reps.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a = np.repeat(ids, reps)
+    cum = np.concatenate(([np.int64(0)], np.cumsum(reps)))
+    row_of = np.repeat(np.arange(n, dtype=np.int64), reps)
+    b_idx = np.arange(total, dtype=np.int64) - cum[row_of] + row_of + 1
+    return a, ids[b_idx]
 
 
-def _distinct_pairs(pairs_ds):
-    """Globally distinct (a, b) pairs via one lean 16 B/row hash shuffle.
+def _bucket_pair_arrays(tb: pa.Table, threshold: float | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) pair arrays for every LSH bucket co-located in this block
+    (hash-partitioned by (band, key), so buckets are whole).
+
+    With ``threshold`` and a ``len`` column (``MinHashBandStage
+    emit_len``), pairs failing the exact size bound J <= min/max never
+    leave the block: a pair that cannot verify is not worth shuffling.
+    Empty-set docs carry the hasher's 1-element sentinel length — such
+    pairs pass generation but the exact verifier rejects them, so the
+    filter is conservative in both directions."""
+    has_len = threshold is not None and "len" in tb.column_names
+    u = pl.from_arrow(tb).unique(subset=["band", "key", "id"]).sort(["band", "key", "id"])
+    band = u["band"].to_numpy()
+    key = u["key"].to_numpy()
+    ids = np.ascontiguousarray(u["id"].to_numpy())
+    if ids.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    new = np.empty(ids.size, dtype=bool)
+    new[0] = True
+    new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+    if not has_len:
+        return _grouped_all_pairs(ids, np.flatnonzero(new))
+    pos = np.arange(ids.size, dtype=np.int64)
+    pos_a, pos_b = _grouped_all_pairs(pos, np.flatnonzero(new))
+    lens = u["len"].to_numpy().astype(np.float64)
+    la, lb = lens[pos_a], lens[pos_b]
+    mn, mx = np.minimum(la, lb), np.maximum(la, lb)
+    # same float64 division as the verifier's jac comparison (monotone)
+    m = np.divide(mn, mx, out=np.zeros(mn.size, dtype=np.float64), where=mx > 0) >= threshold
+    return ids[pos_a[m]], ids[pos_b[m]]
+
+
+def sorted_distinct(ds, cols: list[str]):
+    """Globally distinct integer key rows via ONE range-partition sort.
+
+    Ray's sort computes each row's output partition as a pure function of
+    its key (searchsorted against sampled boundaries), so EQUAL keys land
+    in the SAME output block even under extreme skew — verified with a
+    30M-copy hot value in tests/test_neardup.py — which makes a
+    consecutive-compare unique per sorted block globally exact. Measured
+    8.7× over the hash-repartition + per-block-unique distinct on a 58M-row
+    12×-duplicated int64 stream (28.6 s → 3.3 s at 32 CPUs): the sort
+    moves the same bytes once but skips the shuffle's per-key hash
+    aggregation entirely.
 
     Near-dup clusters collide in MANY bands, so the same pair is emitted
-    once per shared band bucket — measured 157M emitted vs ~3.5M distinct
-    pairs on a dense-cluster corpus at sf0.1 (45×). Deduplicating on the
-    bare int64 pair BEFORE anything payload-sized touches the pairs keeps
+    once per shared band bucket — measured 58M emitted vs 4.7M distinct
+    on a dense-cluster corpus at sf0.1 (12×). Deduplicating on the bare
+    int64 pair BEFORE anything payload-sized touches the pairs keeps
     every downstream stage (payload joins, verification, clustering,
     driver collection) proportional to the true candidate set."""
 
     def uniq(tb: pa.Table) -> pa.Table:
-        if tb.num_rows == 0:
-            return tb.cast(_PAIR_SCHEMA)
-        return pl.from_arrow(tb).unique(subset=["a", "b"]).to_arrow().cast(_PAIR_SCHEMA)
+        if tb.num_rows <= 1:
+            return tb
+        keep = np.zeros(tb.num_rows, dtype=bool)
+        keep[0] = True
+        for c in cols:
+            arr = tb[c].to_numpy(zero_copy_only=False)
+            keep[1:] |= arr[1:] != arr[:-1]
+        return tb.filter(pa.array(keep))
 
-    return local_group_map(pairs_ds, ["a", "b"], uniq)
+    return ds.sort(cols).map_batches(uniq, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def _distinct_pairs(pairs_ds):
+    """Globally distinct (a, b) pairs (see :func:`sorted_distinct`)."""
+    return sorted_distinct(pairs_ds, ["a", "b"])
 
 
 def _id_range(ds, id_col: str) -> tuple[int, int] | None:
@@ -679,17 +776,19 @@ def _id_range(ds, id_col: str) -> tuple[int, int] | None:
         return None
 
 
-def _lsh_all_pairs(ds, id_col, text_col, num_perm, bands, shingle, k, seed):
+def _lsh_all_pairs(ds, id_col, text_col, num_perm, bands, shingle, k, seed, threshold=None):
     """Materialized Dataset of globally-distinct candidate (a < b) pairs
     from MinHash LSH banding, all-pairs per bucket.
 
     When ids fit 31 bits (one cheap min/max pass decides), each pair
     packs into ONE int64 for the distinct shuffle — half the bytes and a
     single-column hash, measured 1.6× on the 67M-row pair stream at
-    sf0.1; wider ids take the two-column layout."""
+    sf0.1; wider ids take the two-column layout. ``threshold`` (set when
+    the caller verifies pairs exactly at that Jaccard) enables the exact
+    size bound at generation — see :func:`_bucket_pair_arrays`."""
     triples = _sel(ds, [id_col, text_col]).map_batches(
         MinHashBandStage,
-        fn_constructor_args=(id_col, text_col, num_perm, bands, shingle, k, seed),
+        fn_constructor_args=(id_col, text_col, num_perm, bands, shingle, k, seed, threshold is not None),
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
         concurrency=sized_actor_concurrency(ds),
@@ -698,15 +797,14 @@ def _lsh_all_pairs(ds, id_col, text_col, num_perm, bands, shingle, k, seed):
     if rng is not None and 0 <= rng[0] and rng[1] < (1 << 31):
 
         def gen_packed(tb: pa.Table) -> pa.Table:
-            t = _block_all_pairs(tb)
-            a = t["a"].to_numpy(zero_copy_only=False)
-            b = t["b"].to_numpy(zero_copy_only=False)
-            return pa.Table.from_pydict({"p": pa.array((a << np.int64(32)) | b)})
-
-        def uniq_p(tb: pa.Table) -> pa.Table:
             if tb.num_rows == 0:
-                return tb
-            return pl.from_arrow(tb).unique(subset=["p"]).to_arrow()
+                return pa.Table.from_pydict({"p": pa.array([], type=pa.int64())})
+            a, b = _bucket_pair_arrays(tb, threshold)
+            # no block-local distinct: duplicates are cross-block (the
+            # same pair re-emitted from OTHER bands' buckets), so a local
+            # unique pays a per-block sort to remove ~nothing — the
+            # global sorted_distinct handles it in one pass
+            return pa.Table.from_pydict({"p": pa.array((a << np.int64(32)) | b)})
 
         def unpack(tb: pa.Table) -> pa.Table:
             p = tb["p"].to_numpy(zero_copy_only=False)
@@ -716,9 +814,15 @@ def _lsh_all_pairs(ds, id_col, text_col, num_perm, bands, shingle, k, seed):
             )
 
         packed = local_group_map(triples, ["band", "key"], gen_packed)
-        dp = local_group_map(packed, ["p"], uniq_p).materialize()
+        dp = sorted_distinct(packed, ["p"]).materialize()
         return dp.map_batches(unpack, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    pairs = local_group_map(triples, ["band", "key"], _block_all_pairs)
+
+    def gen_pairs(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({"a": [], "b": []}, schema=_PAIR_SCHEMA)
+        a, b = _bucket_pair_arrays(tb, threshold)
+        return pa.Table.from_pydict({"a": pa.array(a), "b": pa.array(b)}, schema=_PAIR_SCHEMA)
+    pairs = local_group_map(triples, ["band", "key"], gen_pairs)
     return _distinct_pairs(pairs).materialize()
 
 
@@ -761,11 +865,14 @@ def minhash_lsh_dedup_verified(
     work = _sel(ds, [id_col, text_col])
     drop_sets = []
     if collapse_exact:
-        j1_drops = _token_set_drop_ids(work, id_col, text_col, shingle, k).materialize()
+        # size the fingerprint actor pool from the RAW input (a projected
+        # plan has no metadata estimate and would fall back to the cap)
+        conc = sized_actor_concurrency(ds)
+        j1_drops = _token_set_drop_ids(work, id_col, text_col, shingle, k, concurrency=conc).materialize()
         if j1_drops.count() > 0:
             drop_sets.append(j1_drops)
             work = _apply_drop_ds(work, id_col, j1_drops, driver_max_edges).materialize()
-    pairs_ds = _lsh_all_pairs(work, id_col, text_col, num_perm, bands, shingle, k, seed)
+    pairs_ds = _lsh_all_pairs(work, id_col, text_col, num_perm, bands, shingle, k, seed, threshold=threshold)
     n_pairs = pairs_ds.count()
     kept = None
     if n_pairs > 0 and n_pairs <= driver_max_edges:
@@ -823,7 +930,7 @@ def neardup_pairs(
     Within-bucket pairing is all-pairs per bucket (not just to the min) so
     no pair is lost to the representative chain.
     """
-    pairs_ds = _lsh_all_pairs(ds, id_col, text_col, num_perm, bands, shingle, k, seed)
+    pairs_ds = _lsh_all_pairs(ds, id_col, text_col, num_perm, bands, shingle, k, seed, threshold=threshold)
     from ..pipelines.queries import as_table
 
     n_pairs = pairs_ds.count()

@@ -153,7 +153,12 @@ def rolling_window_agg(
     def block(tb: pa.Table) -> pa.Table:
         if tb.num_rows == 0:
             return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
-        df = pl.from_arrow(tb.select(need)).sort([key, ts_col])
+        # sort by ALL carried columns, not just (key, ts): the range-
+        # partition shuffle does not preserve row order among equal keys,
+        # and within a same-timestamp tie group the cumsum accumulation
+        # order changes w_sum in the last ulp — a total order makes the
+        # result partitioning- and run-invariant
+        df = pl.from_arrow(tb.select(need)).sort(need)
         keys_np = df[key].to_numpy()
         s = df[ts_col]
         # unit-safe epoch conversion: a raw Int64 cast yields the column's
@@ -163,16 +168,19 @@ def rolling_window_agg(
         # interpreted as µs by contract.
         ts = s.dt.timestamp("us").to_numpy() if s.dtype.is_temporal() else s.cast(pl.Int64).to_numpy()
         vals = df[value_col].cast(pl.Float64).to_numpy()
-        csum = np.concatenate([[0.0], np.cumsum(vals)])
         w_count = np.empty(len(ts), dtype=np.int64)
         w_sum = np.empty(len(ts), dtype=np.float64)
         # group boundaries of the sorted key column
         bounds = np.flatnonzero(np.concatenate([[True], keys_np[1:] != keys_np[:-1], [True]]))
         for s, e in zip(bounds[:-1], bounds[1:]):
             seg = ts[s:e]
-            lo = s + np.searchsorted(seg, seg - win_us, side="left")
-            hi = s + np.searchsorted(seg, seg, side="right")
+            lo = np.searchsorted(seg, seg - win_us, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
             w_count[s:e] = hi - lo
+            # cumsum PER KEY, not per block: a block-wide prefix sum makes
+            # w_sum depend on unrelated keys in the same block through
+            # float rounding, breaking partitioning-invariance of results
+            csum = np.concatenate([[0.0], np.cumsum(vals[s:e])])
             w_sum[s:e] = csum[hi] - csum[lo]
         out = df.with_columns(
             w_count=pl.Series(w_count), w_sum=pl.Series(w_sum)
@@ -218,7 +226,9 @@ def sessionize(
     def block(tb: pa.Table) -> pa.Table:
         if tb.num_rows == 0:
             return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
-        df = pl.from_arrow(tb.select(need)).sort([key, ts_col])
+        # total-order sort (see rolling_window_agg): sum_value must not
+        # depend on intra-tie row order delivered by the shuffle
+        df = pl.from_arrow(tb.select(need)).sort(need)
         brk = (
             (pl.col(ts_col).diff().over(key).dt.total_microseconds() > gap_us)
             .fill_null(True)

@@ -928,10 +928,16 @@ def curation_pipeline_docs(sf_dir: str):
         return b.filter(mask).select(["doc_id", "text", "lang", "n_tokens"])
 
     kept = docs.map_batches(gate, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    ex = exact_dedup(kept, "doc_id", "text", size_hint_bytes=est)
+    # Each dedup stage takes several passes over its input (signature scan,
+    # verification, drop-filter), so a lazy chain re-executes the whole
+    # upstream pipeline per pass — compounding across three stages.
+    # Materialize the stage boundaries: blocks pin in the object store
+    # (spillable), never on the driver (measured 100.7 s -> lazy vs
+    # materialized boundaries at sf0.1; see BASELINE.md round 4).
+    ex = exact_dedup(kept, "doc_id", "text", size_hint_bytes=est).materialize()
     mh = minhash_lsh_dedup_verified(
         ex, "doc_id", "text", threshold=0.8, num_perm=256, bands=64, shingle="word"
-    )
+    ).materialize()
     final = simhash_dedup(mh, "doc_id", "text", max_hamming=3, token_hash="md5", size_hint_bytes=est)
     return as_table(final.select_columns(["doc_id", "lang", "n_tokens"])).sort_by([("doc_id", "ascending")])
 

@@ -429,3 +429,38 @@ def test_driver_verify_byte_cap_aborts_to_distributed(ray_session, docs_ds, monk
         ].to_pylist()
     )
     assert got_kept == want_kept
+
+
+def test_sort_distinct_skew(ray_session):
+    """sorted_distinct's contract: Ray's range-partition sort assigns
+    equal keys to ONE output block even under extreme skew (the partition
+    index is a pure function of the key), so the consecutive-compare
+    unique is globally exact. Adversarial input: one value dominating the
+    stream, spread across many input blocks."""
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup.neardup import sorted_distinct
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [np.full(200_000, 42, dtype=np.int64), rng.integers(0, 1 << 40, size=50_000, dtype=np.int64)]
+    )
+    rng.shuffle(vals)
+    tables = [pa.Table.from_pydict({"p": vals[i::16]}) for i in range(16)]
+    out = sorted_distinct(rd.from_arrow(tables), ["p"]).materialize()
+    got = np.sort(
+        np.concatenate(
+            [b["p"].to_numpy(zero_copy_only=False) for b in out.iter_batches(batch_format="pyarrow", batch_size=None)]
+        )
+    )
+    assert np.array_equal(got, np.unique(vals))
+
+    # two-column variant (the (a, b) pair layout)
+    a = np.repeat(np.arange(50, dtype=np.int64), 2000)
+    b = np.tile(np.arange(40, dtype=np.int64), 2500)
+    tables = [pa.Table.from_pydict({"a": a[i::8], "b": b[i::8]}) for i in range(8)]
+    out = sorted_distinct(rd.from_arrow(tables), ["a", "b"]).materialize()
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
+    got_pairs = sorted(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+    want_pairs = sorted({(int(x), int(y)) for x, y in zip(a, b)})
+    assert got_pairs == want_pairs
