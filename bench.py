@@ -164,9 +164,15 @@ def main() -> None:
             reg = registry()
             for name in HEADLINE:
                 fn, _sql = reg[name]
-                t0 = time.perf_counter()
-                consume(fn(SF_DIR))
-                dt = time.perf_counter() - t0
+                # best-of-2 (same rationale as the suite): a noisy-neighbor
+                # spike on this shared VM would otherwise be recorded as a
+                # query regression
+                dts = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    consume(fn(SF_DIR))
+                    dts.append(time.perf_counter() - t0)
+                dt = min(dts)
                 queries[name] = round(dt, 3)
                 total += dt
 
