@@ -126,7 +126,7 @@ def duplicate_key_hashes(
             .sort("h")
         )
         return rd.from_arrow(dup.to_arrow().cast(pa.schema([("h", pa.int64()), ("cnt", pa.int64())])))
-    counts = grouped_sum(partials, ["h"], "cnt_partial", "cnt")
+    counts = grouped_sum(partials, ["h"], "cnt_partial", "cnt", keys_non_null=True)
     thresh = min_count
     return counts.map_batches(
         lambda t: t.filter(pc.greater_equal(t["cnt"], thresh)), batch_format="pyarrow", batch_size=None

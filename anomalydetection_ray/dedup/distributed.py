@@ -107,7 +107,7 @@ def pair_payload_join(
     stage1_payload = select_if_needed(payload_ds, [id_col, payload_col]).map_batches(
         payload_to_s1, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    with_pa = local_group_map(stage1_pairs.union(stage1_payload), [_KEY], join1, num_blocks)
+    with_pa = local_group_map(stage1_pairs.union(stage1_payload), [_KEY], join1, num_blocks, keys_non_null=True)
 
     def halfpairs_to_s2(tb: pa.Table) -> pa.Table:
         return _norm(tb, s2, {_KEY: tb["b"], "a": tb["a"], "b": tb["b"], "__pa": tb["__pa"], _SIDE: pa.nulls(tb.num_rows, pa.int8()).fill_null(0)})
@@ -136,7 +136,7 @@ def pair_payload_join(
     stage2_payload = select_if_needed(payload_ds, [id_col, payload_col]).map_batches(
         payload_to_s2, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    return local_group_map(stage2_pairs.union(stage2_payload), [_KEY], join2_verify, num_blocks)
+    return local_group_map(stage2_pairs.union(stage2_payload), [_KEY], join2_verify, num_blocks, keys_non_null=True)
 
 
 _LABEL_SCHEMA = pa.schema([("id", pa.int64()), ("label", pa.int64())])
@@ -202,7 +202,7 @@ def label_propagate_min(edges_ds, max_iters: int = 64, num_blocks: int | None = 
         tagged = sym_edges.map_batches(edges_to_j, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).union(
             labels.map_batches(labels_to_j, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         )
-        messages = local_group_map(tagged, ["__k"], send, num_blocks)
+        messages = local_group_map(tagged, ["__k"], send, num_blocks, keys_non_null=True)
         labels = grouped_min(messages.union(labels), ["id"], "label", "label", num_blocks).materialize()
         s = labels.sum("label")
         if prev_sum is not None and s == prev_sum:
@@ -344,4 +344,4 @@ def shuffle_anti_join(ds, id_col: str, drop_ids_ds, num_blocks: int | None = Non
     tagged = ds.map_batches(rows_to_u, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).union(
         drop_ids_ds.map_batches(drops_to_u, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
-    return local_group_map(tagged, [id_col], anti, num_blocks)
+    return local_group_map(tagged, [id_col], anti, num_blocks, keys_non_null=True)

@@ -92,5 +92,5 @@ def exact_dedup(
         return broadcast_value_filter(ds, id_col, keep, keep=True)
     from .distributed import shuffle_anti_join
 
-    drop_ids = local_group_map(pairs, ["h1", "h2"], _drop_ids_block(id_col))
+    drop_ids = local_group_map(pairs, ["h1", "h2"], _drop_ids_block(id_col), keys_non_null=True)
     return shuffle_anti_join(ds, id_col, drop_ids)

@@ -148,7 +148,7 @@ def lsh_candidate_edges(ds, id_col: str, text_col: str, num_perm: int = 128, ban
         zero_copy_batch=True,
         concurrency=concurrency or sized_actor_concurrency(ds),
     )
-    return local_group_map(triples, ["band", "key"], _block_edges)
+    return local_group_map(triples, ["band", "key"], _block_edges, keys_non_null=True)
 
 
 def _collect_edges(edges_ds) -> list[tuple]:
@@ -557,7 +557,7 @@ def _token_set_drop_ids(ds, id_col: str, text_col: str, shingle: str, k: int, co
         )
         return out.to_arrow().cast(schema)
 
-    return local_group_map(fp, ["h1", "h2"], drops)
+    return local_group_map(fp, ["h1", "h2"], drops, keys_non_null=True)
 
 
 def _apply_drop_ds(ds, id_col: str, drops_ds, driver_max: int = DRIVER_MAX_EDGES):
@@ -813,7 +813,7 @@ def _lsh_all_pairs(ds, id_col, text_col, num_perm, bands, shingle, k, seed, thre
                 schema=_PAIR_SCHEMA,
             )
 
-        packed = local_group_map(triples, ["band", "key"], gen_packed)
+        packed = local_group_map(triples, ["band", "key"], gen_packed, keys_non_null=True)
         dp = sorted_distinct(packed, ["p"]).materialize()
         return dp.map_batches(unpack, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
@@ -822,7 +822,7 @@ def _lsh_all_pairs(ds, id_col, text_col, num_perm, bands, shingle, k, seed, thre
             return pa.Table.from_pydict({"a": [], "b": []}, schema=_PAIR_SCHEMA)
         a, b = _bucket_pair_arrays(tb, threshold)
         return pa.Table.from_pydict({"a": pa.array(a), "b": pa.array(b)}, schema=_PAIR_SCHEMA)
-    pairs = local_group_map(triples, ["band", "key"], gen_pairs)
+    pairs = local_group_map(triples, ["band", "key"], gen_pairs, keys_non_null=True)
     return _distinct_pairs(pairs).materialize()
 
 
@@ -1103,6 +1103,7 @@ def simhash_dedup(
         fps.map_batches(explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
         ["block", "key"],
         block_bucket_edges,
+        keys_non_null=True,
     )
     # edges are already exact-Hamming-verified inside the buckets, so the
     # tail needs only clustering + drop (no payload re-verification)
@@ -1170,7 +1171,7 @@ def embedding_neardup_pairs(
         zero_copy_batch=True,
         concurrency=sized_actor_concurrency(ds),
     )
-    pairs_tbl = local_group_map(triples, ["band", "key"], block_pairs).materialize()
+    pairs_tbl = local_group_map(triples, ["band", "key"], block_pairs, keys_non_null=True).materialize()
     from ..pipelines.queries import as_table
 
     rt = None
@@ -1214,7 +1215,7 @@ def embedding_cosine_dedup(ds, id_col: str, vec_col: str, dim: int, threshold: f
         zero_copy_batch=True,
         concurrency=sized_actor_concurrency(ds),
     )
-    edges_ds = local_group_map(triples, ["band", "key"], _block_edges)
+    edges_ds = local_group_map(triples, ["band", "key"], _block_edges, keys_non_null=True)
 
     def driver_verify(edges: list[tuple]) -> list[tuple] | None:
         if not edges:

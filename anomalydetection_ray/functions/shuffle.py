@@ -156,7 +156,24 @@ def hash_partitioned(ds, keys: list[str], num_blocks: int | None = None):
     return ds.repartition(num_blocks=num_blocks or default_num_blocks(), keys=keys, sort=False)
 
 
-def local_group_map(ds, keys: list[str], block_fn, num_blocks: int | None = None):
+def _null_fill_scalar(t: pa.DataType):
+    """A type-matched constant for coalescing nulls into a sortable value,
+    or None when the type has no obvious constant (caller sorts raw)."""
+    try:
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return pa.scalar("", type=t)
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return pa.scalar(b"", type=t)
+        if pa.types.is_boolean(t):
+            return pa.scalar(False, type=t)
+        if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_temporal(t):
+            return pa.scalar(0, type=t)
+    except Exception:
+        return None
+    return None
+
+
+def local_group_map(ds, keys: list[str], block_fn, num_blocks: int | None = None, keys_non_null: bool = False):
     """Co-partition by ``keys`` then apply ``block_fn(pa.Table) ->
     pa.Table`` once per whole block (all rows of any key are present).
 
@@ -171,10 +188,42 @@ def local_group_map(ds, keys: list[str], block_fn, num_blocks: int | None = None
     CPUs on a 4k-row input, and 28.6 s vs 3.3 s for the sort on a 58M-row
     distinct — so the sort wins at both ends of the scale. ``num_blocks``
     is accepted for API compatibility; the sort picks its own partition
-    count from the input."""
+    count from the input.
+
+    Ray's sort REJECTS null keys (sample-boundary comparison raises
+    TypeError), which the old hash shuffle tolerated, so by default each
+    key column is duplicated into a null-coalesced ``__lgm{i}`` sort
+    column (dropped before ``block_fn``). Null-group rows thereby sort
+    where the fill constant sorts — possibly sharing a block with the
+    real fill-value group, which is fine: the contract is only that each
+    group is WHOLE in one block, and block fns distinguish null from ""
+    themselves (polars group_by keeps them separate). Engine-internal
+    callers whose keys are non-null by construction (content hashes, band
+    keys, packed pair ids) pass ``keys_non_null=True`` to skip the
+    duplicated key bytes on the wire."""
     del num_blocks
-    return ds.sort(keys).map_batches(
-        block_fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    import pyarrow.compute as pc
+
+    if keys_non_null:
+        return ds.sort(keys).map_batches(
+            block_fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    tmp = [f"__lgm{i}" for i in range(len(keys))]
+
+    def add_sort_keys(tb: pa.Table) -> pa.Table:
+        for name, k in zip(tmp, keys):
+            arr = tb[k]
+            fill = _null_fill_scalar(arr.type)
+            filled = pc.coalesce(arr, fill) if fill is not None else arr
+            tb = tb.append_column(name, filled)
+        return tb
+
+    def strip_and_apply(tb: pa.Table) -> pa.Table:
+        return block_fn(tb.drop_columns(tmp))
+
+    keyed = ds.map_batches(add_sort_keys, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    return keyed.sort(tmp).map_batches(
+        strip_and_apply, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
 
@@ -250,7 +299,7 @@ def driver_grouped_agg(
     return out.to_pandas()
 
 
-def grouped_min(ds, keys: list[str], value_col: str, out_col: str, num_blocks: int | None = None):
+def grouped_min(ds, keys: list[str], value_col: str, out_col: str, num_blocks: int | None = None, keys_non_null: bool = False):
     """MIN(value) GROUP BY keys for high-cardinality keys (e.g. exact-dedup
     survivor selection: min id per content fingerprint)."""
 
@@ -263,7 +312,7 @@ def grouped_min(ds, keys: list[str], value_col: str, out_col: str, num_blocks: i
         fields = [tb.schema.field(k) for k in keys] + [pa.field(out_col, tb.schema.field(value_col).type)]
         return out.to_arrow().cast(pa.schema(fields))
 
-    return local_group_map(ds, keys, local, num_blocks)
+    return local_group_map(ds, keys, local, num_blocks, keys_non_null=keys_non_null)
 
 
 def quantile_column_names(quantiles: list[float]) -> list[str]:
@@ -349,7 +398,7 @@ def grouped_topk(
     return local_group_map(partial, keys, topk_block, num_blocks)
 
 
-def grouped_sum(ds, keys: list[str], value_col: str, out_col: str, num_blocks: int | None = None):
+def grouped_sum(ds, keys: list[str], value_col: str, out_col: str, num_blocks: int | None = None, keys_non_null: bool = False):
     """SUM(value) GROUP BY keys for high-cardinality keys."""
 
     def local(tb: pa.Table) -> pa.Table:
@@ -362,4 +411,4 @@ def grouped_sum(ds, keys: list[str], value_col: str, out_col: str, num_blocks: i
         fields = [tb.schema.field(k) for k in keys] + [pa.field(out_col, pa.int64())]
         return out.to_arrow().cast(pa.schema(fields))
 
-    return local_group_map(ds, keys, local, num_blocks)
+    return local_group_map(ds, keys, local, num_blocks, keys_non_null=keys_non_null)

@@ -106,3 +106,32 @@ def test_operators_on_empty_inputs(ray_session):
     assert as_table(grouped_exact_quantiles(ev, ["k"], "v", [0.5])).num_rows == 0
     assert as_table(grouped_topk(ev, ["k"], "v", 3)).num_rows == 0
     assert as_table(stratified_split(ev, "k", [0.5, 0.5])[0]).num_rows == 0
+
+
+def test_local_group_map_null_keys(ray_session):
+    """Ray's sort rejects null keys outright (TypeError in boundary
+    sampling), which the old hash shuffle tolerated — the null-coalesced
+    sort-key path must keep null-key groups whole and distinct from the
+    fill value's real group ('' here)."""
+    import numpy as np
+    import pyarrow as pa
+    import polars as pl
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import grouped_sum, local_group_map
+
+    tables = [
+        pa.table({"k": ["a", None, "", "b"], "v": [1, 2, 3, 4]}),
+        pa.table({"k": [None, "", "a", None], "v": [5, 6, 7, 8]}),
+    ]
+    ds = rd.from_arrow(tables)
+    out = grouped_sum(ds, ["k"], "v", "s").materialize()
+    got = {r["k"]: r["s"] for b in out.iter_batches(batch_format="pyarrow", batch_size=None) for r in b.to_pylist()}
+    assert got == {"a": 8, None: 15, "": 9, "b": 4}
+
+    # nullable int keys through the generic path
+    ds2 = rd.from_arrow([pa.table({"k": pa.array([1, None, 0], type=pa.int64()), "v": [10, 20, 30]}),
+                         pa.table({"k": pa.array([None, 1], type=pa.int64()), "v": [40, 50]})])
+    out2 = grouped_sum(ds2, ["k"], "v", "s").materialize()
+    got2 = {r["k"]: r["s"] for b in out2.iter_batches(batch_format="pyarrow", batch_size=None) for r in b.to_pylist()}
+    assert got2 == {1: 60, None: 60, 0: 30}
