@@ -324,3 +324,128 @@ def broadcast_join(fact_ds, fact_key: str | list[str], dim, dim_key: str | list[
         return out.select([f.name for f in want]).to_arrow().cast(want)
 
     return fact_ds.map_batches(join, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def skew_join(
+    left_ds,
+    left_key: str,
+    right_ds,
+    right_key: str,
+    how: str = "inner",
+    *,
+    hot_threshold: int | None = None,
+    k: int = 256,
+    num_blocks: int | None = None,
+    suffix: str = "_r",
+    max_hot_right_rows: int = 2_000_000,
+):
+    """Skew-aware hybrid join — the north rule's "explicit skew-aware
+    repartitioning" applied to the join surface.
+
+    :func:`shuffle_hash_join` co-partitions by key, so one hot key's rows
+    all land in ONE block: a Zipf-headed fact column (the hot-language
+    case) turns the join into a single straggler task at 100 TB. Plan:
+
+    1. ONE cheap Misra-Gries pass over the left key column
+       (:func:`~anomalydetection_ray.functions.shuffle.dataset_heavy_hitters`
+       — O(blocks × k) driver work, no shuffle) finds every key that can
+       exceed ``hot_threshold`` rows (default: a full block's row share,
+       ``n / num_blocks``). The MG bound makes the hot set a SUPERSET of
+       the true hot keys, never larger than ``k``.
+    2. Right rows with hot keys (for fact-skew-over-dimension, ~1 row per
+       hot key) are gathered and broadcast once via ``ray.put``; left
+       rows with hot keys stream through a per-batch polars probe — no
+       repartition ever sees a hot key.
+    3. Everything else takes the co-partitioned shuffle join unchanged.
+
+    The union of both lanes is row-identical to the one-plan join
+    (equivalence-tested with planted Zipf skew). Falls back to the plain
+    shuffle join when: no key qualifies as hot, the gathered hot right
+    rows exceed ``max_hot_right_rows`` (dim-side skew — a broadcast would
+    not fit), ``how`` ∈ {"right", "full"} (unmatched-right tracking needs
+    global match state), or the key is composite (MG detection is
+    single-column). ``hot_threshold<=1`` forces every key hot and
+    ``hot_threshold>n`` forces none (plan-equivalence tests)."""
+    import ray
+
+    if not isinstance(left_key, str) or not isinstance(right_key, str) or how in ("right", "full"):
+        return shuffle_hash_join(left_ds, left_key, right_ds, right_key, how=how,
+                                 num_blocks=num_blocks, suffix=suffix)
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError("how must be one of 'inner', 'left', 'right', 'full', 'semi', 'anti'")
+
+    import polars as pl
+
+    from .shuffle import arrow_schema, dataset_heavy_hitters, default_num_blocks
+
+    mg = dataset_heavy_hitters(left_ds, left_key, k=k)
+    if hot_threshold is None:
+        hot_threshold = max(mg.n // max(num_blocks or default_num_blocks(), 1), 2)
+    hot = mg.candidates(hot_threshold)
+    if len(hot) == 0:
+        return shuffle_hash_join(left_ds, left_key, right_ds, right_key, how=how,
+                                 num_blocks=num_blocks, suffix=suffix)
+
+    # gather the right side's hot rows under a row budget
+    key_only = how in ("semi", "anti")
+    right_in = right_ds
+    if key_only:
+        from .shuffle import select_if_needed
+
+        right_in = select_if_needed(right_ds, [right_key])
+    hot_parts: list[pa.Table] = []
+    n_hot_right = 0
+    for tb in (
+        broadcast_value_filter(right_in, right_key, hot, keep=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        n_hot_right += tb.num_rows
+        if n_hot_right > max_hot_right_rows:
+            # dim-side skew: the hot rows themselves don't fit a broadcast
+            return shuffle_hash_join(left_ds, left_key, right_ds, right_key, how=how,
+                                     num_blocks=num_blocks, suffix=suffix)
+        hot_parts.append(tb)
+
+    lschema = arrow_schema(left_ds)
+    rschema = arrow_schema(right_in)
+    lnames = [f.name for f in lschema]
+    rmap = {
+        f.name: (f.name + suffix if f.name in lnames else f.name)
+        for f in rschema
+        if f.name != right_key and not key_only
+    }
+    out_rnames = list(rmap.values())
+    if len(set(out_rnames)) != len(out_rnames) or set(out_rnames) & set(lnames):
+        clash = sorted((set(out_rnames) & set(lnames)) | {n for n in out_rnames if out_rnames.count(n) > 1})
+        raise ValueError(
+            f"suffixed right column names collide with the output schema: {clash}; pass a different suffix"
+        )
+    out_schema = pa.schema(
+        list(lschema) if key_only else list(lschema) + [pa.field(rmap[f.name], f.type) for f in rschema if f.name in rmap]
+    )
+
+    dim_tbl = (
+        pa.concat_tables(hot_parts)
+        if hot_parts
+        else pa.schema([rschema.field(right_key)] + [f for f in rschema if f.name in rmap]).empty_table()
+    )
+    dim_tbl = dim_tbl.select([right_key] + [c for c in dim_tbl.column_names if c in rmap]).rename_columns(
+        [right_key] + [rmap[c] for c in dim_tbl.column_names if c in rmap]
+    )
+    dim_ref = ray.put(dim_tbl)
+    lkey_type = lschema.field(left_key).type
+
+    def hot_probe(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(ray.get(dim_ref))
+        f = pl.from_arrow(batch)
+        d = d.with_columns(pl.col(right_key).cast(f.schema[left_key]))
+        out = f.join(d, left_on=left_key, right_on=right_key, how=how, nulls_equal=False, coalesce=True)
+        return out.select([fld.name for fld in out_schema]).to_arrow().cast(out_schema)
+
+    left_hot = broadcast_value_filter(left_ds, left_key, hot, keep=True)
+    left_cold = broadcast_value_filter(left_ds, left_key, hot, keep=False)
+    right_cold = broadcast_value_filter(right_in, right_key, hot, keep=False)
+    hot_out = left_hot.map_batches(hot_probe, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    cold_out = shuffle_hash_join(left_cold, left_key, right_cold, right_key, how=how,
+                                 num_blocks=num_blocks, suffix=suffix)
+    return hot_out.union(cold_out)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def default_num_blocks(min_blocks: int = 8) -> int:
@@ -412,3 +413,61 @@ def grouped_sum(ds, keys: list[str], value_col: str, out_col: str, num_blocks: i
         return out.to_arrow().cast(pa.schema(fields))
 
     return local_group_map(ds, keys, local, num_blocks, keys_non_null=keys_non_null)
+
+
+def dataset_heavy_hitters(ds, col: str, k: int = 256):
+    """Distributed Misra-Gries heavy hitters over ``ds[col]``.
+
+    No shuffle: each block reduces to an MG partial of at most ``k``
+    ``(key, cnt)`` rows plus its trim error and row weight, and the
+    driver absorbs the partial rows in one streamed pass — driver work
+    is O(blocks × k), never O(distinct keys), so a 100 TB key column
+    with billions of distinct values costs the driver the same as a
+    small one. Nulls are excluded (no reference analog counts nulls as
+    keys). Returns the merged :class:`MisraGries` sketch; the bound
+    ``n(x) - err <= estimate(x) <= n(x)`` holds for every key
+    regardless of block boundaries or merge order.
+    """
+    from ..sketches.heavy import MisraGries
+
+    ds = select_if_needed(ds, [col])
+    key_type = None
+
+    def partial(tb: pa.Table) -> pa.Table:
+        vals = tb[col].drop_null()
+        n_b = len(vals)
+        schema = pa.schema([("key", tb.schema.field(col).type), ("cnt", pa.int64()),
+                            ("err", pa.int64()), ("n", pa.int64())])
+        if n_b == 0:
+            return schema.empty_table()
+        mg = MisraGries(k).update(vals.to_numpy(zero_copy_only=False))
+        m = len(mg.keys)
+        if m == 0:  # total trim wipeout: carry err/n on one null-key row
+            return pa.Table.from_pydict(
+                {"key": pa.nulls(1, schema.field("key").type), "cnt": [0],
+                 "err": [mg.err], "n": [n_b]}, schema=schema)
+        err_col = np.zeros(m, dtype=np.int64)
+        err_col[0] = mg.err
+        n_col = np.zeros(m, dtype=np.int64)
+        n_col[0] = n_b
+        return pa.Table.from_pydict(
+            {"key": pa.array(mg.keys).cast(schema.field("key").type),
+             "cnt": pa.array(mg.counts.astype(np.int64)),
+             "err": pa.array(err_col), "n": pa.array(n_col)}, schema=schema)
+
+    out = MisraGries(k)
+    err_total = 0
+    n_total = 0
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    for tb in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        if tb.num_rows == 0:
+            continue
+        err_total += int(pc.sum(tb["err"]).as_py() or 0)
+        n_total += int(pc.sum(tb["n"]).as_py() or 0)
+        keyed = tb.filter(pc.is_valid(tb["key"]))
+        if keyed.num_rows:
+            out._absorb(keyed["key"].to_numpy(zero_copy_only=False),
+                        keyed["cnt"].to_numpy(zero_copy_only=False))
+    out.err += err_total
+    out.n = n_total
+    return out

@@ -232,3 +232,66 @@ def test_right_full_outer_join_matches_duckdb(ray_session, how):
     b = _canon(want.cast(got.select(want.column_names).schema))
     assert a.equals(b), f"\n{a}\nvs\n{b}"
     assert _canon(via_wrapper).equals(a)
+
+
+def test_skew_join_equivalent_to_shuffle_join(ray_session):
+    """Hybrid hot-broadcast/cold-shuffle plan is row-identical to the
+    one-plan shuffle join on planted Zipf skew, for every supported how."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.relational import shuffle_hash_join, skew_join
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    keys = np.where(rng.random(n) < 0.4, 7, rng.integers(0, 1000, n)).astype("int64")
+    lt = pa.table({"k": keys, "lv": rng.random(n)})
+    lt = pa.concat_tables([lt, pa.table({"k": pa.array([None, None], type=pa.int64()), "lv": [0.1, 0.2]})])
+    # right col 'lv' collides with a left name -> suffix path exercised
+    rt = pa.table({"rk": np.arange(800, dtype="int64"), "lv": rng.random(800), "attr": [f"a{i}" for i in range(800)]})
+    left = rd.from_arrow(lt).repartition(8)
+    right = rd.from_arrow(rt).repartition(4)
+
+    def canon(t):
+        return t.to_pandas().sort_values(list(t.column_names)).reset_index(drop=True)
+
+    for how in ["inner", "left", "semi", "anti"]:
+        a = canon(as_table(skew_join(left, "k", right, "rk", how=how, hot_threshold=500)))
+        b = canon(as_table(shuffle_hash_join(left, "k", right, "rk", how=how)))
+        assert list(a.columns) == list(b.columns)
+        pd.testing.assert_frame_equal(a, b, check_dtype=True)
+
+    base = canon(as_table(shuffle_hash_join(left, "k", right, "rk")))
+    all_hot = canon(as_table(skew_join(left, "k", right, "rk", hot_threshold=1)))
+    none_hot = canon(as_table(skew_join(left, "k", right, "rk", hot_threshold=10**9)))
+    pd.testing.assert_frame_equal(all_hot, base, check_dtype=True)
+    pd.testing.assert_frame_equal(none_hot, base, check_dtype=True)
+
+
+def test_skew_join_dim_side_budget_falls_back(ray_session):
+    """When the hot keys' RIGHT rows exceed the broadcast budget the plan
+    falls back to the shuffle join rather than gathering them."""
+    import numpy as np
+    import pyarrow as pa
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.relational import shuffle_hash_join, skew_join
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    rng = np.random.default_rng(5)
+    keys = np.where(rng.random(5000) < 0.5, 1, rng.integers(0, 50, 5000)).astype("int64")
+    left = rd.from_arrow(pa.table({"k": keys, "lv": rng.random(5000)})).repartition(4)
+    # right side ALSO skewed on the hot key: 3000 rows for k=1
+    rk = np.concatenate([np.ones(3000, dtype="int64"), np.arange(50, dtype="int64")])
+    right = rd.from_arrow(pa.table({"rk": rk, "attr": rng.random(len(rk))})).repartition(4)
+
+    def canon(t):
+        return t.to_pandas().sort_values(list(t.column_names)).reset_index(drop=True)
+
+    a = canon(as_table(skew_join(left, "k", right, "rk", hot_threshold=100, max_hot_right_rows=100)))
+    b = canon(as_table(shuffle_hash_join(left, "k", right, "rk")))
+    pd.testing.assert_frame_equal(a, b, check_dtype=True)

@@ -375,3 +375,65 @@ def test_batch_simhash_md5_bit_identical():
     )
     assert np.array_equal(ref, batch_simhash_md5(texts))
     assert batch_simhash_md5(np.array([], dtype=object)).shape == (0,)
+
+
+def test_misra_gries_bound_and_merge_order_invariance():
+    """MG guarantee n(x)-err <= est(x) <= n(x), err <= N/(k+1), presence of
+    every key above the bound — under single-stream AND both merge orders."""
+    from anomalydetection_ray.sketches.heavy import MisraGries
+
+    rng = np.random.default_rng(7)
+    vals = rng.zipf(1.5, 100000)
+    vals = vals[vals < 5000]
+    uniq, cnt = np.unique(vals, return_counts=True)
+    exact = dict(zip(uniq.tolist(), cnt.tolist()))
+
+    shards = np.array_split(vals, 23)
+    parts = [MisraGries(64).update(s) for s in shards]
+    merged_fwd = MisraGries.merge_many(parts)
+    merged_rev = MisraGries.merge_many([MisraGries(64).update(s) for s in reversed(shards)])
+    single = MisraGries(64).update(vals)
+
+    for mg in (single, merged_fwd, merged_rev):
+        assert mg.n == len(vals)
+        assert mg.err <= mg.error_bound()
+        for key, n in exact.items():
+            est = mg.estimate(key)
+            assert est <= n and n - est <= mg.err
+        hot = [key for key, n in exact.items() if n > mg.error_bound()]
+        assert hot, "fixture must plant real heavy hitters"
+        for key in hot:
+            assert mg.estimate(key) > 0
+        assert set(hot) <= set(mg.candidates(mg.error_bound() + 1).tolist())
+
+
+def test_misra_gries_string_keys_and_vectorized_estimates():
+    from anomalydetection_ray.sketches.heavy import MisraGries
+
+    sv = np.array([f"w{i % 13}" for i in range(5000)] + ["hot"] * 3000, dtype=object)
+    mg = MisraGries(8).update(sv)
+    assert mg.estimate("hot") >= 3000 - mg.err
+    keys = np.array(["hot", "w0", "absent"], dtype=object)
+    ests = mg.estimates(keys)
+    assert [int(e) for e in ests] == [mg.estimate("hot"), mg.estimate("w0"), 0]
+    assert mg.estimate("absent") == 0
+
+
+def test_dataset_heavy_hitters_matches_exact_within_bound(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import dataset_heavy_hitters
+
+    rng = np.random.default_rng(11)
+    vals = np.where(rng.random(40000) < 0.3, 5, rng.integers(0, 3000, 40000)).astype("int64")
+    tbl = pa.table({"k": vals})
+    tbl = pa.concat_tables([tbl, pa.table({"k": pa.array([None] * 10, type=pa.int64())})])
+    ds = rd.from_arrow(tbl).repartition(16)
+    mg = dataset_heavy_hitters(ds, "k", k=128)
+    assert mg.n == 40000  # nulls excluded
+    assert mg.err <= mg.error_bound()
+    uniq, cnt = np.unique(vals, return_counts=True)
+    ests = mg.estimates(uniq)
+    assert np.all(ests <= cnt) and np.all(cnt - ests <= mg.err)
+    assert mg.estimate(5) >= int(cnt[uniq == 5][0]) - mg.err > 0
