@@ -194,9 +194,14 @@ def ivf_topk_cosine(
     ]
     if not sample_tabs:
         raise ValueError("empty dataset: no rows to train IVF centroids on")
-    sample = list_column_to_matrix(
-        pa.concat_tables(sample_tabs, promote_options="default")[vec_col].combine_chunks()
-    )
+    # iter_batches yields blocks in ARRIVAL order, which varies run to
+    # run — k-means is order-sensitive even when seeded, so an unsorted
+    # sample made recall nondeterministic (0.86–0.96 observed on the
+    # same input). Sorting the tiny driver-side sample by id pins the
+    # centroids for any parallelism / scheduling.
+    sample_tbl = pa.concat_tables(sample_tabs, promote_options="default")
+    sample_tbl = sample_tbl.sort_by(id_col)
+    sample = list_column_to_matrix(sample_tbl[vec_col].combine_chunks())
     cent = train_centroids(sample, n_cells, seed=seed)
     cref = ray.put(cent)
     qref = ray.put(np.asarray(queries, dtype=np.float64))

@@ -45,7 +45,6 @@ def register(name: str, sql: str | None):
 _ROWS_ONLY_PRIORITY = [
     "end_to_end_log_predict",
     "mlp_reconstruction_scores",
-    "ann_ivf_topk",
     "stratified_split_counts",
     "lang_id_docs",
     "sampled_docs",
@@ -974,7 +973,8 @@ def embedding_neardup_pairs_q(sf_dir: str):
                  ROW_NUMBER() OVER (PARTITION BY query_id
                                     ORDER BY sc DESC, vec_id ASC) - 1 AS rank
           FROM s)
-    SELECT query_id, vec_id, ROUND(sc, 6) AS score, CAST(rank AS BIGINT) AS rank
+    SELECT query_id, vec_id, ROUND(sc, 6) AS score, CAST(rank AS BIGINT) AS rank,
+           CAST(1 AS BIGINT) AS ivf_recall_ok
     FROM r WHERE rank < 10
     """,
 )
@@ -982,8 +982,17 @@ def ann_topk_cosine(sf_dir: str):
     """Brute-force cosine top-10 per query (queries = vec_id < 5): the
     query matrix broadcasts once via ray.put; each batch emits only its
     partial top-k (functions/similarity.py), merged in a tiny final
-    reduce. Exact — the ANN baseline."""
-    from ..functions.similarity import topk_cosine
+    reduce. Exact — the ANN baseline.
+
+    The IVF scale path (64 cells, probe 32 — each batch scores only rows
+    assigned to the probed cells) runs in the SAME driver row:
+    ``ivf_recall_ok`` asserts its recall@10 against the exact result is
+    ≥ 0.9 (measured 0.94 at sf0.001, 0.92 at sf0.01 — deterministic:
+    centroids train on a seeded hash-rate sample; the near-uniform
+    synthetic embeddings are IVF's worst case). Consolidated from the
+    round-3 rows-only ``ann_ivf_topk`` so both paths record
+    (round-3 verdict item 2)."""
+    from ..functions.similarity import ivf_topk_cosine, topk_cosine
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qdf = (
@@ -993,29 +1002,17 @@ def ann_topk_cosine(sf_dir: str):
         .reset_index(drop=True)
     )
     qmat = np.stack(qdf["embedding"].to_numpy())
+    qids = qdf["vec_id"].to_numpy()
     res = topk_cosine(emb, "vec_id", "embedding", qmat, k=10)
-    res["query_id"] = qdf["vec_id"].to_numpy()[res["query_id"].to_numpy()]
+    res["query_id"] = qids[res["query_id"].to_numpy()]
     res["score"] = res["score"].round(6)
     res["rank"] = res["rank"].astype("int64")
-    return res
-
-
-@register("ann_ivf_topk", None)
-def ann_ivf_topk(sf_dir: str):
-    """IVF-pruned approximate top-10 (64 cells, probe 32): the scale path —
-    each batch scores only rows assigned to the probed cells. Measured
-    recall vs the exact oracle on the sf0.001 embeddings: 0.94 at these
-    settings (gated ≥ 0.9 in tests/test_neardup.py); the near-uniform
-    synthetic embeddings are IVF's worst case — clustered real embedding
-    spaces reach the same recall at far fewer probes."""
-    from ..functions.similarity import ivf_topk_cosine
-
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id").reset_index(drop=True)
-    qmat = np.stack(qdf["embedding"].to_numpy())
-    res = ivf_topk_cosine(emb, "vec_id", "embedding", qmat, k=10, n_cells=64, n_probe=32)
-    res["query_id"] = qdf["vec_id"].to_numpy()[res["query_id"].to_numpy()]
-    res["score"] = res["score"].round(6)
+    ivf = ivf_topk_cosine(emb, "vec_id", "embedding", qmat, k=10, n_cells=64, n_probe=32)
+    ivf["query_id"] = qids[ivf["query_id"].to_numpy()]
+    exact_pairs = set(zip(res["query_id"], res["vec_id"]))
+    ivf_pairs = set(zip(ivf["query_id"], ivf["vec_id"]))
+    recall = len(exact_pairs & ivf_pairs) / max(len(exact_pairs), 1)
+    res["ivf_recall_ok"] = np.int64(1) if recall >= 0.9 else np.int64(0)
     return res
 
 
@@ -1045,9 +1042,10 @@ def mlp_reconstruction_scores(sf_dir: str):
         .iter_batches(batch_format="pyarrow", batch_size=None)
         if t.num_rows
     ]
-    x = list_column_to_matrix(
-        pa.concat_tables(train_tabs, promote_options="default")["embedding"].combine_chunks()
-    )
+    # sort the gathered sample by id: iter_batches arrival order varies
+    # run to run and SGD is order-sensitive (same fix as IVF centroids)
+    train_tbl = pa.concat_tables(train_tabs, promote_options="default").sort_by("vec_id")
+    x = list_column_to_matrix(train_tbl["embedding"].combine_chunks())
     model = NumpyAutoencoder.train(x, hidden=8, epochs=100, seed=0)
     import tempfile
 
@@ -1085,37 +1083,55 @@ def lang_id_docs(sf_dir: str):
     "value_quantiles_kll",
     """
     SELECT 'value' AS "column", CAST(COUNT(value) AS BIGINT) AS cnt,
-           q, 1 AS within_bound
+           q, 1 AS within_bound, 1 AS td_within_bound
     FROM events, (SELECT UNNEST([0.5, 0.95, 0.99]) AS q) qs
     GROUP BY q ORDER BY q
     """,
 )
 def value_quantiles_kll(sf_dir: str):
-    """Streaming quantiles via mergeable KLL partials (sketches/kll.py) —
-    the scale replacement for the reference's exact global percentile
+    """Streaming quantiles via BOTH mergeable sketches the north star
+    names — KLL (sketches/kll.py, worst-case rank guarantee) and
+    t-digest (sketches/tdigest.py, k1 tail-tightened; round 4) — the
+    scale replacement for the reference's exact global percentile
     (``np.percentile`` at ``end_to_end_prediction.py:447``).
 
     Oracle contract (SURVEY §7.4: assert RANK ERROR, not value equality —
-    the sketch is approximate by design): for each q the query re-scans
-    the column once, distributed, to find the estimate's true rank
-    interval [count(< est), count(<= est)]/n (an interval because ties
-    make the CDF jump), and emits ``within_bound`` = the distance from q
-    to that interval is <= 0.02 (k=256's measured bound is ~0.01,
-    tests/test_sketches.py). DuckDB asserts cnt exactly and
-    within_bound == 1."""
+    the sketches are approximate by design): for each q the query
+    re-scans the column once, distributed, to find each estimate's true
+    rank interval [count(< est), count(<= est)]/n (an interval because
+    ties make the CDF jump), and emits ``within_bound`` /
+    ``td_within_bound`` = the distance from q to that interval is
+    <= 0.02 (KLL k=256 measured ~0.01; t-digest delta=200 measured
+    <0.007 worst-case incl. tie-heavy inputs, tests/test_sketches.py).
+    DuckDB asserts cnt exactly and both flags == 1."""
+    from ..sketches.tdigest import TDigest
+
     qs = [0.5, 0.95, 0.99]
     ds = read_table(sf_dir, "events", columns=["value"])
     st = column_stats(ds, columns=["value"]).to_pandas()
     row = st.iloc[0]
-    ests = np.array([row["p50"], row["p95"], row["p99"]], dtype=np.float64)
+    kll_ests = np.array([row["p50"], row["p95"], row["p99"]], dtype=np.float64)
+
+    def td_partial(tb: pa.Table) -> pa.Table:
+        t = TDigest(200).update(tb["value"].to_numpy(zero_copy_only=False))
+        return pa.table({"td": pa.array([t.to_bytes()], type=pa.binary())})
+
+    td = TDigest.merge_many(
+        TDigest.from_bytes(b.as_py())
+        for tb in ds.map_batches(td_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        for b in tb["td"]
+    )
+    td_ests = np.array(td.quantiles(qs), dtype=np.float64)
+    ests = np.concatenate([kll_ests, td_ests])
 
     def rank_partial(tb: pa.Table) -> pa.Table:
         v = tb["value"].to_numpy(zero_copy_only=False)
         v = v[~np.isnan(v)]
         lo = np.array([np.count_nonzero(v < e) for e in ests], dtype=np.int64)
         hi = np.array([np.count_nonzero(v <= e) for e in ests], dtype=np.int64)
-        return pa.table({"n": pa.array([len(v)] * len(qs), type=pa.int64()),
-                         "qi": pa.array(np.arange(len(qs)), type=pa.int64()),
+        return pa.table({"n": pa.array([len(v)] * len(ests), type=pa.int64()),
+                         "qi": pa.array(np.arange(len(ests)), type=pa.int64()),
                          "lo": pa.array(lo), "hi": pa.array(hi)})
 
     parts = ds.map_batches(rank_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
@@ -1123,13 +1139,15 @@ def value_quantiles_kll(sf_dir: str):
     n = max(int(agg["n"].iloc[0]), 1)
     lo_r, hi_r = agg["lo"].to_numpy() / n, agg["hi"].to_numpy() / n
     qa = np.array(qs)
-    err = np.maximum(lo_r - qa, 0) + np.maximum(qa - hi_r, 0)
+    qq = np.concatenate([qa, qa])
+    err = np.maximum(lo_r - qq, 0) + np.maximum(qq - hi_r, 0)
     return pd.DataFrame(
         {
             "column": ["value"] * len(qs),
             "cnt": np.full(len(qs), int(agg["n"].iloc[0]), dtype=np.int64),
             "q": qa,
-            "within_bound": (err <= 0.02).astype("int64"),
+            "within_bound": (err[: len(qs)] <= 0.02).astype("int64"),
+            "td_within_bound": (err[len(qs) :] <= 0.02).astype("int64"),
         }
     )
 
@@ -1163,6 +1181,49 @@ def distinct_users_by_type(sf_dir: str):
     rel_err = (out["distinct_est"] - out["n_users"]).abs() / out["n_users"].clip(lower=1)
     out["hll_within_bound"] = (rel_err <= 0.05).astype("int64")
     return out[["event_type", "n_users", "hll_within_bound"]]
+
+
+@register(
+    "heavy_hitter_users",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM events GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10
+    """,
+)
+def heavy_hitter_users(sf_dir: str):
+    """Misra-Gries heavy hitters over ``events.user_id`` checked against
+    the exact top-10 (round-4: the bounded-memory frequency summary that
+    replaces the reference's full ``value_counts()`` at scale and feeds
+    :func:`~anomalydetection_ray.functions.relational.skew_join`'s
+    hot-key detection).
+
+    k=128 < the 150 distinct users at sf0.01, so the sketch genuinely
+    trims (it is NOT an exact count there); ``within_bound`` asserts the
+    merge-order-independent MG guarantee for each exact-top-10 key:
+    ``est <= n``, ``n - est <= err`` (tracked decrement total) and
+    ``err <= floor(N/(k+1))`` — so a top user (count ≥ ~80 > bound 77 at
+    sf0.01) is PROVABLY present with a non-trivial estimate. Exact
+    counts come from the distributed two-level count; the sketch never
+    sees more than k×blocks rows on the driver."""
+    from ..functions.shuffle import dataset_heavy_hitters
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    mg = dataset_heavy_hitters(ds, "user_id", k=128)
+    # exact top-10 stays distributed (sort+limit); the driver sees 10 rows,
+    # never the O(distinct) counts table
+    top = (
+        key_counts(ds, ["user_id"])
+        .sort(["cnt", "user_id"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    ests = mg.estimates(top["user_id"].to_numpy())
+    cnt = top["cnt"].to_numpy()
+    ok = (ests <= cnt) & (cnt - ests <= mg.err) & (mg.err <= mg.error_bound())
+    top["within_bound"] = ok.astype("int64")
+    top["cnt"] = top["cnt"].astype("int64")
+    return top[["user_id", "cnt", "within_bound"]]
 
 
 # ---------------------------------------------------------------------------
@@ -1277,6 +1338,38 @@ def dev_from_group_mean(sf_dir: str):
         return tb.select(["doc_id", "lang", "source"]).append_column("dev", d)
 
     return as_table(joined.map_batches(dev, batch_format="pyarrow", batch_size=None, zero_copy_batch=True))
+
+
+@register(
+    "skew_join_segment_value",
+    """
+    SELECT c_mktsegment AS segment, ROUND(SUM(value), 2) AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def skew_join_segment_value(sf_dir: str):
+    """SKEW-AWARE hybrid join (round 4 — the north rule's explicit
+    skew-aware repartitioning applied to the join surface): event value
+    by customer segment through :func:`skew_join` with ``hot_threshold``
+    forced to 70 so the MG hot-key detector genuinely SPLITS the sf0.01
+    events (user counts span ~60-86 rows): hot users' rows take the
+    broadcast probe lane, the rest the co-partitioned shuffle lane, and
+    the grouped aggregate proves the two-lane union is row-exact against
+    DuckDB's one-plan join. The lane assignment may vary with block
+    boundaries (MG estimates are merge-order-dependent) — the UNION is
+    invariant, which is exactly what the oracle hash checks."""
+    from ..functions.relational import skew_join
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "value"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = skew_join(ev, "user_id", cust, "c_custkey", how="inner", hot_threshold=70, k=128)
+    agg = driver_grouped_agg(
+        joined, ["c_mktsegment"], {"total_value": ("value", "sum"), "n_events": (None, "count")}
+    ).rename(columns={"c_mktsegment": "segment"})
+    agg["n_events"] = agg["n_events"].astype("int64")
+    return _round_pd(agg, {"total_value": 2})
 
 
 @register(
@@ -1946,21 +2039,40 @@ def props_k_stats(sf_dir: str):
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS sc
       FROM embeddings
     ), t AS (SELECT quantile_cont(sc, 0.95) AS q FROM s),
-    p AS (SELECT y, CAST(sc > q AS INTEGER) AS pred FROM s, t)
+    p AS (SELECT y, CAST(sc > q AS INTEGER) AS pred FROM s, t),
+    r AS (
+      SELECT y, AVG(rn) OVER (PARTITION BY sc) AS ar
+      FROM (SELECT y, sc, CAST(ROW_NUMBER() OVER (ORDER BY sc) AS DOUBLE) AS rn FROM s)),
+    agg AS (
+      SELECT SUM(CASE WHEN y = 1 THEN ar END) AS rp,
+             SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np_,
+             COUNT(*) AS n
+      FROM r)
     SELECT CAST(SUM(CASE WHEN y=1 AND pred=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
            CAST(SUM(CASE WHEN y=0 AND pred=1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
            CAST(SUM(CASE WHEN y=0 AND pred=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
            CAST(SUM(CASE WHEN y=1 AND pred=0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-           ROUND(CAST(SUM(CASE WHEN y=pred THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS accuracy
+           ROUND(CAST(SUM(CASE WHEN y=pred THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS accuracy,
+           (SELECT ROUND((rp - np_ * (np_ + 1) / 2.0) / (np_ * (n - np_)), 6) FROM agg) AS auc_exact,
+           (SELECT CAST(1 AS BIGINT)) AS stream_within_bound
     FROM p
     """,
 )
 def classification_metrics_q(sf_dir: str):
     """Evaluation metrics (A5, ``prediction_pipeline.py:363-373``) against
-    ground-truth labels: exact confusion counts from per-block partial
-    sums (functions/metrics.py) over the reference's L2-norm + p95
-    anomaly verdict."""
-    from ..functions.metrics import confusion_counts
+    ground-truth labels, ALL in one driver row (the round-3 ``auc_scores``
+    row consolidated in so every registry entry fits the driver window):
+
+    - exact confusion counts + accuracy from per-block partial sums
+      (functions/metrics.py) over the reference's L2-norm + p95 verdict;
+    - ``auc_exact``: the DISTRIBUTED exact Mann-Whitney rank-sum AUC
+      (functions/metrics.auc_exact — shuffle to distinct scores, range
+      sort, per-block rank partials; O(blocks) driver work), matched
+      against DuckDB's sort-based average-rank AUC;
+    - ``stream_within_bound``: the one-pass histogram approximation
+      (auc_streaming) agrees with the exact value to 0.005 (its tie-bin
+      error bound; SURVEY §7.4 — assert the bound, not equality)."""
+    from ..functions.metrics import auc_exact, auc_streaming, confusion_counts
     from ..functions.vector import l2_norm_batch
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
@@ -1973,70 +2085,31 @@ def classification_metrics_q(sf_dir: str):
         # (>= 5) to match the reference's binary anomaly framing
         pred = pc.cast(pc.greater(batch["anomaly_score"], pa.scalar(thr)), pa.int32())
         y = pc.cast(pc.greater_equal(batch["label"], pa.scalar(5)), pa.int32())
-        return pa.Table.from_pydict({"label": y, "pred": pred})
+        return pa.Table.from_pydict(
+            {"label": y, "pred": pred, "anomaly_score": batch["anomaly_score"].combine_chunks()}
+        )
 
     preds = scored.map_batches(verdict, batch_format="pyarrow", batch_size=None)
     c = confusion_counts(preds, "label", "pred")
     total = sum(c.values())
     acc = round((c["tp"] + c["tn"]) / total, 6) if total else 0.0
-    return pd.DataFrame([{**c, "accuracy": acc}]).astype(
-        {"tp": "int64", "fp": "int64", "tn": "int64", "fn": "int64"}
-    )
-
-
-@register(
-    "auc_scores",
-    """
-    WITH s AS (
-      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
-             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS sc
-      FROM embeddings),
-    r AS (
-      SELECT y, AVG(rn) OVER (PARTITION BY sc) AS ar
-      FROM (SELECT y, sc, CAST(ROW_NUMBER() OVER (ORDER BY sc) AS DOUBLE) AS rn FROM s)),
-    agg AS (
-      SELECT SUM(CASE WHEN y = 1 THEN ar END) AS rp,
-             SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np_,
-             COUNT(*) AS n
-      FROM r)
-    SELECT ROUND((rp - np_ * (np_ + 1) / 2.0) / (np_ * (n - np_)), 6) AS auc_exact,
-           1 AS stream_within_bound
-    FROM agg
-    """,
-)
-def auc_scores(sf_dir: str):
-    """ROC-AUC (A5's AUC, ``prediction_pipeline.py:363-373``) — both
-    engines' answers in one driver row (round-3 verdict item 2):
-
-    - ``auc_exact``: the DISTRIBUTED exact Mann-Whitney rank-sum
-      (functions/metrics.auc_exact — shuffle to distinct scores, range
-      sort, per-block rank partials; O(blocks) driver work), matched
-      against DuckDB's sort-based average-rank AUC;
-    - ``stream_within_bound``: the one-pass histogram approximation
-      (auc_streaming) agrees with the exact value to 0.005 (its tie-bin
-      error bound; SURVEY §7.4 — assert the bound, not equality)."""
-    from ..functions.metrics import auc_exact, auc_streaming
-    from ..functions.vector import l2_norm_batch
-
-    ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
-
-    def binarize(batch: pa.Table) -> pa.Table:
-        y = pc.cast(pc.greater_equal(batch["label"], pa.scalar(5)), pa.int32())
-        return batch.drop_columns(["label"]).append_column("label", y)
-
-    scored = ds.map_batches(l2_norm_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).map_batches(
-        binarize, batch_format="pyarrow", batch_size=None
-    )
-    exact = auc_exact(scored, "label", "anomaly_score")
+    exact = auc_exact(preds, "label", "anomaly_score")
     # score range via streaming aggregates — collecting the full column
     # just for min/max would materialize it on the driver
-    mm = scored.aggregate(Min("anomaly_score"), Max("anomaly_score"))
+    mm = preds.aggregate(Min("anomaly_score"), Max("anomaly_score"))
     approx = auc_streaming(
-        scored, "label", "anomaly_score", float(mm["min(anomaly_score)"]), float(mm["max(anomaly_score)"]) + 1e-9
+        preds, "label", "anomaly_score", float(mm["min(anomaly_score)"]), float(mm["max(anomaly_score)"]) + 1e-9
     )
     return pd.DataFrame(
-        [{"auc_exact": round(exact, 6), "stream_within_bound": int(abs(approx - exact) <= 0.005)}]
-    )
+        [
+            {
+                **c,
+                "accuracy": acc,
+                "auc_exact": round(exact, 6),
+                "stream_within_bound": int(abs(approx - exact) <= 0.005),
+            }
+        ]
+    ).astype({"tp": "int64", "fp": "int64", "tn": "int64", "fn": "int64", "stream_within_bound": "int64"})
 
 
 @register(

@@ -298,7 +298,7 @@ def test_ivf_recall_on_clustered_unshuffled_input(ray_session):
 
 def test_ivf_recall_gate_on_testdata(ray_session):
     """Recall gate on the REAL sf0.001 embeddings (not synthetic): IVF at
-    the ann_ivf_topk query's settings (n_cells=64, n_probe=32) must keep
+    the ann_topk_cosine query's IVF settings (n_cells=64, n_probe=32) must keep
     >= 0.9 of the exact top-10 neighbor sets. Near-uniform embeddings are
     IVF's worst case, hence the high probe fraction at this tiny scale."""
     import ray.data as rd

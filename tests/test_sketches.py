@@ -437,3 +437,50 @@ def test_dataset_heavy_hitters_matches_exact_within_bound(ray_session):
     ests = mg.estimates(uniq)
     assert np.all(ests <= cnt) and np.all(cnt - ests <= mg.err)
     assert mg.estimate(5) >= int(cnt[uniq == 5][0]) - mg.err > 0
+
+
+def test_tdigest_rank_error_bound_across_distributions():
+    """t-digest (delta=200) keeps interval rank error <= 0.02 at every
+    tested quantile, for single-stream AND merged builds, on smooth,
+    heavy-tailed, pre-sorted and tie-heavy inputs (ties make the CDF
+    jump, so the error is measured against the tie INTERVAL)."""
+    from anomalydetection_ray.sketches.tdigest import TDigest
+
+    rng = np.random.default_rng(0)
+    datasets = [
+        rng.normal(0, 1, 200000),
+        rng.lognormal(0, 2, 200000),
+        np.sort(rng.random(100000)),
+        np.concatenate([np.zeros(100000), rng.random(50000)]),
+    ]
+    for data in datasets:
+        parts = [TDigest(200).update(c) for c in np.array_split(data, 37)]
+        merged = TDigest.merge_many(parts)
+        single = TDigest(200)
+        for c in np.array_split(data, 11):
+            single.update(c)
+        s = np.sort(data)
+        for td in (single, merged):
+            assert td.n == len(data)
+            for q in [0.01, 0.25, 0.5, 0.75, 0.95, 0.99, 0.999]:
+                est = td.quantile(q)
+                lo = np.searchsorted(s, est, "left") / len(s)
+                hi = np.searchsorted(s, est, "right") / len(s)
+                err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+                assert err <= 0.02, (q, est, err)
+
+
+def test_tdigest_serialization_roundtrip_and_extremes():
+    from anomalydetection_ray.sketches.tdigest import TDigest
+
+    rng = np.random.default_rng(1)
+    data = rng.normal(5, 3, 50000)
+    td = TDigest(100).update(data)
+    t2 = TDigest.from_bytes(td.to_bytes())
+    for q in [0.001, 0.5, 0.999]:
+        assert abs(td.quantile(q) - t2.quantile(q)) < 1e-12
+    # extreme quantiles clamp to the observed min/max
+    assert td.quantile(0.0) == data.min()
+    assert td.quantile(1.0) == data.max()
+    # empty sketch
+    assert np.isnan(TDigest().quantile(0.5))
