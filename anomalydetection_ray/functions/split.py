@@ -32,17 +32,42 @@ def _hash_unit(batch: pa.Table, on: str, seed: int) -> np.ndarray:
     return h / 2.0**64
 
 
-def split_fractions_filter(ds, on: str, lo: float, hi: float, seed: int = 42):
-    """Rows whose unit hash of ``on`` falls in [lo, hi) — one split."""
+def md5_unit_hash(batch: pa.Table, on: str, seed: int = 0) -> np.ndarray:
+    """SQL-REPRODUCIBLE unit hash: ``(md5_number_lower(CAST(key AS
+    VARCHAR)) % 100000) / 100000`` — DuckDB parity, so a split/sample
+    built on it can be oracle-checked exactly (same convention as the
+    ``dedup_simhash_md5_docs`` variant). Both engines compute the same
+    integer modulo then the same double division, so boundary rows land
+    identically. hashlib stays per distinct key value (the id column is
+    typically unique, but values are short); the fast default path
+    remains the vectorized xxhash ``_hash_unit``. ``seed`` is ignored —
+    md5 parity has no seed; vary the modulus window upstream if
+    independent splits are needed."""
+    from ..sketches.simhash import _md5_token_hash
+
+    del seed
+    col = batch[on]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.to_pylist()
+    h = np.fromiter((_md5_token_hash(str(v)) for v in vals), dtype=np.uint64, count=len(vals))
+    return (h % np.uint64(100000)).astype(np.float64) / 100000.0
+
+
+def split_fractions_filter(ds, on: str, lo: float, hi: float, seed: int = 42, unit_fn=None):
+    """Rows whose unit hash of ``on`` falls in [lo, hi) — one split.
+    ``unit_fn(batch, on, seed) -> float64[0,1)`` swaps the hash (e.g.
+    :func:`md5_unit_hash` for SQL-oracle parity)."""
+    fn = unit_fn or _hash_unit
 
     def keep(batch: pa.Table) -> pa.Table:
-        u = _hash_unit(batch, on, seed)
+        u = fn(batch, on, seed)
         return batch.filter(pa.array((u >= lo) & (u < hi)))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
-def stratified_split(ds, on: str, fractions: list[float], seed: int = 42):
+def stratified_split(ds, on: str, fractions: list[float], seed: int = 42, unit_fn=None):
     """Split ``ds`` into ``len(fractions)`` disjoint, exhaustive datasets
     by deterministic key hash; proportions hold within every label
     stratum. Fractions must sum to 1. Each split is lazy (a filter over
@@ -53,4 +78,7 @@ def stratified_split(ds, on: str, fractions: list[float], seed: int = 42):
         raise ValueError("fractions must be non-negative and sum to 1")
     cum = np.concatenate([[0.0], np.cumsum(f)])
     cum[-1] = 1.0 + 1e-12  # hash == max stays in the last split
-    return [split_fractions_filter(ds, on, cum[i], cum[i + 1], seed) for i in range(len(f))]
+    return [
+        split_fractions_filter(ds, on, cum[i], cum[i + 1], seed, unit_fn=unit_fn)
+        for i in range(len(f))
+    ]
