@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_exact_docs",
     "mined_template_counts",
     "curation_pipeline_docs",
+    "skew_join_segment_value",  # round 4: skew-aware hybrid join
 ]
 
 
