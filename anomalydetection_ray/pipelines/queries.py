@@ -933,7 +933,8 @@ def curation_pipeline_docs(sf_dir: str):
     # materialized boundaries at sf0.1; see BASELINE.md round 4).
     ex = exact_dedup(kept, "doc_id", "text", size_hint_bytes=est).materialize()
     mh = minhash_lsh_dedup_verified(
-        ex, "doc_id", "text", threshold=0.8, num_perm=256, bands=64, shingle="word"
+        ex, "doc_id", "text", threshold=0.8, num_perm=256, bands=64, shingle="word",
+        size_hint_bytes=est,
     ).materialize()
     final = simhash_dedup(mh, "doc_id", "text", max_hamming=3, token_hash="md5", size_hint_bytes=est)
     return as_table(final.select_columns(["doc_id", "lang", "n_tokens"])).sort_by([("doc_id", "ascending")])

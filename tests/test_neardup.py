@@ -384,21 +384,29 @@ def test_verified_dedup_collapse_invariance(ray_session):
 
 
 def test_verified_dedup_distributed_plan_with_collapse(ray_session, docs_ds):
-    """Forcing the distributed tail (driver_max_edges=0) must produce the
-    same survivors as the driver plan, with and without collapse."""
+    """All three plan rungs must produce the same survivors, with and
+    without collapse: the in-process small-input plan (round 4), the
+    stage-graph driver-edges plan (small plan gated off via
+    driver_merge_max_bytes=0), and the fully-distributed tail
+    (driver_max_edges=0)."""
     from anomalydetection_ray.dedup import minhash_lsh_dedup_verified
 
+    plans = [
+        {},  # small-input in-process plan (docs_ds has a size estimate)
+        {"driver_merge_max_bytes": 0},  # stage-graph driver-edges plan
+        {"driver_merge_max_bytes": 0, "driver_max_edges": 0},  # distributed
+    ]
     ref = None
     for collapse in (True, False):
-        for dme in (0, 2_000_000):
+        for kw in plans:
             out = minhash_lsh_dedup_verified(
                 docs_ds, "doc_id", "text", threshold=0.8, shingle="word",
-                driver_max_edges=dme, collapse_exact=collapse,
+                collapse_exact=collapse, **kw,
             )
             got = sorted(out.to_pandas()["doc_id"].tolist())
             if ref is None:
                 ref = got
-            assert got == ref, (collapse, dme)
+            assert got == ref, (collapse, kw)
 
 
 def test_driver_verify_byte_cap_aborts_to_distributed(ray_session, docs_ds, monkeypatch):
