@@ -826,6 +826,204 @@ def _lsh_all_pairs(ds, id_col, text_col, num_perm, bands, shingle, k, seed, thre
     return _distinct_pairs(pairs).materialize()
 
 
+def _flatten_roots(parent: np.ndarray) -> np.ndarray:
+    """Fully path-compressed roots of an array union-find by pointer
+    jumping: parent[parent] until fixpoint (log(depth) whole-array passes)."""
+    r = parent
+    while True:
+        r2 = r[r]
+        if np.array_equal(r2, r):
+            return r
+        r = r2
+
+
+# candidacy-matrix fast-path bound for the in-process verified plan:
+# 8192^2 bool = 64 MB, pair universe <= 33.5M
+_PAIR_MATRIX_MAX_DOCS = 8192
+
+
+def _verified_components_rounds(
+    triples: pa.Table,
+    uids: np.ndarray,
+    set_idx: np.ndarray,
+    flat: np.ndarray,
+    set_offs: np.ndarray,
+    threshold: float,
+) -> np.ndarray:
+    """Roots of the verified near-dup graph — connected components of
+    {(x, y) share an LSH bucket AND exact Jaccard(x, y) >= threshold} —
+    WITHOUT materializing the per-bucket all-pairs expansion.
+
+    On dense corpora the expansion is quadratic per bucket and repeated
+    across bands: measured 56M candidate slots from 3,088 docs at sf0.1
+    (the same pair re-emitted by ~64 bands), which made the gather-based
+    plan slower than the distributed one it was meant to shortcut. The
+    equivalent-output scheme here processes each bucket as center rounds
+    (round r pairs bucket member r against members r+1..): a pair is
+    skipped when its endpoints are already connected (union-find roots,
+    recomputed vectorized per round — connectivity-safe because roots
+    only ever merge), filtered by the exact size bound J <= min/max, and
+    exact-verified AT MOST ONCE globally (failed pairs go to a sorted
+    packed-index set consulted by binary search). Dense buckets collapse
+    to one root after round 0 and deactivate; total exact-Jaccard work is
+    bounded by the DISTINCT candidate-pair count — the same bound the
+    distributed plan pays after its shuffle distinct — with zero
+    expansion of the duplicated slots. Measured 177 s -> <2 s on the
+    sf0.1 curation input with byte-identical survivors."""
+    n = uids.size
+    parent = np.arange(n, dtype=np.int64)
+    if triples.num_rows == 0:
+        return parent
+    u = pl.from_arrow(triples).unique(subset=["band", "key", "id"]).sort(["band", "key", "id"])
+    band = u["band"].to_numpy()
+    key = u["key"].to_numpy()
+    mids = np.ascontiguousarray(u["id"].to_numpy())
+    mlen = u["len"].to_numpy().astype(np.float64)
+    mpos = np.searchsorted(uids, mids)
+    newb = np.empty(mids.size, dtype=bool)
+    newb[0] = True
+    newb[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+    starts = np.flatnonzero(newb)
+    sizes = np.diff(np.append(starts, mids.size))
+    # Dedupe buckets with IDENTICAL member sets across bands: a near-dup
+    # cluster's docs co-bucket in most of the 64 bands, so the same
+    # member list is re-expanded ~64x (the dominant cost of the rounds —
+    # identical buckets contribute identical pairs). Equality is two
+    # independent 64-bit mixes summed per segment + (size, min, max) —
+    # the same hash-equality contract exact_dedup's 128-bit content key
+    # uses (members are already sorted within buckets, so equal sets
+    # produce equal digests).
+    if starts.size > 1:
+        h = (mpos.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(31)
+        h2 = (h + np.uint64(0x94D049BB133111EB)) * np.uint64(0xD6E8FEB86659FD93)
+        h2 ^= h2 >> np.uint64(29)
+        k1 = np.add.reduceat(h, starts)
+        k2 = np.add.reduceat(h2, starts)
+        kmn = np.minimum.reduceat(mpos, starts)
+        kmx = np.maximum.reduceat(mpos, starts)
+        order_b = np.lexsort((kmx, kmn, sizes, k2, k1))
+        dup = np.zeros(starts.size, dtype=bool)
+        sb = np.stack([k1[order_b].view(np.int64), k2[order_b].view(np.int64), sizes[order_b], kmn[order_b], kmx[order_b]])
+        dup[order_b[1:]] = (sb[:, 1:] == sb[:, :-1]).all(axis=0)
+        if dup.any():
+            keep_m = np.repeat(~dup, sizes)
+            mids, mlen, mpos = mids[keep_m], mlen[keep_m], mpos[keep_m]
+            sizes = sizes[~dup]
+            starts = np.zeros(sizes.size, dtype=np.int64)
+            np.cumsum(sizes[:-1], out=starts[1:])
+    if n <= _PAIR_MATRIX_MAX_DOCS:
+        # Dense-candidacy fast path: when the doc count is small the
+        # distinct candidate-pair universe (n^2/2) is itself small even if
+        # the per-bucket expansion is huge (measured 66M bucket slots vs a
+        # 4.8M pair universe on 3,088 docs at sf0.1 — ~1,600-member
+        # borderline buckets that never collapse). Mark candidacy in an
+        # n x n bool matrix (<= 64 MB), extract each distinct pair ONCE,
+        # exact-verify in one vectorized call, one components pass.
+        cand = np.zeros((n, n), dtype=bool)
+        for s0, sz in zip(starts, sizes):
+            if sz > 1:
+                idx = mpos[s0 : s0 + sz]
+                cand[np.ix_(idx, idx)] = True
+        plo, phi = np.nonzero(cand)
+        up = plo < phi
+        plo, phi = plo[up], phi[up]
+        # Chunked verification with connectivity skipping: each distinct
+        # pair is visited once, but a chunk's pairs are root-filtered
+        # before the (expensive) exact check — once a cluster connects,
+        # its remaining internal pairs cost two root lookups, not a
+        # set-intersection (verifying all distinct pairs up front measured
+        # 50 s vs ~1 s with the skip on the sf0.1 curation input).
+        chunk = 1 << 18
+        for c0 in range(0, plo.size, chunk):
+            clo, chi_ = plo[c0 : c0 + chunk], phi[c0 : c0 + chunk]
+            parent = _flatten_roots(parent)
+            live = parent[clo] != parent[chi_]
+            if not live.any():
+                continue
+            clo, chi_ = clo[live], chi_[live]
+            keep = _batch_jaccard_keep_flat(flat, set_offs, set_idx[clo], set_idx[chi_], threshold)
+            ex_, ey = clo[keep], chi_[keep]
+            while ex_.size:
+                parent = _flatten_roots(parent)
+                rx, ry = parent[ex_], parent[ey]
+                live = rx != ry
+                if not live.any():
+                    break
+                rx, ry = rx[live], ry[live]
+                np.minimum.at(parent, np.maximum(rx, ry), np.minimum(rx, ry))
+                ex_, ey = ex_[live], ey[live]
+        return _flatten_roots(parent)
+    alive = sizes > 1
+    failed = np.empty(0, dtype=np.int64)  # sorted packed lo*n+hi of exact-verify failures
+    # Center-batch schedule: iteration i processes centers [r0, r0+width).
+    # width doubles each iteration, so a bucket of s members finishes in
+    # O(log s) vectorized iterations instead of s rounds (measured 1,493
+    # rounds -> 12 on a 1.5k-member mostly-dissimilar bucket at sf0.1,
+    # 13.4 s -> sub-second). Iteration 0 is width=1 — a pure star pass —
+    # so dense-similar buckets collapse to one root and deactivate before
+    # any wide batch can emit their quadratic pair mass.
+    r0, width = 0, 1
+    while True:
+        parent = _flatten_roots(parent)
+        mroot = parent[mpos]
+        # deactivate buckets whose members already share one root
+        if alive.any():
+            alive &= np.minimum.reduceat(mroot, starts) != np.maximum.reduceat(mroot, starts)
+        act = np.flatnonzero(alive & (sizes - 1 > r0))
+        if act.size == 0:
+            break
+        # expand centers r0..min(r0+width, size-1) per active bucket
+        ncent = np.minimum(r0 + width, sizes[act] - 1) - r0
+        cb = np.repeat(np.arange(act.size, dtype=np.int64), ncent)
+        coffs = np.zeros(act.size + 1, dtype=np.int64)
+        np.cumsum(ncent, out=coffs[1:])
+        crel = r0 + (np.arange(cb.size, dtype=np.int64) - coffs[cb])
+        cabs = starts[act][cb] + crel
+        # expand (center, j) for j = crel+1 .. size-1 within each bucket
+        cnt = sizes[act][cb] - 1 - crel
+        bidx = np.repeat(np.arange(cabs.size, dtype=np.int64), cnt)
+        offs = np.zeros(cabs.size + 1, dtype=np.int64)
+        np.cumsum(cnt, out=offs[1:])
+        cpos = cabs[bidx]
+        jpos = cpos + 1 + (np.arange(bidx.size, dtype=np.int64) - offs[bidx])
+        m = mroot[cpos] != mroot[jpos]
+        la, lb = mlen[cpos], mlen[jpos]
+        mnl, mxl = np.minimum(la, lb), np.maximum(la, lb)
+        # same float64 division as the verifier (monotone bound, see
+        # _batch_jaccard_keep_flat) — a rejected pair can never verify
+        m &= np.divide(mnl, mxl, out=np.zeros(mnl.size), where=mxl > 0) >= threshold
+        cp, jp = mpos[cpos[m]], mpos[jpos[m]]
+        lo, hi = np.minimum(cp, jp), np.maximum(cp, jp)
+        packed = np.unique(lo * n + hi)
+        if failed.size and packed.size:
+            pos = np.searchsorted(failed, packed)
+            hit = (pos < failed.size) & (failed[np.minimum(pos, failed.size - 1)] == packed)
+            packed = packed[~hit]
+        if packed.size:
+            plo, phi = packed // n, packed % n
+            keep = _batch_jaccard_keep_flat(flat, set_offs, set_idx[plo], set_idx[phi], threshold)
+            ex_, ey = plo[keep], phi[keep]
+            # vectorized min-label propagation over this batch's verified
+            # edges (a per-edge Python union loop measured 9 s on a batch
+            # where a dissimilar star center hid a mutually-similar mass)
+            while ex_.size:
+                parent = _flatten_roots(parent)
+                rx, ry = parent[ex_], parent[ey]
+                live = rx != ry
+                if not live.any():
+                    break
+                rx, ry = rx[live], ry[live]
+                np.minimum.at(parent, np.maximum(rx, ry), np.minimum(rx, ry))
+                ex_, ey = ex_[live], ey[live]
+            nf = packed[~keep]
+            if nf.size:
+                failed = np.union1d(failed, nf)
+        r0 += width
+        width *= 2
+    return _flatten_roots(parent)
+
+
 def _verified_drop_ids_local(
     t: pa.Table,
     id_col: str,
@@ -840,12 +1038,13 @@ def _verified_drop_ids_local(
 ) -> np.ndarray:
     """Drop ids for the verified-MinHash dedup, computed in-process over a
     gathered (id, text) table with the SAME kernels the distributed plan
-    runs per block (fingerprint stage, band stage, bucket pairing, exact
-    Jaccard, union-find) — so the two plans' outputs are identical
-    (asserted in tests/test_neardup.py). The distributed plan's stage
-    graph (two actor pools, two hash shuffles, one sort) costs seconds of
-    fixed spawn/exchange overhead at 32 CPUs, which dwarfs small corpora:
-    measured 19.2 s → 0.6 s on a 4k-doc input at sf0.1."""
+    runs per block (fingerprint stage, band stage, exact Jaccard) — so the
+    two plans' outputs are identical (asserted in tests/test_neardup.py).
+    The distributed plan's stage graph (two actor pools, two hash
+    shuffles, one sort) costs seconds of fixed spawn/exchange overhead at
+    32 CPUs, which dwarfs small corpora. Candidate connectivity runs via
+    :func:`_verified_components_rounds` — bucket all-pairs semantics
+    without the quadratic expansion."""
     drops: set = set()
     if collapse_exact:
         fp = _TokenSetFingerprintStage(id_col, text_col, shingle, k)(t)
@@ -855,19 +1054,29 @@ def _verified_drop_ids_local(
             drops.update(int(i) for i in j1)
             keep_mask = ~np.isin(t[id_col].to_numpy(zero_copy_only=False), j1)
             t = t.filter(pa.array(keep_mask))
+    ids_arr = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids_arr, kind="stable")
+    uids = np.ascontiguousarray(ids_arr[order])
+    texts = t[text_col].to_numpy(zero_copy_only=False)[order]
+    cache = _HashSetCache(shingle, k)
+    set_idx = np.fromiter((cache.idx(x) for x in texts), dtype=np.int64, count=uids.size)
+    set_lens = np.fromiter((len(s) for s in cache.sets), dtype=np.int64, count=len(cache.sets))
+    set_offs = np.zeros(len(cache.sets) + 1, dtype=np.int64)
+    np.cumsum(set_lens, out=set_offs[1:])
+    flat = np.concatenate(cache.sets) if cache.sets else np.empty(0, dtype=np.uint64)
     triples = MinHashBandStage(id_col, text_col, num_perm, bands, shingle, k, seed, emit_len=True)(t)
-    a, b = _bucket_pair_arrays(triples, threshold)
-    if a.size:
-        pairs = np.unique(np.stack([a, b], axis=1), axis=0)
-        texts = dict(
-            zip(t[id_col].to_numpy(zero_copy_only=False), t[text_col].to_numpy(zero_copy_only=False))
-        )
-        cache = _HashSetCache(shingle, k)
-        idx_a = np.fromiter((cache.idx(texts[i]) for i in pairs[:, 0]), dtype=np.int64, count=len(pairs))
-        idx_b = np.fromiter((cache.idx(texts[i]) for i in pairs[:, 1]), dtype=np.int64, count=len(pairs))
-        keep = _batch_jaccard_keep(cache.sets, idx_a, idx_b, threshold)
-        edges = [(int(x), int(y)) for (x, y), kp in zip(pairs, keep) if kp]
-        drops.update(_survivors_from_edges(None, edges))
+    roots = _verified_components_rounds(triples, uids, set_idx, flat, set_offs, threshold)
+    if uids.size:
+        # non-minimum member ids of every multi-node component
+        o2 = np.argsort(roots, kind="stable")  # uids ascending within each root
+        rs = roots[o2]
+        first = np.empty(rs.size, dtype=bool)
+        first[0] = True
+        first[1:] = rs[1:] != rs[:-1]
+        reps = np.cumsum(first) - 1
+        minid = uids[o2][np.flatnonzero(first)][reps]
+        dropped = uids[o2][uids[o2] != minid]
+        drops.update(int(i) for i in dropped)
     return np.array(sorted(drops), dtype=np.int64)
 
 
