@@ -409,6 +409,26 @@ def test_verified_dedup_distributed_plan_with_collapse(ray_session, docs_ds):
             assert got == ref, (collapse, kw)
 
 
+def test_verified_local_rounds_path_matches_matrix_path(ray_session, docs_ds, monkeypatch):
+    """The in-process plan has two kernels: the candidacy bit-matrix fast
+    path (small doc counts) and the center-batched rounds fallback (doc
+    counts above the matrix cap). Test corpora never exceed the cap, so
+    force the rounds path by zeroing it — survivors must be identical."""
+    from anomalydetection_ray.dedup import minhash_lsh_dedup_verified
+    from anomalydetection_ray.dedup import neardup
+
+    want = sorted(
+        minhash_lsh_dedup_verified(docs_ds, "doc_id", "text", threshold=0.8, shingle="word")
+        .to_pandas()["doc_id"].tolist()
+    )
+    monkeypatch.setattr(neardup, "_PAIR_MATRIX_MAX_DOCS", 0)
+    got = sorted(
+        minhash_lsh_dedup_verified(docs_ds, "doc_id", "text", threshold=0.8, shingle="word")
+        .to_pandas()["doc_id"].tolist()
+    )
+    assert got == want
+
+
 def test_driver_verify_byte_cap_aborts_to_distributed(ray_session, docs_ds, monkeypatch):
     """Round-3 verdict item 4: the driver verify plan gates on edge COUNT;
     with multi-KB documents the candidate-text gather must stream under a
