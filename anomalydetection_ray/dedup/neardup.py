@@ -842,6 +842,26 @@ def _flatten_roots(parent: np.ndarray) -> np.ndarray:
 _PAIR_MATRIX_MAX_DOCS = 8192
 
 
+def _bucket_segments(triples: pa.Table, uids: np.ndarray):
+    """(mpos, mlen, starts, sizes) bucket segmentation of a band-stage
+    triple table: members sorted within (band, key) buckets, ids mapped to
+    dense positions in the sorted ``uids``."""
+    u = pl.from_arrow(triples).unique(subset=["band", "key", "id"]).sort(["band", "key", "id"])
+    band = u["band"].to_numpy()
+    key = u["key"].to_numpy()
+    mids = np.ascontiguousarray(u["id"].to_numpy())
+    mlen = u["len"].to_numpy().astype(np.float64) if "len" in u.columns else None
+    mpos = np.searchsorted(uids, mids)
+    if mids.size == 0:
+        return mpos, mlen, np.empty(0, np.int64), np.empty(0, np.int64)
+    newb = np.empty(mids.size, dtype=bool)
+    newb[0] = True
+    newb[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+    starts = np.flatnonzero(newb)
+    sizes = np.diff(np.append(starts, mids.size))
+    return mpos, mlen, starts, sizes
+
+
 def _verified_components_rounds(
     triples: pa.Table,
     uids: np.ndarray,
@@ -874,17 +894,9 @@ def _verified_components_rounds(
     parent = np.arange(n, dtype=np.int64)
     if triples.num_rows == 0:
         return parent
-    u = pl.from_arrow(triples).unique(subset=["band", "key", "id"]).sort(["band", "key", "id"])
-    band = u["band"].to_numpy()
-    key = u["key"].to_numpy()
-    mids = np.ascontiguousarray(u["id"].to_numpy())
-    mlen = u["len"].to_numpy().astype(np.float64)
-    mpos = np.searchsorted(uids, mids)
-    newb = np.empty(mids.size, dtype=bool)
-    newb[0] = True
-    newb[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
-    starts = np.flatnonzero(newb)
-    sizes = np.diff(np.append(starts, mids.size))
+    mpos, mlen, starts, sizes = _bucket_segments(triples, uids)
+    if starts.size == 0:
+        return parent
     # Dedupe buckets with IDENTICAL member sets across bands: a near-dup
     # cluster's docs co-bucket in most of the 64 bands, so the same
     # member list is re-expanded ~64x (the dominant cost of the rounds —
@@ -908,7 +920,7 @@ def _verified_components_rounds(
         dup[order_b[1:]] = (sb[:, 1:] == sb[:, :-1]).all(axis=0)
         if dup.any():
             keep_m = np.repeat(~dup, sizes)
-            mids, mlen, mpos = mids[keep_m], mlen[keep_m], mpos[keep_m]
+            mlen, mpos = mlen[keep_m], mpos[keep_m]
             sizes = sizes[~dup]
             starts = np.zeros(sizes.size, dtype=np.int64)
             np.cumsum(sizes[:-1], out=starts[1:])
@@ -1210,7 +1222,69 @@ def neardup_pairs(
     Within-bucket pairing is all-pairs per bucket (not just to the min) so
     no pair is lost to the representative chain.
     """
-    pairs_ds = _lsh_all_pairs(ds, id_col, text_col, num_perm, bands, shingle, k, seed, threshold=threshold)
+    from ..functions.shuffle import metadata_size_estimate
+
+    # Cost-gated in-process plan (same gate as the dedup siblings), with
+    # one extra bail: pair LISTING must verify every distinct candidate
+    # (no connectivity skip), so after the cheap gather + banding + matrix
+    # the plan falls through to the distributed verifiers when the
+    # distinct-candidate count exceeds the driver pair budget — only the
+    # ~1 s candidate scan is repeated at the boundary.
+    est = metadata_size_estimate(ds)
+    pairs_ds = None
+    if driver_max_pairs > 0 and est is not None and est <= BROADCAST_VERIFY_MAX_BYTES:
+        t = _gather_capped(_sel(ds, [id_col, text_col]), 4 * BROADCAST_VERIFY_MAX_BYTES)
+        if t is not None and t.num_rows <= _PAIR_MATRIX_MAX_DOCS:
+            if t.num_rows == 0:
+                return pa.Table.from_pydict({"a": [], "b": []}, schema=_PAIR_SCHEMA)
+            ids_arr = t[id_col].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids_arr, kind="stable")
+            uids = np.ascontiguousarray(ids_arr[order])
+            texts = t[text_col].to_numpy(zero_copy_only=False)[order]
+            triples = MinHashBandStage(id_col, text_col, num_perm, bands, shingle, k, seed, emit_len=True)(t)
+            mpos, _mlen, starts, sizes = _bucket_segments(triples, uids)
+            n = uids.size
+            cand = np.zeros((n, n), dtype=bool)
+            for s0, sz in zip(starts, sizes):
+                if sz > 1:
+                    idx = mpos[s0 : s0 + sz]
+                    cand[np.ix_(idx, idx)] = True
+            plo, phi = np.nonzero(cand)
+            up = plo < phi
+            plo, phi = plo[up], phi[up]
+            if plo.size <= driver_max_pairs:
+                cache = _HashSetCache(shingle, k)
+                set_idx = np.fromiter((cache.idx(x) for x in texts), dtype=np.int64, count=n)
+                lens = np.fromiter((len(s) for s in cache.sets), dtype=np.int64, count=len(cache.sets))
+                offs = np.zeros(len(cache.sets) + 1, dtype=np.int64)
+                np.cumsum(lens, out=offs[1:])
+                flat = np.concatenate(cache.sets) if cache.sets else np.empty(0, dtype=np.uint64)
+                keep = _batch_jaccard_keep_flat(flat, offs, set_idx[plo], set_idx[phi], threshold)
+                a_ids, b_ids = uids[plo[keep]], uids[phi[keep]]
+                lo = np.minimum(a_ids, b_ids)
+                hi = np.maximum(a_ids, b_ids)
+                o2 = np.lexsort((hi, lo))
+                return pa.Table.from_pydict(
+                    {"a": pa.array(lo[o2], type=pa.int64()), "b": pa.array(hi[o2], type=pa.int64())}
+                )
+            # distinct candidates exceed the driver verify budget — hand
+            # the LOCALLY-computed distinct pair set to the distributed
+            # verifiers below (sliced so the verify actor pool gets real
+            # parallelism): the local scan replaces the banding shuffle +
+            # global pair distinct rather than being thrown away.
+            import ray.data as _rd
+
+            cand_tbl = pa.Table.from_pydict(
+                {"a": pa.array(uids[plo], type=pa.int64()), "b": pa.array(uids[phi], type=pa.int64())},
+                schema=_PAIR_SCHEMA,
+            )
+            n_slices = max(1, min(64, cand_tbl.num_rows // 65536))
+            step = -(-cand_tbl.num_rows // n_slices)
+            pairs_ds = _rd.from_arrow(
+                [cand_tbl.slice(i, step) for i in range(0, cand_tbl.num_rows, step)]
+            )
+    if pairs_ds is None:
+        pairs_ds = _lsh_all_pairs(ds, id_col, text_col, num_perm, bands, shingle, k, seed, threshold=threshold)
     from ..pipelines.queries import as_table
 
     n_pairs = pairs_ds.count()
