@@ -175,3 +175,35 @@ def test_simhash_prefix_blocks_complete(fps):
             d = int(hamming_distance(arr[i : i + 1], arr[j : j + 1])[0])
             if d <= n_blocks - 1:
                 assert (blocks[i] == blocks[j]).any(), (arr[i], arr[j], d)
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+_doc = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=18).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None)
+@given(docs=st.lists(_doc, min_size=1, max_size=24), n_clones=st.integers(0, 3))
+def test_verified_dedup_plans_agree_on_random_corpora(ray_session, docs, n_clones):
+    """Plan-choice must never change the answer: the in-process
+    candidacy-matrix plan, the rounds fallback, and the fully-distributed
+    plan produce identical survivors on arbitrary corpora — including
+    cloned docs (dense J=1 mass), empty docs, and tiny word vocabularies
+    that force extreme bucket densities."""
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup import minhash_lsh_dedup_verified
+    from anomalydetection_ray.dedup import neardup
+
+    docs = docs + docs[:n_clones]  # planted exact dups
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()), "text": pa.array(docs)})
+    )
+    want = None
+    for kw in ({}, {"driver_merge_max_bytes": 0, "driver_max_edges": 0}):
+        got = sorted(
+            minhash_lsh_dedup_verified(ds, "doc_id", "text", threshold=0.8, shingle="word", **kw)
+            .to_pandas()["doc_id"].tolist()
+        )
+        if want is None:
+            want = got
+        assert got == want, kw
