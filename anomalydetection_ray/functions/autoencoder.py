@@ -66,6 +66,93 @@ class NumpyAutoencoder:
             b2 -= lr * g_b2
         return cls(w1, b1, w2, b2)
 
+    @classmethod
+    def train_distributed(
+        cls,
+        ds,
+        vec_col: str = "embedding",
+        hidden: int = 8,
+        epochs: int = 200,
+        lr: float = 0.05,
+        seed: int = 0,
+    ) -> tuple["NumpyAutoencoder", list[float]]:
+        """Data-parallel full-batch gradient descent over a Ray Dataset
+        (A10, `models/VAE_utils.py:124-140` — the reference's per-epoch
+        running loss means, recast as distributed partial sums).
+
+        Gradients of the full-batch MSE are SUMS over rows, so each epoch
+        is one streaming `map_batches` pass emitting per-block unscaled
+        gradient partials + (loss_sum, n); the driver adds them, applies
+        the /n scaling and the update — mathematically the same step
+        :meth:`train` takes on the gathered matrix (asserted to ~1e-8 in
+        tests; block summation order is the only difference). Weights
+        ship by value in the task closure — they are a few KB, far below
+        the `ray.put` broadcast threshold that matters for MB-scale
+        state. The vector projection is materialized ONCE so the epoch
+        passes re-read pinned blocks, not the upstream pipeline. At
+        100 TB you would sample the training set or switch to minibatch
+        SGD per block; the per-epoch network cost here is ~300 floats
+        per block either way.
+
+        Returns ``(model, per-epoch mean losses)`` — the loss curve is
+        computed from the same pass as the gradients (loss BEFORE each
+        update), not a separate scan.
+        """
+        work = ds.select_columns([vec_col]).materialize()
+        first = work.take_batch(1, batch_format="pyarrow")
+        d = int(len(first[vec_col][0]))
+        rng = np.random.default_rng(seed)
+        w1 = rng.standard_normal((d, hidden)) / np.sqrt(d)
+        b1 = np.zeros(hidden)
+        w2 = rng.standard_normal((hidden, d)) / np.sqrt(hidden)
+        b2 = np.zeros(d)
+        sizes = (d * hidden, hidden, hidden * d, d)
+        losses: list[float] = []
+        for _ in range(epochs):
+            cur = (w1.copy(), b1.copy(), w2.copy(), b2.copy())
+
+            def gpart(tb: pa.Table, _cur=cur) -> pa.Table:
+                cw1, cb1, cw2, cb2 = _cur
+                x = list_column_to_matrix(tb[vec_col].combine_chunks())
+                h = np.tanh(x @ cw1 + cb1)
+                r = (h @ cw2 + cb2) - x
+                g_out = 2.0 * r  # global 1/n applied at the driver merge
+                g_h = (g_out @ cw2.T) * (1.0 - h * h)
+                flat = np.concatenate(
+                    [
+                        (x.T @ g_h).ravel(),
+                        g_h.sum(axis=0),
+                        (h.T @ g_out).ravel(),
+                        g_out.sum(axis=0),
+                    ]
+                )
+                return pa.table(
+                    {
+                        "g": pa.array([flat], type=pa.list_(pa.float64())),
+                        "loss_sum": pa.array([float((r * r).mean(axis=1).sum())]),
+                        "n": pa.array([tb.num_rows], type=pa.int64()),
+                    }
+                )
+
+            parts = work.map_batches(
+                gpart, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ).take_all()
+            n = sum(p["n"] for p in parts)
+            if n == 0:
+                raise ValueError("cannot train on an empty dataset")
+            g = np.sum([np.asarray(p["g"]) for p in parts], axis=0) / n
+            losses.append(float(sum(p["loss_sum"] for p in parts)) / n)
+            o = 0
+            g_w1, g_b1, g_w2, g_b2 = (
+                g[o : (o := o + s)].reshape(shape)
+                for s, shape in zip(sizes, ((d, hidden), (hidden,), (hidden, d), (d,)))
+            )
+            w1 -= lr * g_w1
+            b1 -= lr * g_b1
+            w2 -= lr * g_w2
+            b2 -= lr * g_b2
+        return cls(w1, b1, w2, b2), losses
+
     def reconstruction_error(self, x: np.ndarray) -> np.ndarray:
         """Per-row mean squared reconstruction error (the anomaly score,
         ``models/VAE_utils.py:291-294``)."""

@@ -1017,17 +1017,19 @@ def ann_topk_cosine(sf_dir: str):
 
 @register("mlp_reconstruction_scores", None)
 def mlp_reconstruction_scores(sf_dir: str):
-    """Worked LEARNED-MODEL stage (T3/T5, round-2 verdict item 6): a numpy
-    MLP autoencoder trained driver-side on a deterministic hash-rate
-    sample, weights persisted to a snapshot file, then an actor pool
-    scores per-row reconstruction error with the snapshot loaded once per
-    actor (reference: VAE reconstruction scoring,
+    """Worked LEARNED-MODEL stage (T3/T5, round-2 verdict item 6) + the
+    A10 training loop: a numpy MLP autoencoder trained DATA-PARALLEL on a
+    deterministic hash-rate sample (per-epoch loss means from per-block
+    gradient partial sums — the reference's running epoch means,
+    models/VAE_utils.py:124-140, recast distributed; the sample never
+    gathers to the driver), weights persisted to a snapshot file, then an
+    actor pool scores per-row reconstruction error with the snapshot
+    loaded once per actor (reference: VAE reconstruction scoring,
     models/VAE_utils.py:214-235,291-294). Rows-only: the iterative
     training is not SQL-expressible."""
     import polars as pl
 
     from ..functions.autoencoder import NumpyAutoencoder, score_with_autoencoder
-    from ..functions.vector import list_column_to_matrix
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -1035,17 +1037,10 @@ def mlp_reconstruction_scores(sf_dir: str):
         u = pl.Series(batch["vec_id"].combine_chunks()).hash(seed=7).to_numpy() / 2.0**64
         return batch.filter(pa.array(u < 0.5))
 
-    train_tabs = [
-        t
-        for t in emb.map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
-    # sort the gathered sample by id: iter_batches arrival order varies
-    # run to run and SGD is order-sensitive (same fix as IVF centroids)
-    train_tbl = pa.concat_tables(train_tabs, promote_options="default").sort_by("vec_id")
-    x = list_column_to_matrix(train_tbl["embedding"].combine_chunks())
-    model = NumpyAutoencoder.train(x, hidden=8, epochs=100, seed=0)
+    sample = emb.map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    model, losses = NumpyAutoencoder.train_distributed(sample, vec_col="embedding", hidden=8, epochs=40, seed=0)
+    if losses[-1] >= losses[0]:
+        raise AssertionError(f"training diverged: {losses[0]} -> {losses[-1]}")
     import tempfile
 
     with tempfile.TemporaryDirectory() as td:

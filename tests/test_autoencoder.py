@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 import numpy as np
 import pyarrow as pa
 
@@ -113,3 +114,34 @@ def test_weights_load_once_per_actor(ray_session, tmp_path):
     n_loads = len(os.listdir(marker_dir))
     assert 1 <= n_loads <= 2, f"expected <=2 loads (one per actor), saw {n_loads}"
     assert n_loads < n_blocks
+
+
+def test_train_distributed_matches_driver_train(ray_session):
+    """Full-batch gradients are row sums, so the distributed per-epoch
+    partial-sum update must reproduce the driver trainer's weights up to
+    block summation order (~1e-12)."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.autoencoder import NumpyAutoencoder
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((400, 12))
+    tbl = pa.table(
+        {"embedding": pa.array([list(map(float, r)) for r in x], type=pa.list_(pa.float64()))}
+    )
+    ds = rd.from_arrow([tbl.slice(i, 100) for i in range(0, 400, 100)])
+    m_d, losses = NumpyAutoencoder.train_distributed(ds, epochs=40, seed=0)
+    m_l = NumpyAutoencoder.train(x, hidden=8, epochs=40, seed=0)
+    for a, b in ((m_d.w1, m_l.w1), (m_d.b1, m_l.b1), (m_d.w2, m_l.w2), (m_d.b2, m_l.b2)):
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12)
+    assert len(losses) == 40 and losses[-1] < losses[0]
+
+
+def test_train_distributed_empty_raises(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.autoencoder import NumpyAutoencoder
+
+    empty = pa.table({"embedding": pa.array([], type=pa.list_(pa.float64()))})
+    with pytest.raises(ValueError, match="empty"):
+        NumpyAutoencoder.train_distributed(rd.from_arrow(empty), epochs=1)
