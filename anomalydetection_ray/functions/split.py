@@ -82,3 +82,49 @@ def stratified_split(ds, on: str, fractions: list[float], seed: int = 42, unit_f
         split_fractions_filter(ds, on, cum[i], cum[i + 1], seed, unit_fn=unit_fn)
         for i in range(len(f))
     ]
+
+
+def fixed_count_sample(ds, on: str, n: int, seed: int = 42, unit_fn=None):
+    """Deterministic fixed-COUNT without-replacement sample: the n rows
+    with the smallest unit hash of ``on`` (P6, the reference's viz
+    subsample ``np.random.choice(N, min(2000, N), replace=False)`` at
+    ``models/SimCLR_utils.py:170``, made reproducible and distributed).
+
+    Per-block partial top-n by hash is the combiner — each block emits at
+    most n candidate ROWS, so the driver merge sees ≤ n x blocks rows no
+    matter the corpus size — then one final top-n picks the global
+    sample. Unlike ``ds.random_sample`` (per-block RNG, rate-based, count
+    varies), the result is exact-count and identical at any parallelism
+    or block layout (asserted in tests). Hash ties break on the unit
+    value, so duplicate ``on`` values cannot make the cut nondeterministic
+    across layouts. Returns a pyarrow Table (a viz sample is small by
+    definition); compose upstream filters lazily before calling."""
+    if n <= 0:
+        return None
+    hash_fn = unit_fn or _hash_unit
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__u", pa.array([], type=pa.float64()))
+        u = hash_fn(batch, on, seed)
+        t = batch.append_column("__u", pa.array(u, type=pa.float64()))
+        if t.num_rows <= n:
+            return t
+        return t.take(np.lexsort((np.asarray(t[on]), u))[:n])
+
+    cands = pa.concat_tables(
+        [
+            t
+            for t in ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ]
+        or [partial(pa.Table.from_pydict({on: []}))],
+        promote_options="default",
+    )
+    if cands.num_rows > n:
+        order = np.lexsort(
+            (np.asarray(cands[on]), cands["__u"].to_numpy(zero_copy_only=False))
+        )[:n]
+        cands = cands.take(order)
+    return cands.drop_columns(["__u"]).sort_by([(on, "ascending")])

@@ -52,3 +52,25 @@ def test_split_validates_fractions(ray_session):
     ds = rd.from_arrow(_labeled_table(10))
     with pytest.raises(ValueError):
         stratified_split(ds, "row_id", [0.5, 0.6])
+
+
+def test_fixed_count_sample_exact_and_layout_invariant(ray_session):
+    """P6 viz subsample: exact count, without replacement, and identical
+    members at any block layout or parallelism."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.split import fixed_count_sample
+
+    tbl = pa.table({"id": pa.array(range(1000), type=pa.int64()), "v": [i * 2 for i in range(1000)]})
+    layouts = [
+        rd.from_arrow(tbl),
+        rd.from_arrow([tbl.slice(i, 100) for i in range(0, 1000, 100)]),
+        rd.from_arrow([tbl.slice(i, 37) for i in range(0, 1000, 37)]),
+    ]
+    samples = [fixed_count_sample(ds, "id", 50, seed=7) for ds in layouts]
+    ids0 = samples[0]["id"].to_pylist()
+    assert len(ids0) == 50 == len(set(ids0))
+    for s in samples[1:]:
+        assert s["id"].to_pylist() == ids0
+    # n >= N returns everything
+    assert fixed_count_sample(layouts[1], "id", 5000, seed=7).num_rows == 1000
