@@ -842,6 +842,19 @@ def _flatten_roots(parent: np.ndarray) -> np.ndarray:
 _PAIR_MATRIX_MAX_DOCS = 8192
 
 
+def _check_unique_ids(uids_sorted: np.ndarray, id_col: str) -> None:
+    """The in-process plans map ids to dense positions by binary search, so
+    duplicate ids would silently alias two docs' hash sets — fail loudly
+    instead (the broadcast-store verifier raises the same way)."""
+    if uids_sorted.size > 1 and bool(np.any(uids_sorted[1:] == uids_sorted[:-1])):
+        d = uids_sorted[1:][uids_sorted[1:] == uids_sorted[:-1]][:5]
+        raise ValueError(
+            f"duplicate {id_col!r} values in the corpus (first few: {d.tolist()}); "
+            f"near-dup operators require a unique id column — run exact_dedup or "
+            f"assign row ids first"
+        )
+
+
 def _bucket_segments(triples: pa.Table, uids: np.ndarray):
     """(mpos, mlen, starts, sizes) bucket segmentation of a band-stage
     triple table: members sorted within (band, key) buckets, ids mapped to
@@ -1069,6 +1082,7 @@ def _verified_drop_ids_local(
     ids_arr = t[id_col].to_numpy(zero_copy_only=False)
     order = np.argsort(ids_arr, kind="stable")
     uids = np.ascontiguousarray(ids_arr[order])
+    _check_unique_ids(uids, id_col)
     texts = t[text_col].to_numpy(zero_copy_only=False)[order]
     cache = _HashSetCache(shingle, k)
     set_idx = np.fromiter((cache.idx(x) for x in texts), dtype=np.int64, count=uids.size)
@@ -1240,6 +1254,7 @@ def neardup_pairs(
             ids_arr = t[id_col].to_numpy(zero_copy_only=False)
             order = np.argsort(ids_arr, kind="stable")
             uids = np.ascontiguousarray(ids_arr[order])
+            _check_unique_ids(uids, id_col)
             texts = t[text_col].to_numpy(zero_copy_only=False)[order]
             triples = MinHashBandStage(id_col, text_col, num_perm, bands, shingle, k, seed, emit_len=True)(t)
             mpos, _mlen, starts, sizes = _bucket_segments(triples, uids)

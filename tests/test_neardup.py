@@ -492,3 +492,20 @@ def test_sort_distinct_skew(ray_session):
     got_pairs = sorted(zip(t["a"].to_pylist(), t["b"].to_pylist()))
     want_pairs = sorted({(int(x), int(y)) for x, y in zip(a, b)})
     assert got_pairs == want_pairs
+
+
+def test_local_plans_reject_duplicate_ids(ray_session):
+    """Duplicate ids would silently alias docs in the dense-index local
+    plans — both must raise the same loud error the broadcast store does."""
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup import minhash_lsh_dedup_verified, neardup_pairs
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 1, 2], type=pa.int64()),
+        "text": pa.array(["a b c d e", "f g h i j", "a b c d e"]),
+    }))
+    with pytest.raises(ValueError, match="duplicate"):
+        minhash_lsh_dedup_verified(ds, "doc_id", "text", threshold=0.8, shingle="word")
+    with pytest.raises(ValueError, match="duplicate"):
+        neardup_pairs(ds, "doc_id", "text", threshold=0.8, shingle="word")
