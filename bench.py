@@ -44,6 +44,7 @@ HEADLINE = [
     "windowed_event_counts",
     "anomaly_scores",
     "dedup_exact_docs",
+    "dedup_minhash_word_docs",  # round 4: verified near-dup plan ladder
     "mined_template_counts",
     "curation_pipeline_docs",
     "skew_join_segment_value",  # round 4: skew-aware hybrid join
