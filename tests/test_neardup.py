@@ -509,3 +509,45 @@ def test_local_plans_reject_duplicate_ids(ray_session):
         minhash_lsh_dedup_verified(ds, "doc_id", "text", threshold=0.8, shingle="word")
     with pytest.raises(ValueError, match="duplicate"):
         neardup_pairs(ds, "doc_id", "text", threshold=0.8, shingle="word")
+
+
+def test_rounds_path_above_matrix_cap_matches_distributed(ray_session):
+    """Scale-correctness: 12k docs exceed the candidacy-matrix doc cap,
+    so the in-process plan takes the center-batched rounds kernel for
+    real (no monkeypatch) — survivors must equal the fully-distributed
+    plan's on a corpus with 40 dense near-dup clusters + unique tails."""
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup import minhash_lsh_dedup_verified
+    from anomalydetection_ray.dedup.neardup import _PAIR_MATRIX_MAX_DOCS
+
+    n = 12000
+    assert n > _PAIR_MATRIX_MAX_DOCS
+    rng = np.random.default_rng(11)
+    words = ["w%d" % i for i in range(400)]
+    texts = []
+    for i in range(n):
+        if i % 3 == 0:
+            base = np.random.default_rng(i % 40)
+            toks = [words[int(j)] for j in base.integers(0, 400, 30)]
+            m = np.random.default_rng(i)
+            for p in m.integers(0, 30, 2):
+                toks[int(p)] = words[int(m.integers(0, 400))]
+            texts.append(" ".join(toks))
+        else:
+            texts.append(" ".join(words[int(j)] for j in rng.integers(0, 400, 25)))
+    tbl = pa.table({"doc_id": pa.array(range(n), type=pa.int64()), "text": pa.array(texts)})
+    ds = rd.from_arrow([tbl.slice(i, 1000) for i in range(0, n, 1000)])
+    got = sorted(
+        minhash_lsh_dedup_verified(ds, "doc_id", "text", threshold=0.8, shingle="word")
+        .to_pandas()["doc_id"].tolist()
+    )
+    want = sorted(
+        minhash_lsh_dedup_verified(
+            ds, "doc_id", "text", threshold=0.8, shingle="word",
+            driver_merge_max_bytes=0, driver_max_edges=0,
+        ).to_pandas()["doc_id"].tolist()
+    )
+    assert got == want
+    # clusters genuinely collapsed: well under n survivors
+    assert len(got) < n - 2000
