@@ -259,7 +259,13 @@ class _BroadcastJaccardVerify:
     def __init__(self, store_ref, threshold: float):
         import ray
 
-        self.ids, self.flat, self.offs = ray.get(store_ref)
+        store = ray.get(store_ref)
+        # (ids, flat, offs) or (ids, flat, offs, roots): roots — present in
+        # components mode — are star-prefilter union-find roots; pairs whose
+        # endpoints share a root are already connected by driver-verified
+        # star edges and skip exact verification entirely
+        self.ids, self.flat, self.offs = store[:3]
+        self.roots = store[3] if len(store) > 3 else None
         self.threshold = threshold
 
     def __call__(self, tb: pa.Table) -> pa.Table:
@@ -286,11 +292,16 @@ class _BroadcastJaccardVerify:
                 f"(first few: {missing.tolist()}); the pairs were not built from "
                 f"the dataset that produced the store"
             )
+        if self.roots is not None:
+            live = self.roots[idx_a] != self.roots[idx_b]
+            if not live.any():
+                return pa.Table.from_pydict({"a": [], "b": []}, schema=_PAIR_SCHEMA)
+            a, b, idx_a, idx_b = a[live], b[live], idx_a[live], idx_b[live]
         keep = _batch_jaccard_keep_flat(self.flat, self.offs, idx_a, idx_b, self.threshold)
         return pa.Table.from_pydict({"a": pa.array(a[keep]), "b": pa.array(b[keep])}, schema=_PAIR_SCHEMA)
 
 
-def _verify_pairs_broadcast(work, pairs_ds, id_col, text_col, threshold, shingle, k, max_bytes=None):
+def _verify_pairs_broadcast(work, pairs_ds, id_col, text_col, threshold, shingle, k, max_bytes=None, components_mode=False):
     """Middle verification plan: candidate-pair count exceeds the driver
     budget but the candidate DOCS' hash sets fit a broadcast.
 
@@ -350,8 +361,63 @@ def _verify_pairs_broadcast(work, pairs_ds, id_col, text_col, threshold, shingle
     offs = np.zeros(len(sets) + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
     flat = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
-    store_ref = ray.put((ids[order], flat, offs))
-    return pairs_ds.map_batches(
+    sids = ids[order]
+    roots = None
+    star_tbl = None
+    if components_mode:
+        # Star prefilter (components consumers only — pair-listing needs
+        # every verified edge): the distinct pair stream is globally
+        # sorted by (a, b), so each block's first-pair-per-a rows form a
+        # star subset of <= |candidate docs| pairs. Verify them ONCE on
+        # the driver with the store that is already here, union-find the
+        # successes, and ship the roots with the store — verify tasks
+        # then skip every pair whose endpoints the stars already
+        # connected (dense clusters: most of the stream becomes two root
+        # lookups instead of a set intersection). Verified star edges
+        # are unioned into the output so connectivity is preserved;
+        # failed stars re-enter the actor path with differing roots and
+        # fail again, so no duplicates either way. Sparse corpora pay one
+        # extra <= n-pair vectorized verify — noise.
+        def first_per_a(tb: pa.Table) -> pa.Table:
+            if tb.num_rows == 0:
+                return tb
+            a = tb["a"].to_numpy(zero_copy_only=False)
+            keep_m = np.empty(a.size, dtype=bool)
+            keep_m[0] = True
+            keep_m[1:] = a[1:] != a[:-1]
+            return tb.filter(pa.array(keep_m))
+
+        stars = _gather_capped(
+            pairs_ds.map_batches(first_per_a, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+            max_bytes,
+        )
+        if stars is not None and stars.num_rows and sids.size:
+            sa = stars["a"].to_numpy(zero_copy_only=False)
+            sb = stars["b"].to_numpy(zero_copy_only=False)
+            ia = np.clip(np.searchsorted(sids, sa), 0, sids.size - 1)
+            ib = np.clip(np.searchsorted(sids, sb), 0, sids.size - 1)
+            ok = (sids[ia] == sa) & (sids[ib] == sb)
+            ia, ib, sa, sb = ia[ok], ib[ok], sa[ok], sb[ok]
+            keep_s = _batch_jaccard_keep_flat(flat, offs, ia, ib, threshold)
+            if keep_s.any():
+                parent = np.arange(sids.size, dtype=np.int64)
+                ex_, ey = ia[keep_s], ib[keep_s]
+                while ex_.size:
+                    parent = _flatten_roots(parent)
+                    rx, ry = parent[ex_], parent[ey]
+                    live = rx != ry
+                    if not live.any():
+                        break
+                    rx, ry = rx[live], ry[live]
+                    np.minimum.at(parent, np.maximum(rx, ry), np.minimum(rx, ry))
+                    ex_, ey = ex_[live], ey[live]
+                roots = _flatten_roots(parent)
+                star_tbl = pa.Table.from_pydict(
+                    {"a": pa.array(sa[keep_s], type=pa.int64()), "b": pa.array(sb[keep_s], type=pa.int64())},
+                    schema=_PAIR_SCHEMA,
+                )
+    store_ref = ray.put((sids, flat, offs, roots))
+    out = pairs_ds.map_batches(
         _BroadcastJaccardVerify,
         fn_constructor_args=(store_ref, threshold),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
@@ -361,6 +427,11 @@ def _verify_pairs_broadcast(work, pairs_ds, id_col, text_col, threshold, shingle
         # measured 11.5 s on 2 actors → ~1.5 s on 19 for 4.7M pairs
         concurrency=sized_actor_concurrency(pairs_ds, bytes_per_actor=2 << 20),
     )
+    if star_tbl is not None and star_tbl.num_rows:
+        import ray.data as _rd
+
+        out = out.union(_rd.from_arrow(star_tbl))
+    return out
 
 
 def _gather_capped(rows_ds, max_bytes: int | None = None) -> pa.Table | None:
@@ -1202,8 +1273,11 @@ def minhash_lsh_dedup_verified(
         from .distributed import cluster_drop_ids, pair_payload_join
 
         # middle plan: pairs exceed the driver budget but candidate hash
-        # sets fit a broadcast — pairs never carry payloads
-        verified = _verify_pairs_broadcast(work, pairs_ds, id_col, text_col, threshold, shingle, k)
+        # sets fit a broadcast — pairs never carry payloads; components
+        # mode adds the star prefilter (connectivity skip)
+        verified = _verify_pairs_broadcast(
+            work, pairs_ds, id_col, text_col, threshold, shingle, k, components_mode=True
+        )
         if verified is None:
             verified = pair_payload_join(
                 work, pairs_ds, id_col, text_col, _jaccard_verify_block(threshold, shingle, k)
