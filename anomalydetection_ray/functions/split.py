@@ -103,14 +103,25 @@ def fixed_count_sample(ds, on: str, n: int, seed: int = 42, unit_fn=None):
         return None
     hash_fn = unit_fn or _hash_unit
 
+    # ties (possible only among EQUAL key values — a 64-bit hash collision
+    # between distinct keys is negligible) break on a second independent
+    # hash, never the raw key: object comparisons crash on None/str mixes,
+    # and equal keys are interchangeable by the sampling contract, so the
+    # selected KEY multiset is deterministic at any layout (the usual
+    # `on` = unique row id makes the full rows deterministic too).
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.append_column("__u", pa.array([], type=pa.float64()))
+            return batch.append_column("__u", pa.array([], type=pa.float64())).append_column(
+                "__u2", pa.array([], type=pa.float64())
+            )
         u = hash_fn(batch, on, seed)
-        t = batch.append_column("__u", pa.array(u, type=pa.float64()))
+        u2 = hash_fn(batch, on, seed + 1)
+        t = batch.append_column("__u", pa.array(u, type=pa.float64())).append_column(
+            "__u2", pa.array(u2, type=pa.float64())
+        )
         if t.num_rows <= n:
             return t
-        return t.take(np.lexsort((np.asarray(t[on]), u))[:n])
+        return t.take(np.lexsort((u2, u))[:n])
 
     cands = pa.concat_tables(
         [
@@ -124,7 +135,7 @@ def fixed_count_sample(ds, on: str, n: int, seed: int = 42, unit_fn=None):
     )
     if cands.num_rows > n:
         order = np.lexsort(
-            (np.asarray(cands[on]), cands["__u"].to_numpy(zero_copy_only=False))
+            (cands["__u2"].to_numpy(zero_copy_only=False), cands["__u"].to_numpy(zero_copy_only=False))
         )[:n]
         cands = cands.take(order)
-    return cands.drop_columns(["__u"]).sort_by([(on, "ascending")])
+    return cands.drop_columns(["__u", "__u2"]).sort_by([(on, "ascending")])

@@ -74,3 +74,25 @@ def test_fixed_count_sample_exact_and_layout_invariant(ray_session):
         assert s["id"].to_pylist() == ids0
     # n >= N returns everything
     assert fixed_count_sample(layouts[1], "id", 5000, seed=7).num_rows == 1000
+
+
+def test_fixed_count_sample_null_and_string_keys(ray_session):
+    """Null keys and string keys must not crash the tie-break, and the
+    sampled KEY multiset must be layout-invariant even with duplicates."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.split import fixed_count_sample
+
+    tbl = pa.table({
+        "k": pa.array(["a", "b", None, "d", "e", "a", None, "h"]),
+        "v": list(range(8)),
+    })
+    layouts = [rd.from_arrow(tbl), rd.from_arrow([tbl.slice(i, 3) for i in range(0, 8, 3)])]
+    keys = None
+    for ds in layouts:
+        s = fixed_count_sample(ds, "k", 4, seed=1)
+        got = sorted(s["k"].to_pylist(), key=lambda x: (x is None, x))
+        assert s.num_rows == 4
+        if keys is None:
+            keys = got
+        assert got == keys
