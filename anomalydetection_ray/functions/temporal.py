@@ -190,6 +190,53 @@ def rolling_window_agg(
     return local_group_map(select_if_needed(ds, need), [key], block, num_blocks)
 
 
+def lag_lead(
+    ds,
+    key: str,
+    order_col: str,
+    cols: list[str],
+    lags: tuple[int, ...] = (1,),
+    leads: tuple[int, ...] = (),
+    carry: list[str] | None = None,
+    num_blocks: int | None = None,
+):
+    """Per-key LAG/LEAD offsets (SQL ``LAG(c, n) OVER (PARTITION BY key
+    ORDER BY order_col)``): for each column in ``cols`` and each offset,
+    appends ``{c}_lag{n}`` / ``{c}_lead{n}`` holding the same key's value
+    ``n`` rows earlier/later in ``order_col`` order (null past either end
+    of the key's run — SQL default-NULL semantics).
+
+    Same distribution shape as :func:`rolling_window_agg`: hash-shuffle
+    co-locates each key, then ONE vectorized polars ``shift().over(key)``
+    per block. The per-block sort is a TOTAL order over every selected
+    column so results are invariant to block layout even when
+    ``(key, order_col)`` pairs tie (ties then resolve by the remaining
+    columns' values, not by shuffle arrival order)."""
+    carry = carry or []
+    need = list(dict.fromkeys([key, order_col] + list(cols) + carry))
+    base = ds.schema().base_schema
+    shifted: list[tuple[str, str, int]] = [(c, f"{c}_lag{n}", n) for c in cols for n in lags]
+    shifted += [(c, f"{c}_lead{n}", -n) for c in cols for n in leads]
+    dup = [name for _, name, _ in shifted if name in need]
+    if dup:
+        raise ValueError(f"lag/lead output columns collide with input columns: {dup}")
+    out_schema = pa.schema(
+        [(c, base.field(c).type) for c in need]
+        + [(name, base.field(c).type) for c, name, _ in shifted]
+    )
+
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
+        df = pl.from_arrow(tb.select(need)).sort(need)
+        df = df.with_columns(
+            [pl.col(c).shift(n).over(key).alias(name) for c, name, n in shifted]
+        )
+        return df.select([f.name for f in out_schema]).to_arrow().cast(out_schema)
+
+    return local_group_map(select_if_needed(ds, need), [key], block, num_blocks)
+
+
 def sessionize(
     ds,
     key: str,

@@ -44,6 +44,50 @@ def l2_norm_batch(batch: pa.Table, vec_col: str = "embedding", out_col: str = "a
     return batch.append_column(out_col, pa.array(norms, type=pa.float64()))
 
 
+def explode_list_column(
+    ds,
+    list_col: str,
+    value_col: str = "value",
+    index_col: str | None = "idx",
+    carry: list[str] | None = None,
+):
+    """Distributed UNNEST: one output row per list element, other columns
+    repeated (SQL ``unnest`` semantics: null and empty lists contribute no
+    rows). Pure per-batch Arrow kernels — ``list_flatten`` +
+    ``list_parent_indices`` + one ``take`` — so the explode streams with
+    no shuffle and no Python loop; ``index_col`` (element position within
+    its list, 0-based) is a vectorized arange-minus-run-start.
+
+    ``carry`` restricts the repeated columns (default: every other
+    column); the list column itself is replaced by ``value_col``."""
+    need = None if carry is None else list(dict.fromkeys(list(carry) + [list_col]))
+
+    def fn(tb: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # multi-chunk columns would make list_parent_indices restart its
+        # numbering per chunk (kernels are chunk-local) — flatten first
+        tb = tb.combine_chunks()
+        col = tb[list_col]
+        flat = pc.list_flatten(col)
+        parent = pc.list_parent_indices(col)
+        out = tb.drop_columns([list_col]).take(parent)
+        if index_col is not None:
+            p = parent.to_numpy(zero_copy_only=False)
+            starts = np.zeros(len(p), dtype=np.int64)
+            if len(p):
+                new_run = np.flatnonzero(np.diff(p)) + 1
+                starts[new_run] = new_run
+                np.maximum.accumulate(starts, out=starts)
+            out = out.append_column(index_col, pa.array(np.arange(len(p)) - starts, type=pa.int64()))
+        return out.append_column(value_col, flat)
+
+    from .shuffle import select_if_needed
+
+    src = ds if need is None else select_if_needed(ds, need)
+    return src.map_batches(fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
 def cosine_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(n, m) cosine similarities between row sets, batched matmul."""
     an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)

@@ -1,0 +1,120 @@
+"""lag_lead (functions/temporal.py) and explode_list_column
+(functions/vector.py): SQL-window / unnest parity via DuckDB on the same
+in-memory table, null/empty-list edges, and block-layout invariance."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _events_table() -> pa.Table:
+    rng = np.random.default_rng(7)
+    n = 400
+    return pa.table(
+        {
+            "k": pa.array(rng.integers(0, 12, n), type=pa.int64()),
+            "t": pa.array(rng.choice(1000, n, replace=False), type=pa.int64()),
+            "v": pa.array(np.round(rng.normal(size=n), 4), type=pa.float64()),
+        }
+    )
+
+
+def _sorted_pd(tb: pa.Table):
+    df = tb.to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_lag_lead_duckdb_parity(ray_session, nblocks):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import lag_lead
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    tb = _events_table()
+    ds = rd.from_arrow(tb).repartition(nblocks)
+    got = as_table(lag_lead(ds, "k", "t", ["v"], lags=(1, 2), leads=(1,)))
+
+    con = duckdb.connect()
+    con.register("e", tb)
+    want = con.execute(
+        """
+        SELECT k, t, v,
+               LAG(v, 1)  OVER w AS v_lag1,
+               LAG(v, 2)  OVER w AS v_lag2,
+               LEAD(v, 1) OVER w AS v_lead1
+        FROM e WINDOW w AS (PARTITION BY k ORDER BY t)
+        """
+    ).arrow()
+    got_df, want_df = _sorted_pd(got), _sorted_pd(want)
+    assert list(got_df.columns) == ["k", "t", "v", "v_lag1", "v_lag2", "v_lead1"]
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(got_df, want_df, check_dtype=False)
+
+
+def test_lag_lead_collision_guard(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import lag_lead
+
+    tb = pa.table({"k": [1], "t": [1], "v_lag1": [0.0], "v": [1.0]})
+    with pytest.raises(ValueError, match="collide"):
+        lag_lead(rd.from_arrow(tb), "k", "t", ["v"], lags=(1,), carry=["v_lag1"])
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_explode_duckdb_parity(ray_session, nblocks):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.vector import explode_list_column
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    tb = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "tag": ["a", "b", "c", "d", "e"],
+            # empty and null lists must contribute zero rows (SQL unnest)
+            "xs": pa.array([[10, 11], [], None, [12], [13, 14, 15]], type=pa.list_(pa.int64())),
+        }
+    )
+    ds = rd.from_arrow(tb).repartition(nblocks)
+    got = as_table(explode_list_column(ds, "xs", value_col="x", index_col="idx"))
+
+    con = duckdb.connect()
+    con.register("e", tb)
+    want = con.execute(
+        """
+        SELECT id, tag, CAST(unnest(range(0, len(xs))) AS BIGINT) AS idx,
+               unnest(xs) AS x
+        FROM e
+        """
+    ).arrow()
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(_sorted_pd(got), _sorted_pd(want), check_dtype=False)
+    # row count: only non-null, non-empty lists contribute
+    assert got.num_rows == 6
+
+
+def test_explode_carry_prunes_columns(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.vector import explode_list_column
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    tb = pa.table(
+        {
+            "id": pa.array([1, 2], type=pa.int64()),
+            "unused": ["p", "q"],
+            "xs": pa.array([[1.5], [2.5, 3.5]], type=pa.list_(pa.float64())),
+        }
+    )
+    out = as_table(
+        explode_list_column(rd.from_arrow(tb), "xs", value_col="x", index_col=None, carry=["id"])
+    )
+    assert out.column_names == ["id", "x"]
+    assert out.num_rows == 3
