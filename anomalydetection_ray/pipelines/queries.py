@@ -1399,30 +1399,38 @@ def label_centroids(sf_dir: str):
     """
     SELECT event_id, user_id,
            COUNT(*) OVER w AS w_count,
-           ROUND(SUM(value) OVER w, 4) AS w_sum
+           ROUND(SUM(value) OVER w, 4) AS w_sum,
+           ROUND(LAG(value, 1) OVER w2, 4) AS prev_value
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY user_id ORDER BY ts, value, event_id)
     """,
 )
 def rolling_user_value(sf_dir: str):
-    """Per-row trailing time-window aggregate (§2.9): each event's count
-    and value-sum over the same user's last hour. Hash shuffle by user →
-    per-block sort + vectorized binary-search window bounds — no
-    self-join blowup, no per-row loop. RANGE semantics (same-timestamp
-    peers included) match the SQL window frame exactly."""
+    """Per-row trailing time-window aggregate + LAG offset (§2.9): each
+    event's count and value-sum over the same user's last hour, plus the
+    same user's PREVIOUS value (``lag_lead``, round 4 — SQL default-NULL
+    LAG semantics). Hash shuffle by user → per-block sort + vectorized
+    binary-search window bounds / polars shift-over — no self-join
+    blowup, no per-row loop. RANGE semantics (same-timestamp peers
+    included) match the SQL window frame exactly; the LAG tie-break is a
+    TOTAL order (ts, value, event_id) spelled out in both plans so ties
+    at equal timestamps are deterministic."""
     import datetime
 
-    from ..functions.temporal import rolling_window_agg
+    from ..functions.temporal import lag_lead, rolling_window_agg
 
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
     out = rolling_window_agg(
         ev, key="user_id", ts_col="ts", value_col="value",
         window=datetime.timedelta(hours=1), carry=["event_id"],
     )
-    df = as_table(out).to_pandas()[["event_id", "user_id", "w_count", "w_sum"]]
+    out = lag_lead(out, "user_id", "ts", ["value"], lags=(1,), carry=["event_id", "w_count", "w_sum"])
+    df = as_table(out).to_pandas().rename(columns={"value_lag1": "prev_value"})
+    df = df[["event_id", "user_id", "w_count", "w_sum", "prev_value"]]
     df = df.sort_values("event_id").reset_index(drop=True)
-    return _round_pd(df, {"w_sum": 4})
+    return _round_pd(df, {"w_sum": 4, "prev_value": 4})
 
 
 @register(
