@@ -201,6 +201,155 @@ def sha256_hex_batch(batch: pa.Table, col: str, out_col: str) -> pa.Table:
     return fingerprint_batch(batch, text_col=col, out_col=out_col)
 
 
+# winnowing (Schleimer/Wilkerson/Aiken 2003, the MOSS scheme): Rabin-Karp
+# rolling hash over byte k-grams, then the RIGHTMOST minimum of every
+# w-hash window is selected. Guarantee: two documents sharing any
+# substring of length >= w + k - 1 share at least one fingerprint —
+# substring/containment detection that whole-document hashes and
+# set-Jaccard MinHash both miss.
+_WIN_BASE = np.uint64(1099511628211)  # FNV prime as the polynomial base
+_WIN_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _winnow_one(b: np.ndarray, k: int, w: int) -> np.ndarray:
+    """Sorted unique winnowed fingerprints of one byte sequence (uint64)."""
+    n = len(b)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    # k-gram polynomial hashes, vectorized: windows @ powers (mod 2^64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    powers = np.array(
+        [pow(int(_WIN_BASE), k - 1 - i, 1 << 64) for i in range(k)], dtype=np.uint64
+    )
+    h = (win * powers).sum(axis=1)  # uint64 wrap-around = mod 2^64
+    # bit-mix so low-entropy byte windows spread over the hash space
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    if len(h) <= w:
+        return np.unique(h[np.flatnonzero(h == h.min())[-1] :][:1])
+    hw = np.lib.stride_tricks.sliding_window_view(h, w)
+    # rightmost minimum per window (robust winnowing): argmin on the
+    # reversed axis finds the LAST position holding the min
+    rev_arg = hw[:, ::-1].argmin(axis=1)
+    pos = np.arange(len(hw)) + (w - 1 - rev_arg)
+    return np.unique(h[np.unique(pos)])
+
+
+def winnow_fingerprints_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    out_col: str = "fingerprints",
+    k: int = 8,
+    w: int = 16,
+) -> pa.Table:
+    """Per-document winnowed rolling-hash fingerprint set as a
+    ``list<uint64>`` column (sorted unique; null text → null, text
+    shorter than ``k`` bytes → empty list). Feeds containment detection:
+    explode + group-by-fingerprint pairs documents sharing any run of
+    ``w + k - 1`` bytes, however different their overall token sets."""
+    texts = batch[text_col].to_numpy(zero_copy_only=False)
+    fps = [
+        None
+        if t is None
+        else _winnow_one(np.frombuffer(t.encode("utf-8", "surrogatepass"), dtype=np.uint8), k, w)
+        for t in texts
+    ]
+    return batch.append_column(out_col, pa.array(fps, type=pa.list_(pa.uint64())))
+
+
+def winnow_containment_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+    max_bucket: int = 200,
+):
+    """Distributed containment/overlap detection: distinct (a < b, shared)
+    document pairs sharing ≥ ``min_shared`` winnowed fingerprints — i.e.
+    pairs sharing literal byte runs of ≥ w+k-1, regardless of how
+    different the rest of the documents are (the case Jaccard-threshold
+    MinHash dedup misses by construction).
+
+    Plan (same shape as the LSH pair miner, `dedup/neardup.py:851`):
+    winnow map → explode to (id, fp) → co-partition by fp → per-group
+    pair emission → co-partition by (a, b) → count + filter. Fingerprint
+    groups larger than ``max_bucket`` are dropped as boilerplate (license
+    headers, generated banners) — the same hot-bucket cap LSH banding
+    uses; raise it if recall on pervasive substrings matters more than
+    the quadratic pair blowup."""
+    import pyarrow.compute as pc  # noqa: F401  (explode dependency)
+
+    from .shuffle import local_group_map, select_if_needed
+    from .vector import explode_list_column
+
+    fp_ds = select_if_needed(ds, [id_col, text_col]).map_batches(
+        lambda tb: winnow_fingerprints_batch(tb, text_col=text_col, k=k, w=w).drop_columns(
+            [text_col]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+    exploded = explode_list_column(fp_ds, "fingerprints", value_col="fp", index_col=None)
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def gen_pairs(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({"a": [], "b": []}, schema=pair_schema)
+        fp = tb["fp"].to_numpy(zero_copy_only=False)
+        ids = tb[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, fp))
+        fp, ids = fp[order], ids[order]
+        bounds = np.flatnonzero(np.concatenate([[True], fp[1:] != fp[:-1], [True]]))
+        out_a, out_b = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            m = e - s
+            if m < 2 or m > max_bucket:
+                continue
+            g = ids[s:e]
+            iu = np.triu_indices(m, 1)
+            out_a.append(g[iu[0]])
+            out_b.append(g[iu[1]])
+        if not out_a:
+            return pa.Table.from_pydict({"a": [], "b": []}, schema=pair_schema)
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pa.Table.from_pydict(
+            {"a": pa.array(np.minimum(a, b)), "b": pa.array(np.maximum(a, b))},
+            schema=pair_schema,
+        )
+
+    pairs = local_group_map(exploded, ["fp"], gen_pairs, keys_non_null=True)
+
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("shared", pa.int64())])
+
+    def count_filter(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
+        a = tb["a"].to_numpy(zero_copy_only=False)
+        b = tb["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(a)))
+        keep = counts >= min_shared
+        return pa.Table.from_pydict(
+            {
+                "a": pa.array(a[starts][keep]),
+                "b": pa.array(b[starts][keep]),
+                "shared": pa.array(counts[keep].astype(np.int64)),
+            },
+            schema=out_schema,
+        )
+
+    return local_group_map(pairs, ["a", "b"], count_filter, keys_non_null=True)
+
+
 def content_hash128_batch(batch: pa.Table, col: str, out_cols: tuple[str, str] = ("h1", "h2")) -> pa.Table:
     """Vectorized 128-bit content hash: two independent 64-bit polars
     xxhashes (different seeds). For dedup grouping this replaces the

@@ -97,3 +97,82 @@ def test_curation_gate_drops_pii_and_repetition(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)].astype(str), want[sorted(want.columns)].astype(str)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing rolling-hash fingerprints (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_substring():
+    """Two texts sharing any substring of length >= w + k - 1 must share
+    at least one fingerprint — the winnowing guarantee, 50 random cases."""
+    import numpy as np
+
+    from anomalydetection_ray.functions.text import _winnow_one
+
+    k, w = 8, 16
+    rng = np.random.default_rng(11)
+    letters = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz", dtype=np.uint8)
+    for _ in range(50):
+        shared = rng.choice(letters, w + k - 1)
+        t1 = np.concatenate([rng.choice(letters, rng.integers(0, 80)), shared,
+                             rng.choice(letters, rng.integers(0, 80))])
+        t2 = np.concatenate([rng.choice(letters, rng.integers(0, 80)), shared,
+                             rng.choice(letters, rng.integers(0, 80))])
+        f1, f2 = _winnow_one(t1, k, w), _winnow_one(t2, k, w)
+        assert len(np.intersect1d(f1, f2)) >= 1
+
+
+def test_winnow_disjoint_alphabets_share_nothing():
+    import numpy as np
+
+    from anomalydetection_ray.functions.text import _winnow_one
+
+    a = np.frombuffer(b"aaabbbcccdddeeefffggghhhiiijjjkkklllmmm" * 3, dtype=np.uint8)
+    b = np.frombuffer(b"AAABBBCCCDDDEEEFFFGGGHHHIIIJJJKKKLLLMMM" * 3, dtype=np.uint8)
+    assert len(np.intersect1d(_winnow_one(a, 8, 16), _winnow_one(b, 8, 16))) == 0
+
+
+def test_winnow_batch_nulls_and_short_text():
+    from anomalydetection_ray.functions.text import winnow_fingerprints_batch
+
+    tb = pa.table({"text": pa.array([None, "short", "x" * 100], type=pa.string())})
+    out = winnow_fingerprints_batch(tb, k=8, w=16)
+    col = out["fingerprints"].to_pylist()
+    assert col[0] is None
+    assert col[1] == []  # 5 bytes < k
+    assert len(col[2]) >= 1
+    # deterministic across calls
+    again = winnow_fingerprints_batch(tb, k=8, w=16)["fingerprints"].to_pylist()
+    assert col == again
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_winnow_containment_pairs_end_to_end(ray_session, nblocks):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import winnow_containment_pairs
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    chunk = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                # disjoint 8-gram vocabularies outside the planted chunk, so
+                # the ONLY shared fingerprints come from the chunk itself
+                # (any shared k-gram may legitimately fire a fingerprint —
+                # that is what min_shared filters in real corpora)
+                "0123456789012345678901234567890123456789 " + chunk,
+                "TOTALLY DIFFERENT CONTENT ABOUT DATABASES AND QUERY PLANNERS",
+                chunk + " ~!~@~#~$~%~^~&~*~(~)~_~+~{~}~|~:~<~>~?~",
+                None,
+            ],
+        }
+    )
+    ds = rd.from_arrow(docs).repartition(nblocks)
+    got = as_table(winnow_containment_pairs(ds, min_shared=1)).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    assert pairs == {(1, 3)}
+    assert (got["shared"] >= 1).all()
