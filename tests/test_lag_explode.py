@@ -118,3 +118,20 @@ def test_explode_carry_prunes_columns(ray_session):
     )
     assert out.column_names == ["id", "x"]
     assert out.num_rows == 3
+
+
+def test_explode_fixed_size_list(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.vector import explode_list_column
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    tb = pa.table(
+        {
+            "id": pa.array([1, 2], type=pa.int64()),
+            "xs": pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float64(), 2)),
+        }
+    )
+    out = as_table(explode_list_column(rd.from_arrow(tb), "xs", value_col="x", index_col="idx"))
+    got = sorted(zip(out["id"].to_pylist(), out["idx"].to_pylist(), out["x"].to_pylist()))
+    assert got == [(1, 0, 1.0), (1, 1, 2.0), (2, 0, 3.0), (2, 1, 4.0)]
