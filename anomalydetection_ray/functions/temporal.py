@@ -237,6 +237,66 @@ def lag_lead(
     return local_group_map(select_if_needed(ds, need), [key], block, num_blocks)
 
 
+def window_rank(
+    ds,
+    key: str,
+    order_cols: list[str],
+    kinds: tuple[str, ...] = ("row_number",),
+    carry: list[str] | None = None,
+    num_blocks: int | None = None,
+):
+    """Per-key ranking windows (SQL ``ROW_NUMBER()`` / ``RANK()`` /
+    ``DENSE_RANK() OVER (PARTITION BY key ORDER BY order_cols)``), the
+    §2.9 window family member LAG/LEAD and the rolling frames don't
+    cover. Appends one int64 column per requested kind, named after it.
+
+    ``RANK``/``DENSE_RANK`` are well-defined under order ties (tied rows
+    share a rank). ``ROW_NUMBER`` is only deterministic when
+    ``order_cols`` is a TOTAL order within each key — same contract the
+    SQL function has; pass a tie-breaking unique column (e.g. the row
+    id) last, exactly as you would in the ``OVER`` clause.
+
+    Same distribution shape as :func:`lag_lead`: ONE range-partition
+    shuffle co-locates each key, then one vectorized polars sort +
+    ``over(key)`` rank kernel per block — no driver gather. Chained
+    same-key window ops each pay the shuffle; compute multi-window
+    results in one pass where possible (the driver query
+    ``rolling_user_value`` chains three and is small by contract)."""
+    carry = carry or []
+    allowed = ("row_number", "rank", "dense_rank")
+    bad = [k for k in kinds if k not in allowed]
+    if bad:
+        raise ValueError(f"unknown rank kinds {bad}; allowed: {allowed}")
+    need = list(dict.fromkeys([key] + list(order_cols) + carry))
+    base = ds.schema().base_schema
+    dup = [k for k in kinds if k in need]
+    if dup:
+        raise ValueError(f"rank output columns collide with input columns: {dup}")
+    out_schema = pa.schema(
+        [(c, base.field(c).type) for c in need] + [(k, pa.int64()) for k in kinds]
+    )
+
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
+        # total-order sort (all selected columns) so ROW_NUMBER ties that
+        # order_cols alone would leave are still resolved identically at
+        # any parallelism; rank/dense_rank read only the order_cols struct
+        df = pl.from_arrow(tb.select(need)).sort(need)
+        okey = pl.struct(list(order_cols)) if len(order_cols) > 1 else pl.col(order_cols[0])
+        exprs = []
+        for k in kinds:
+            if k == "row_number":
+                exprs.append(pl.int_range(1, pl.len() + 1, dtype=pl.Int64).over(key).alias(k))
+            else:
+                method = "min" if k == "rank" else "dense"
+                exprs.append(okey.rank(method).over(key).cast(pl.Int64).alias(k))
+        df = df.with_columns(exprs)
+        return df.select([f.name for f in out_schema]).to_arrow().cast(out_schema)
+
+    return local_group_map(select_if_needed(ds, need), [key], block, num_blocks)
+
+
 def sessionize(
     ds,
     key: str,

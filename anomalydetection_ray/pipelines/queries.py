@@ -1400,7 +1400,10 @@ def label_centroids(sf_dir: str):
     SELECT event_id, user_id,
            COUNT(*) OVER w AS w_count,
            ROUND(SUM(value) OVER w, 4) AS w_sum,
-           ROUND(LAG(value, 1) OVER w2, 4) AS prev_value
+           ROUND(LAG(value, 1) OVER w2, 4) AS prev_value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, ts, event_id) AS vrn,
+           RANK() OVER (PARTITION BY user_id ORDER BY value) AS vrank,
+           DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value) AS vdrank
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
@@ -1408,18 +1411,21 @@ def label_centroids(sf_dir: str):
     """,
 )
 def rolling_user_value(sf_dir: str):
-    """Per-row trailing time-window aggregate + LAG offset (§2.9): each
-    event's count and value-sum over the same user's last hour, plus the
-    same user's PREVIOUS value (``lag_lead``, round 4 — SQL default-NULL
-    LAG semantics). Hash shuffle by user → per-block sort + vectorized
-    binary-search window bounds / polars shift-over — no self-join
-    blowup, no per-row loop. RANGE semantics (same-timestamp peers
-    included) match the SQL window frame exactly; the LAG tie-break is a
-    TOTAL order (ts, value, event_id) spelled out in both plans so ties
-    at equal timestamps are deterministic."""
+    """Per-row trailing time-window aggregate + LAG offset + ranking
+    windows (§2.9): each event's count and value-sum over the same
+    user's last hour, the same user's PREVIOUS value (``lag_lead`` —
+    SQL default-NULL LAG semantics), and that event's ROW_NUMBER / RANK
+    / DENSE_RANK by value within the user (``window_rank``, round 4 —
+    tied values share a rank exactly as SQL's RANK/DENSE_RANK do, and
+    ROW_NUMBER's tie-break is the same (value, ts, event_id) total
+    order both plans spell out). Hash shuffle by user → per-block sort
+    + vectorized binary-search window bounds / polars shift-over /
+    rank-over — no self-join blowup, no per-row loop. RANGE semantics
+    (same-timestamp peers included) match the SQL window frame
+    exactly."""
     import datetime
 
-    from ..functions.temporal import lag_lead, rolling_window_agg
+    from ..functions.temporal import lag_lead, rolling_window_agg, window_rank
 
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
     out = rolling_window_agg(
@@ -1427,8 +1433,14 @@ def rolling_user_value(sf_dir: str):
         window=datetime.timedelta(hours=1), carry=["event_id"],
     )
     out = lag_lead(out, "user_id", "ts", ["value"], lags=(1,), carry=["event_id", "w_count", "w_sum"])
-    df = as_table(out).to_pandas().rename(columns={"value_lag1": "prev_value"})
-    df = df[["event_id", "user_id", "w_count", "w_sum", "prev_value"]]
+    out = window_rank(
+        out, "user_id", ["value"], kinds=("row_number", "rank", "dense_rank"),
+        carry=["ts", "event_id", "w_count", "w_sum", "value_lag1"],
+    )
+    df = as_table(out).to_pandas().rename(
+        columns={"value_lag1": "prev_value", "row_number": "vrn", "rank": "vrank", "dense_rank": "vdrank"}
+    )
+    df = df[["event_id", "user_id", "w_count", "w_sum", "prev_value", "vrn", "vrank", "vdrank"]]
     df = df.sort_values("event_id").reset_index(drop=True)
     return _round_pd(df, {"w_sum": 4, "prev_value": 4})
 

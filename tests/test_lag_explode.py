@@ -56,6 +56,82 @@ def test_lag_lead_duckdb_parity(ray_session, nblocks):
     pdt.assert_frame_equal(got_df, want_df, check_dtype=False)
 
 
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_window_rank_duckdb_parity(ray_session, nblocks):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import window_rank
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    # deliberate value ties (integers from a tiny range) so RANK and
+    # DENSE_RANK genuinely diverge from ROW_NUMBER
+    rng = np.random.default_rng(11)
+    n = 500
+    tb = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 9, n), type=pa.int64()),
+            "t": pa.array(rng.choice(2000, n, replace=False), type=pa.int64()),
+            "v": pa.array(rng.integers(0, 6, n), type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tb).repartition(nblocks)
+    got = as_table(
+        window_rank(ds, "k", ["v"], kinds=("row_number", "rank", "dense_rank"), carry=["t"])
+    )
+
+    con = duckdb.connect()
+    con.register("e", tb)
+    want = con.execute(
+        """
+        SELECT k, v, t,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, t) AS row_number,
+               RANK()       OVER (PARTITION BY k ORDER BY v)    AS rank,
+               DENSE_RANK() OVER (PARTITION BY k ORDER BY v)    AS dense_rank
+        FROM e
+        """
+    ).arrow()
+    got_df, want_df = _sorted_pd(got), _sorted_pd(want)
+    assert list(got_df.columns) == ["k", "v", "t", "row_number", "rank", "dense_rank"]
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(got_df, want_df[got_df.columns], check_dtype=False)
+
+
+def test_window_rank_multi_order_and_guards(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import window_rank
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    tb = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+            "a": pa.array([5, 5, 3, 1, 1], type=pa.int64()),
+            "b": pa.array([1, 2, 2, 0, 0], type=pa.int64()),
+        }
+    )
+    got = _sorted_pd(
+        as_table(window_rank(rd.from_arrow(tb), "k", ["a", "b"], kinds=("rank", "dense_rank")))
+    )
+    con = duckdb.connect()
+    con.register("e", tb)
+    want = _sorted_pd(
+        con.execute(
+            """SELECT k, a, b, RANK() OVER (PARTITION BY k ORDER BY a, b) AS rank,
+                      DENSE_RANK() OVER (PARTITION BY k ORDER BY a, b) AS dense_rank FROM e"""
+        ).arrow()
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+    with pytest.raises(ValueError, match="unknown rank kinds"):
+        window_rank(rd.from_arrow(tb), "k", ["a"], kinds=("percent_rank",))
+    tb2 = pa.table({"k": [1], "a": [1], "rank": [9]})
+    with pytest.raises(ValueError, match="collide"):
+        window_rank(rd.from_arrow(tb2), "k", ["a"], kinds=("rank",), carry=["rank"])
+
+
 def test_lag_lead_collision_guard(ray_session):
     import ray.data as rd
 
