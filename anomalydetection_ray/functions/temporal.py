@@ -190,6 +190,120 @@ def rolling_window_agg(
     return local_group_map(select_if_needed(ds, need), [key], block, num_blocks)
 
 
+def range_join_agg(
+    left_ds,
+    right_ds,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lo,
+    hi,
+    right_value: str | None = None,
+    right_key: str | None = None,
+    carry: list[str] | None = None,
+    num_blocks: int | None = None,
+):
+    """Distributed RANGE (interval) JOIN aggregate — the temporal join
+    as-of can't express: for every left row, the COUNT (and optionally
+    SUM of ``right_value``) of right rows sharing ``key`` whose
+    ``right_ts`` lies in ``[left_ts + lo, left_ts + hi]`` (both ends
+    inclusive — SQL ``BETWEEN`` semantics; ``lo``/``hi`` are timedeltas
+    and may be negative, e.g. ``lo=-30d, hi=0`` = "the last 30 days").
+
+    Left-join shape: every left row survives; no match → ``rj_count`` 0
+    and ``rj_sum`` 0.0 (SQL: ``COUNT(right.col)`` + ``COALESCE(SUM(...),
+    0)``). Null ``right_value`` rows count but add 0 to the sum, like
+    SQL SUM skipping NULLs.
+
+    The aggregate form is the 100-TB-safe one — emitting matched PAIRS
+    can expand |left|×|right| per key; the aggregate streams exactly one
+    output row per left row. Distributed shape matches
+    :func:`rolling_window_agg`: tag-union both sides → ONE
+    range-partition shuffle co-locates each key → per block, sort the
+    key's right timestamps once and answer every left row with two
+    vectorized binary searches + a prefix-sum diff — O((l+r) log r) per
+    key, no self-join blowup, no per-row Python loop. Same partitioning
+    assumption as every keyed kernel here: one key's rows fit a block;
+    salt hot keys upstream."""
+    carry = carry or []
+    rk = right_key or key
+    lschema = left_ds.schema().base_schema
+    rschema = right_ds.schema().base_schema
+    left_cols = list(dict.fromkeys([key, left_ts] + carry))
+    out_fields = [(c, lschema.field(c).type) for c in left_cols] + [("rj_count", pa.int64())]
+    if right_value is not None:
+        out_fields.append(("rj_sum", pa.float64()))
+    out_schema = pa.schema(out_fields)
+    schema = pa.schema(
+        [(_SIDE, pa.int8())]
+        + [(c, lschema.field(c).type) for c in left_cols]
+        + [("__rts", rschema.field(right_ts).type)]
+        + ([("__rv", pa.float64())] if right_value is not None else [])
+    )
+    right_map = {key: rk, "__rts": right_ts}
+    right_need = [rk, right_ts]
+    if right_value is not None:
+        right_map["__rv"] = right_value
+        right_need.append(right_value)
+    tagged = _tagged_union(
+        select_if_needed(left_ds, left_cols),
+        {c: c for c in left_cols},
+        select_if_needed(right_ds, list(dict.fromkeys(right_need))),
+        right_map,
+        schema,
+    )
+    lo_us = int(np.timedelta64(lo).astype("timedelta64[us]").astype(np.int64))
+    hi_us = int(np.timedelta64(hi).astype("timedelta64[us]").astype(np.int64))
+    if lo_us > hi_us:
+        raise ValueError(f"empty range: lo {lo!r} > hi {hi!r}")
+
+    def _epoch_us(s: pl.Series) -> np.ndarray:
+        return (s.dt.timestamp("us") if s.dtype.is_temporal() else s.cast(pl.Int64)).to_numpy()
+
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
+        df = pl.from_arrow(tb)
+        l = df.filter(pl.col(_SIDE) == 0).sort([key])
+        # total-order right sort (ts then value): prefix-sum diffs are
+        # taken at tie-group boundaries, but float accumulation order
+        # WITHIN a tie group still changes the boundary sums in the last
+        # ulp — a fixed order makes results partitioning-invariant
+        r = df.filter(pl.col(_SIDE) == 1).sort([key, "__rts"] + (["__rv"] if right_value else []))
+        lkeys = l[key].to_numpy()
+        lts = _epoch_us(l[left_ts])
+        rkeys = r[key].to_numpy()
+        rts = _epoch_us(r["__rts"])
+        rj_count = np.zeros(len(lkeys), dtype=np.int64)
+        rj_sum = np.zeros(len(lkeys), dtype=np.float64) if right_value else None
+        if right_value:
+            rvals = np.nan_to_num(r["__rv"].to_numpy().astype(np.float64), nan=0.0)
+        if len(lkeys):
+            bounds = np.flatnonzero(
+                np.concatenate([[True], lkeys[1:] != lkeys[:-1], [True]])
+            )
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                rs, re = np.searchsorted(rkeys, lkeys[s], side="left"), np.searchsorted(
+                    rkeys, lkeys[s], side="right"
+                )
+                if rs == re:
+                    continue
+                seg = rts[rs:re]
+                a = np.searchsorted(seg, lts[s:e] + lo_us, side="left")
+                b = np.searchsorted(seg, lts[s:e] + hi_us, side="right")
+                rj_count[s:e] = b - a
+                if right_value:
+                    csum = np.concatenate([[0.0], np.cumsum(rvals[rs:re])])
+                    rj_sum[s:e] = csum[b] - csum[a]
+        cols = {c: l[c] for c in left_cols}
+        cols["rj_count"] = pl.Series(rj_count)
+        if right_value:
+            cols["rj_sum"] = pl.Series(rj_sum)
+        return pl.DataFrame(cols).to_arrow().cast(out_schema)
+
+    return local_group_map(tagged, [key], block, num_blocks)
+
+
 def lag_lead(
     ds,
     key: str,

@@ -1545,19 +1545,35 @@ def user_setops(sf_dir: str):
     """
     WITH o1 AS (
       SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS last_price
-      FROM orders GROUP BY 1, 2)
-    SELECT e.event_id, e.user_id, ROUND(COALESCE(o.last_price, 0), 2) AS last_price
+      FROM orders GROUP BY 1, 2),
+    rj AS (
+      SELECT e.event_id, COUNT(o.o_orderdate) AS n_orders_30d,
+             ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS sum_orders_30d
+      FROM events e LEFT JOIN orders o
+        ON o.o_custkey = e.user_id
+       AND o.o_orderdate BETWEEN e.ts - INTERVAL 30 DAY AND e.ts
+      GROUP BY e.event_id)
+    SELECT e.event_id, e.user_id, ROUND(COALESCE(o.last_price, 0), 2) AS last_price,
+           rj.n_orders_30d, rj.sum_orders_30d
     FROM events e ASOF LEFT JOIN o1 o
     ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    JOIN rj USING (event_id)
     """,
 )
 def asof_last_order_value(sf_dir: str):
-    """Distributed AS-OF JOIN (a custom operator Ray Data lacks —
-    SURVEY.md §2 path (a)): every event picks the price of that user's
-    most recent order at or before the event time. Tag-union → hash
-    shuffle by user → per-block polars join_asof; right side deduped to
-    (key, ts) max so as-of ties are deterministic on both sides."""
-    from ..functions.temporal import asof_join
+    """Distributed AS-OF JOIN + RANGE (interval) JOIN aggregate (two
+    custom temporal joins Ray Data lacks — SURVEY.md §2 path (a)): every
+    event picks the price of that user's most recent order at or before
+    the event time (as-of), plus the count and total of that user's
+    orders in the trailing 30 days (``range_join_agg``, round 4 — SQL
+    ``BETWEEN`` bounds, LEFT JOIN + GROUP BY shape with one output row
+    per event and no pair expansion). Both joins: tag-union → one
+    range-partition shuffle by user → per-block polars join_asof /
+    binary-search window sums; as-of right side deduped to (key, ts) max
+    so ties are deterministic on both sides."""
+    import datetime
+
+    from ..functions.temporal import asof_join, range_join_agg
 
     events = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
@@ -1566,11 +1582,23 @@ def asof_last_order_value(sf_dir: str):
         events, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
         right_values=["o_totalprice"], strategy="backward", right_key="o_custkey",
     )
+    joined = range_join_agg(
+        joined, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        lo=datetime.timedelta(days=-30), hi=datetime.timedelta(0),
+        right_value="o_totalprice", right_key="o_custkey",
+        carry=["event_id", "o_totalprice"],
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
         price = pc.round(pc.coalesce(batch["o_totalprice"], 0.0), 2)
         return pa.Table.from_pydict(
-            {"event_id": batch["event_id"], "user_id": batch["user_id"], "last_price": price}
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "last_price": price,
+                "n_orders_30d": batch["rj_count"],
+                "sum_orders_30d": pc.round(batch["rj_sum"], 2),
+            }
         )
 
     return as_table(

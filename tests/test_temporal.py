@@ -191,3 +191,111 @@ def test_rolling_window_parallelism_invariant(ray_session):
         )
 
     assert run(2).equals(run(11))
+
+
+@pytest.mark.parametrize("nblocks", [1, 9])
+def test_range_join_agg_duckdb_parity(ray_session, nblocks):
+    import duckdb
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import range_join_agg
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    rng = np.random.default_rng(23)
+    base = datetime.datetime(2024, 3, 1)
+    nl, nr = 400, 700
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 15, nl), type=pa.int64()),
+            "t": pa.array(
+                [base + datetime.timedelta(minutes=int(m)) for m in rng.integers(0, 5000, nl)],
+                type=pa.timestamp("us"),
+            ),
+            "rid": pa.array(range(nl), type=pa.int64()),
+        }
+    )
+    # right: a null value row and keys absent from the left both included
+    rv = rng.random(nr) * 100
+    rvals = pa.array([None if i % 97 == 0 else float(v) for i, v in enumerate(rv)])
+    right = pa.table(
+        {
+            "rk": pa.array(rng.integers(0, 18, nr), type=pa.int64()),
+            "rt": pa.array(
+                [base + datetime.timedelta(minutes=int(m)) for m in rng.integers(0, 5000, nr)],
+                type=pa.timestamp("us"),
+            ),
+            "val": rvals,
+        }
+    )
+    got = (
+        as_table(
+            range_join_agg(
+                rd.from_arrow(left).repartition(nblocks),
+                rd.from_arrow(right).repartition(max(1, nblocks - 2)),
+                key="k", left_ts="t", right_ts="rt",
+                lo=datetime.timedelta(hours=-6), hi=datetime.timedelta(hours=1),
+                right_value="val", right_key="rk", carry=["rid"],
+            )
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.execute(
+        """
+        SELECT l.rid, COUNT(r.rt) AS rj_count,
+               COALESCE(SUM(COALESCE(r.val, 0)), 0) AS rj_sum
+        FROM l LEFT JOIN r
+          ON r.rk = l.k AND r.rt BETWEEN l.t - INTERVAL 6 HOUR AND l.t + INTERVAL 1 HOUR
+        GROUP BY l.rid ORDER BY l.rid
+        """
+    ).df()
+    assert got["rj_count"].tolist() == want["rj_count"].tolist()
+    np.testing.assert_allclose(got["rj_sum"].to_numpy(), want["rj_sum"].to_numpy(), rtol=0, atol=1e-9)
+    # parallelism invariance: BIT-identical sums at a different layout
+    got2 = (
+        as_table(
+            range_join_agg(
+                rd.from_arrow(left).repartition(3), rd.from_arrow(right).repartition(7),
+                key="k", left_ts="t", right_ts="rt",
+                lo=datetime.timedelta(hours=-6), hi=datetime.timedelta(hours=1),
+                right_value="val", right_key="rk", carry=["rid"],
+            )
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    assert got.equals(got2)
+
+
+def test_range_join_agg_edges(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import range_join_agg
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    left = pa.table({"k": pa.array([1, 2], type=pa.int64()), "t": pa.array([100, 200], type=pa.int64())})
+    right = pa.table({"k": pa.array([1], type=pa.int64()), "t": pa.array([100], type=pa.int64()), "v": pa.array([5.0])})
+    # count-only (no right_value), integer µs timestamps, inclusive bounds
+    out = (
+        as_table(
+            range_join_agg(
+                rd.from_arrow(left), rd.from_arrow(right), key="k", left_ts="t", right_ts="t",
+                lo=np.timedelta64(0, "us"), hi=np.timedelta64(0, "us"),
+            )
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["rj_count"].tolist() == [1, 0]
+    assert "rj_sum" not in out.columns
+    with pytest.raises(ValueError, match="empty range"):
+        range_join_agg(
+            rd.from_arrow(left), rd.from_arrow(right), key="k", left_ts="t", right_ts="t",
+            lo=np.timedelta64(1, "us"), hi=np.timedelta64(0, "us"),
+        )
