@@ -54,6 +54,80 @@ def md5_unit_hash(batch: pa.Table, on: str, seed: int = 0) -> np.ndarray:
     return (h % np.uint64(100000)).astype(np.float64) / 100000.0
 
 
+def md5_order_hash(batch: pa.Table, on: str, seed: int = 0) -> np.ndarray:
+    """SQL-reproducible ORDERING hash: the raw 64-bit
+    ``md5_number_lower(CAST(key AS VARCHAR))`` value (uint64, no modulus
+    — :func:`md5_unit_hash`'s 100k-bucket unit is fine for split
+    membership but collides constantly under ORDER BY). A sample ranked
+    on it matches DuckDB ``ORDER BY md5_number_lower(...)`` exactly.
+    ``seed`` is ignored (md5 parity has no seed)."""
+    from ..sketches.simhash import _md5_token_hash
+
+    del seed
+    col = batch[on]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.to_pylist()
+    return np.fromiter((_md5_token_hash(str(v)) for v in vals), dtype=np.uint64, count=len(vals))
+
+
+def grouped_fixed_count_sample(ds, key: str, on: str, n: int, seed: int = 42, unit_fn=None):
+    """Deterministic PER-GROUP fixed-count without-replacement sample:
+    for every distinct ``key`` value, the ``n`` rows with the smallest
+    unit hash of ``on`` (the grouped sibling of
+    :func:`fixed_count_sample` — e.g. "20 documents per language" for a
+    stratified eval set).
+
+    Returns a lazy Dataset (group count is unbounded — unlike the global
+    sample, the result is NOT small by contract and never touches the
+    driver). Distributed shape: a per-block combiner keeps each group's
+    n smallest-hash rows (≤ n rows per group per block enter the
+    shuffle), ONE range-partition shuffle co-locates each group, and the
+    same kernel picks the exact per-group sample. Identical members at
+    any parallelism or block layout; hash ties break on a second hash
+    then the ``on`` value itself, so the selected set is a total-order
+    cut (with ``unit_fn=md5_order_hash`` it equals SQL
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY md5_number_lower(on),
+    on) <= n``)."""
+    import polars as pl
+
+    from .shuffle import local_group_map
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    fn = unit_fn or _hash_unit
+    out_names = [f.name for f in ds.schema().base_schema]
+
+    def topn(tb: pa.Table, keep_hash: bool) -> pa.Table:
+        if "__u" not in tb.column_names:
+            # compute on empty tables too: the hash dtype (uint64 md5 vs
+            # float64 xxhash-unit) must agree across blocks for the union
+            u = fn(tb, on, seed)
+            u2 = fn(tb, on, seed + 1)
+            tb = tb.append_column("__u", pa.array(u)).append_column("__u2", pa.array(u2))
+        if tb.num_rows:
+            tb = (
+                pl.from_arrow(tb)
+                .sort([key, "__u", "__u2", on])
+                .group_by(key, maintain_order=True)
+                .head(n)
+                .select(tb.column_names)  # group_by.head moves the key first
+                .to_arrow()
+                .cast(tb.schema)
+            )
+        return tb if keep_hash else tb.drop_columns(["__u", "__u2"])
+
+    partial = ds.map_batches(
+        lambda tb: topn(tb, keep_hash=True),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    out = local_group_map(partial, [key], lambda tb: topn(tb, keep_hash=False))
+    return out.map_batches(
+        lambda tb: tb.select(out_names),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+
+
 def split_fractions_filter(ds, on: str, lo: float, hi: float, seed: int = 42, unit_fn=None):
     """Rows whose unit hash of ``on`` falls in [lo, hi) — one split.
     ``unit_fn(batch, on, seed) -> float64[0,1)`` swaps the hash (e.g.

@@ -2208,20 +2208,31 @@ def template_params_docs(sf_dir: str):
 @register(
     "sampled_docs",
     """
-    SELECT doc_id, lang FROM documents
+    SELECT 'rate' AS op, doc_id, lang FROM documents
     WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 200
+    UNION ALL
+    SELECT 'grouped' AS op, doc_id, lang FROM (
+      SELECT doc_id, lang, ROW_NUMBER() OVER (
+        PARTITION BY lang
+        ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) t WHERE rn <= 20
     """,
 )
 def sampled_docs(sf_dir: str):
     """Deterministic uniform sampling (P3 analog of the seeded
     ``df.sample`` at ``end_to_end_prediction.py:269-273``) + seeded full
-    shuffle (P4, ``models/feature_extraction.py:81``). Sampling keeps rows
-    whose key hash falls under the rate — reproducible at ANY
-    partitioning/parallelism, unlike per-task RNG state. The driver row
-    uses the md5 hash (DuckDB ``md5_number_lower`` parity) so SAMPLE
-    MEMBERSHIP is oracle-checked row-exactly; the shuffle (P4) still runs
-    in-pipeline — the driver compare is order-insensitive, which is the
-    correct check for a shuffle (same multiset)."""
+    shuffle (P4, ``models/feature_extraction.py:81``) + deterministic
+    PER-GROUP fixed-count sampling (``grouped_fixed_count_sample``,
+    round 4: exactly 20 docs per language by smallest md5 order hash —
+    the stratified-eval-set shape; distributed per-block combiner → one
+    shuffle, never a driver gather). Rate sampling keeps rows whose key
+    hash falls under the rate — reproducible at ANY partitioning or
+    parallelism, unlike per-task RNG state. Both rows use the md5 hash
+    (DuckDB ``md5_number_lower`` parity) so sample MEMBERSHIP is
+    oracle-checked row-exactly; the shuffle (P4) still runs in-pipeline
+    — the driver compare is order-insensitive, which is the correct
+    check for a shuffle (same multiset)."""
+    from ..functions.split import grouped_fixed_count_sample, md5_order_hash
     from ..sketches.simhash import _md5_token_hash
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
@@ -2231,5 +2242,17 @@ def sampled_docs(sf_dir: str):
         h = np.fromiter((_md5_token_hash(str(v)) for v in ids), dtype=np.uint64, count=len(ids))
         return batch.filter(pa.array(h % np.uint64(1000) < np.uint64(200)))
 
+    def tag(val):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.add_column(0, "op", pa.nulls(batch.num_rows, pa.string()).fill_null(val))
+
+        return fn
+
     sampled = docs.map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    return as_table(sampled.random_shuffle(seed=42))
+    sampled = sampled.random_shuffle(seed=42).map_batches(
+        tag("rate"), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    grouped = grouped_fixed_count_sample(
+        docs, key="lang", on="doc_id", n=20, unit_fn=md5_order_hash
+    ).map_batches(tag("grouped"), batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    return as_table(sampled.union(grouped))

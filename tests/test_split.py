@@ -96,3 +96,57 @@ def test_fixed_count_sample_null_and_string_keys(ray_session):
         if keys is None:
             keys = got
         assert got == keys
+
+
+def test_grouped_fixed_count_sample_duckdb_parity_and_invariance(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.split import grouped_fixed_count_sample, md5_order_hash
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    t = pa.table(
+        {
+            "row_id": pa.array(range(n), type=pa.int64()),
+            "g": pa.array(rng.choice(["a", "b", "c", "tiny"], size=n, p=[0.5, 0.3, 0.199, 0.001])),
+        }
+    )
+
+    def run(parts, k):
+        return (
+            as_table(
+                grouped_fixed_count_sample(
+                    rd.from_arrow(t).repartition(parts), key="g", on="row_id", n=k,
+                    unit_fn=md5_order_hash,
+                )
+            )
+            .to_pandas()
+            .sort_values(["g", "row_id"])
+            .reset_index(drop=True)
+        )
+
+    got = run(5, 25)
+    # exact per-group counts: min(n, group size)
+    sizes = {g: c for g, c in zip(*np.unique(t["g"].to_numpy(zero_copy_only=False), return_counts=True))}
+    counts = got.groupby("g").size().to_dict()
+    assert counts == {g: min(25, int(c)) for g, c in sizes.items()}
+    # layout invariance
+    assert got.equals(run(1, 25)) and got.equals(run(11, 25))
+    # SQL parity on the md5 order hash
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """
+        SELECT g, row_id FROM (
+          SELECT g, row_id, ROW_NUMBER() OVER (
+            PARTITION BY g ORDER BY md5_number_lower(CAST(row_id AS VARCHAR)), row_id) AS rn
+          FROM t) s WHERE rn <= 25 ORDER BY g, row_id
+        """
+    ).df()
+    assert got["row_id"].tolist() == want["row_id"].tolist()
+    assert got["g"].tolist() == want["g"].tolist()
+
+    with pytest.raises(ValueError, match="positive"):
+        grouped_fixed_count_sample(rd.from_arrow(t), key="g", on="row_id", n=0)
