@@ -366,3 +366,112 @@ def content_hash128_batch(batch: pa.Table, col: str, out_cols: tuple[str, str] =
     h2 = s.hash(seed=0x9E3779B9).to_numpy().view(np.int64)
     batch = batch.append_column(out_cols[0], pa.array(h1, type=pa.int64()))
     return batch.append_column(out_cols[1], pa.array(h2, type=pa.int64()))
+
+
+def term_doc_stats(docs_ds, text_col: str = "text", ngram: int = 1):
+    """Corpus (term, cnt, df) statistics in ONE narrow shuffle: per term,
+    the total occurrence count and the DOCUMENT FREQUENCY (number of
+    distinct documents containing it) — the inputs TF-IDF needs.
+
+    The distributed df trick: each document's text lives wholly in one
+    row, so a per-batch (doc, term) group counts each document at most
+    once per term; summing the per-batch "docs containing term" partials
+    across blocks is therefore the exact global distinct-doc count — NO
+    global (doc, term) distinct shuffle is ever needed. Only (term, cnt,
+    df) triples cross the wire.
+
+    ``ngram=2`` builds word bigrams (within-row shift, same construction
+    as the bigram query) instead of unigrams.
+    """
+    import polars as pl
+
+    from .shuffle import local_group_map, select_if_needed
+
+    if ngram not in (1, 2):
+        raise ValueError("ngram must be 1 or 2")
+    out_schema = pa.schema([("term", pa.string()), ("cnt", pa.int64()), ("df", pa.int64())])
+
+    def partial(tb: pa.Table) -> pa.Table:
+        col = tb[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        df = (
+            pl.DataFrame({"i": np.arange(n, dtype=np.int64), "t": pl.Series(col).fill_null("")})
+            .with_columns(pl.col("t").str.extract_all(r"\S+"))
+            .explode("t")
+            .drop_nulls("t")
+        )
+        if ngram == 2:
+            df = df.with_columns(term=pl.col("t") + " " + pl.col("t").shift(-1).over("i")).drop_nulls("term")
+        else:
+            df = df.rename({"t": "term"})
+        g = (
+            df.group_by(["i", "term"])
+            .agg(pl.len().alias("tf"))
+            .group_by("term")
+            .agg(pl.col("tf").sum().alias("cnt"), pl.len().alias("df"))
+        )
+        return g.to_arrow().cast(out_schema)
+
+    def merge(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return tb.cast(out_schema)
+        g = pl.from_arrow(tb).group_by("term").agg(pl.col("cnt").sum(), pl.col("df").sum())
+        return g.to_arrow().cast(out_schema)
+
+    parts = select_if_needed(docs_ds, [text_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return local_group_map(parts, ["term"], merge, keys_non_null=True)
+
+
+def tfidf_top_terms(
+    docs_ds,
+    n_docs: int,
+    text_col: str = "text",
+    k: int = 25,
+    ngram: int = 1,
+    order: str = "tfidf",
+) -> pa.Table:
+    """Top-k corpus terms with TF-IDF scores (`tfidf = cnt * LN(n_docs /
+    df)`, the classic raw-count x inverse-document-frequency corpus
+    salience measure): ranked by ``order`` ('tfidf' or 'cnt') descending
+    with the term as tie-break. Pass ``n_docs`` from a metadata count
+    (``ds.count()`` on a parquet read is free) — it must be the document
+    count of ``docs_ds``.
+
+    Post-shuffle each block holds its terms' EXACT totals, so a
+    per-block partial top-k is lossless and only (blocks x k) rows reach
+    the driver — the full vocabulary never does. The score is rounded to
+    6 digits BEFORE ranking so the ordering matches a SQL oracle that
+    ranks the rounded alias."""
+    import polars as pl
+
+    if order not in ("tfidf", "cnt"):
+        raise ValueError("order must be 'tfidf' or 'cnt'")
+    stats = term_doc_stats(docs_ds, text_col=text_col, ngram=ngram)
+    out_schema = pa.schema(
+        [("term", pa.string()), ("cnt", pa.int64()), ("df", pa.int64()), ("tfidf", pa.float64())]
+    )
+
+    def score_topk(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return tb.append_column("tfidf", pa.array([], type=pa.float64())).cast(out_schema)
+        df = pl.from_arrow(tb).with_columns(
+            tfidf=(pl.col("cnt") * (float(n_docs) / pl.col("df")).log()).round(6)
+        )
+        return (
+            df.sort([order, "term"], descending=[True, False]).head(k).to_arrow().cast(out_schema)
+        )
+
+    parts = [
+        t
+        for t in stats.map_batches(
+            score_topk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    merged = pa.concat_tables(parts or [out_schema.empty_table()], promote_options="default")
+    top = pl.from_arrow(merged).sort([order, "term"], descending=[True, False]).head(k)
+    return top.to_arrow().cast(out_schema)

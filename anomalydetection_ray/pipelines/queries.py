@@ -1448,59 +1448,48 @@ def rolling_user_value(sf_dir: str):
 @register(
     "top_bigrams_docs",
     r"""
-    WITH toks AS (
+    WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+    toks AS (
       SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS t FROM documents),
+    uni AS (
+      SELECT tok AS term, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY tok),
     pos AS (
       SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS p FROM toks WHERE len(t) > 0),
     big AS (
-      SELECT a.tok || ' ' || b.tok AS bigram
-      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1)
-    SELECT bigram, COUNT(*) AS cnt FROM big GROUP BY bigram
-    ORDER BY cnt DESC, bigram LIMIT 20
+      SELECT a.doc_id, a.tok || ' ' || b.tok AS term
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+    bstats AS (SELECT term, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df FROM big GROUP BY term),
+    ranked_b AS (
+      SELECT 'bigram' AS kind, term, cnt, df, ROUND(cnt * LN(nd / df), 6) AS tfidf
+      FROM bstats, n ORDER BY cnt DESC, term LIMIT 20),
+    ranked_u AS (
+      SELECT 'unigram' AS kind, term, cnt, df, ROUND(cnt * LN(nd / df), 6) AS tfidf
+      FROM uni, n ORDER BY tfidf DESC, term LIMIT 25)
+    SELECT * FROM ranked_b UNION ALL SELECT * FROM ranked_u
     """,
 )
 def top_bigrams_docs(sf_dir: str):
     """Corpus vocabulary statistics (training-data staple): top-20 word
-    bigrams. Per-batch polars explode + within-row shift builds bigrams,
-    the distributed counts path aggregates, deterministic
-    (cnt desc, bigram) tiebreak picks the head."""
-    import polars as pl
+    bigrams by count + top-25 unigrams by TF-IDF, each with total count,
+    document frequency and tf-idf score (``tfidf_top_terms``, round 4).
+    ONE narrow (term, cnt, df) shuffle per kind — document frequency
+    needs no global (doc, term) distinct because each document's text
+    lives wholly in one row, so per-batch partials count each doc once
+    (`functions/text.py:term_doc_stats`). Post-shuffle blocks hold exact
+    totals, so per-block partial top-k is lossless and only blocks x k
+    rows reach the driver. Scores round to 6 digits BEFORE ranking so
+    ordering matches the SQL rounded alias; (score desc, term) tiebreak
+    is deterministic."""
+    from ..functions.text import tfidf_top_terms
 
     docs = read_table(sf_dir, "documents", columns=["text"])
-
-    def bigrams(batch: pa.Table) -> pa.Table:
-        col = batch["text"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        n = len(col)
-        df = (
-            pl.DataFrame({"i": np.arange(n, dtype=np.int64), "t": pl.Series(col).fill_null("")})
-            .with_columns(pl.col("t").str.extract_all(r"\S+"))
-            .explode("t")
-            .drop_nulls("t")
-            .with_columns(bigram=pl.col("t") + " " + pl.col("t").shift(-1).over("i"))
-            .drop_nulls("bigram")
-        )
-        return pa.table({"bigram": df["bigram"].to_arrow().cast(pa.string())})
-
-    grams = docs.map_batches(bigrams, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    counts = key_counts(grams, ["bigram"])
-
-    # distributed top-k: each post-shuffle block holds its bigrams'
-    # EXACT totals, so a per-block partial top-20 is lossless and only
-    # (blocks × 20) rows reach the driver — never the full vocabulary
-    def topk_block(tb: pa.Table) -> pa.Table:
-        if tb.num_rows == 0:
-            return tb
-        return (
-            pl.from_arrow(tb).sort(["cnt", "bigram"], descending=[True, False]).head(20)
-        ).to_arrow().cast(tb.schema)
-
-    parts = as_table(
-        counts.map_batches(topk_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    )
-    top = pl.from_arrow(parts).sort(["cnt", "bigram"], descending=[True, False]).head(20)
-    return top.to_arrow().cast(pa.schema([("bigram", pa.string()), ("cnt", pa.int64())]))
+    n_docs = docs.count()
+    uni = tfidf_top_terms(docs, n_docs, k=25, ngram=1, order="tfidf")
+    big = tfidf_top_terms(docs, n_docs, k=20, ngram=2, order="cnt")
+    uni = uni.add_column(0, "kind", pa.nulls(uni.num_rows, pa.string()).fill_null("unigram"))
+    big = big.add_column(0, "kind", pa.nulls(big.num_rows, pa.string()).fill_null("bigram"))
+    return pa.concat_tables([big, uni])
 
 
 @register(

@@ -176,3 +176,54 @@ def test_winnow_containment_pairs_end_to_end(ray_session, nblocks):
     pairs = set(zip(got["a"], got["b"]))
     assert pairs == {(1, 3)}
     assert (got["shared"] >= 1).all()
+
+
+def test_term_doc_stats_and_tfidf_topk(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import term_doc_stats, tfidf_top_terms
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    docs = pa.table(
+        {
+            "text": pa.array(
+                ["a b a", "b c", None, "", "a a a a", "c c b", "x y", "y x y"]
+            )
+        }
+    )
+    for parts in (1, 5):
+        ds = rd.from_arrow(docs).repartition(parts)
+        got = (
+            as_table(term_doc_stats(ds))
+            .to_pandas()
+            .sort_values("term")
+            .reset_index(drop=True)
+        )
+        # hand-check: a appears 2+4=6 times in 2 docs; b 1+1+1=3 in 3 docs
+        want = {
+            "a": (6, 2), "b": (3, 3), "c": (3, 2), "x": (2, 2), "y": (3, 2),
+        }
+        assert {r.term: (r.cnt, r.df) for r in got.itertuples()} == want
+
+    top = tfidf_top_terms(rd.from_arrow(docs).repartition(3), n_docs=docs.num_rows, k=3)
+    con = duckdb.connect()
+    con.register("d", docs)
+    want_df = con.execute(
+        r"""
+        WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM d),
+        toks AS (SELECT ROW_NUMBER() OVER () AS i, unnest(regexp_extract_all(COALESCE(text,''), '\S+')) AS tok FROM d),
+        s AS (SELECT tok AS term, COUNT(*) AS cnt, COUNT(DISTINCT i) AS df FROM toks GROUP BY tok)
+        SELECT term, cnt, df, ROUND(cnt * LN(nd / df), 6) AS tfidf FROM s, n
+        ORDER BY tfidf DESC, term LIMIT 3
+        """
+    ).df()
+    got_df = top.to_pandas()
+    assert got_df["term"].tolist() == want_df["term"].tolist()
+    np.testing.assert_allclose(got_df["tfidf"], want_df["tfidf"], rtol=0, atol=1e-9)
+
+    with pytest.raises(ValueError, match="ngram"):
+        term_doc_stats(rd.from_arrow(docs), ngram=3)
+    with pytest.raises(ValueError, match="order"):
+        tfidf_top_terms(rd.from_arrow(docs), n_docs=8, order="df")
