@@ -237,7 +237,11 @@ def driver_grouped_agg(
     """Low-cardinality grouped aggregate with NO shuffle.
 
     ``spec``: ``alias -> (column, op)`` with op in
-    {"sum", "mean", "min", "max", "count"} ("count" ignores the column).
+    {"sum", "mean", "min", "max", "count", "std"} ("count" ignores the
+    column; "std" is the SQL sample standard deviation via
+    sum/sum-of-squares partials — fine away from the catastrophic-
+    cancellation regime std << |mean|; use ``checks.stats.column_stats``
+    (Chan moments) when that regime matters).
 
     Per-block polars partials (sum/count/min/max — mean decomposes into
     sum+count) stream to the driver and merge there in one grouped pass.
@@ -251,21 +255,7 @@ def driver_grouped_agg(
     """
     import pandas as pd
 
-    partial_exprs = []
-    for alias, (col, op) in spec.items():
-        if op == "sum":
-            partial_exprs.append(pl.col(col).sum().alias(f"{alias}__sum"))
-        elif op == "mean":
-            partial_exprs.append(pl.col(col).sum().alias(f"{alias}__sum"))
-            partial_exprs.append(pl.col(col).count().alias(f"{alias}__cnt"))
-        elif op == "min":
-            partial_exprs.append(pl.col(col).min().alias(f"{alias}__min"))
-        elif op == "max":
-            partial_exprs.append(pl.col(col).max().alias(f"{alias}__max"))
-        elif op == "count":
-            partial_exprs.append(pl.len().alias(f"{alias}__cnt"))
-        else:
-            raise ValueError(f"unsupported op {op!r}")
+    partial_exprs = _agg_partial_exprs(spec)
 
     def partial(batch: pa.Table) -> pa.Table:
         out = pl.from_arrow(batch).group_by(keys).agg(partial_exprs)
@@ -282,22 +272,103 @@ def driver_grouped_agg(
     if not blocks:
         return pd.DataFrame(columns=keys + list(spec))
     merged = pl.from_arrow(pa.concat_tables(blocks, promote_options="default"))
-    final_exprs = []
+    out = merged.group_by(keys).agg(_agg_final_exprs(spec)).sort(keys)
+    return out.to_pandas()
+
+
+def _agg_partial_exprs(spec: dict[str, tuple[str | None, str]]):
+    exprs = []
     for alias, (col, op) in spec.items():
         if op == "sum":
-            final_exprs.append(pl.col(f"{alias}__sum").sum().alias(alias))
+            exprs.append(pl.col(col).sum().alias(f"{alias}__sum"))
         elif op == "mean":
-            final_exprs.append(
-                (pl.col(f"{alias}__sum").sum() / pl.col(f"{alias}__cnt").sum()).alias(alias)
+            exprs.append(pl.col(col).sum().alias(f"{alias}__sum"))
+            exprs.append(pl.col(col).count().alias(f"{alias}__cnt"))
+        elif op == "std":
+            exprs.append(pl.col(col).sum().alias(f"{alias}__sum"))
+            exprs.append((pl.col(col).cast(pl.Float64) ** 2).sum().alias(f"{alias}__sumsq"))
+            exprs.append(pl.col(col).count().alias(f"{alias}__cnt"))
+        elif op == "min":
+            exprs.append(pl.col(col).min().alias(f"{alias}__min"))
+        elif op == "max":
+            exprs.append(pl.col(col).max().alias(f"{alias}__max"))
+        elif op == "count":
+            exprs.append(pl.len().alias(f"{alias}__cnt"))
+        else:
+            raise ValueError(f"unsupported op {op!r}")
+    return exprs
+
+
+def _agg_final_exprs(spec: dict[str, tuple[str | None, str]]):
+    exprs = []
+    for alias, (col, op) in spec.items():
+        if op == "sum":
+            exprs.append(pl.col(f"{alias}__sum").sum().alias(alias))
+        elif op == "mean":
+            exprs.append((pl.col(f"{alias}__sum").sum() / pl.col(f"{alias}__cnt").sum()).alias(alias))
+        elif op == "std":
+            n = pl.col(f"{alias}__cnt").sum()
+            s = pl.col(f"{alias}__sum").sum()
+            exprs.append(
+                (((pl.col(f"{alias}__sumsq").sum() - s**2 / n) / (n - 1)).sqrt()).alias(alias)
             )
         elif op == "min":
-            final_exprs.append(pl.col(f"{alias}__min").min().alias(alias))
+            exprs.append(pl.col(f"{alias}__min").min().alias(alias))
         elif op == "max":
-            final_exprs.append(pl.col(f"{alias}__max").max().alias(alias))
+            exprs.append(pl.col(f"{alias}__max").max().alias(alias))
         elif op == "count":
-            final_exprs.append(pl.col(f"{alias}__cnt").sum().alias(alias))
-    out = merged.group_by(keys).agg(final_exprs).sort(keys)
-    return out.to_pandas()
+            exprs.append(pl.col(f"{alias}__cnt").sum().alias(alias))
+    return exprs
+
+
+def rollup_agg(
+    ds,
+    keys: list[str],
+    spec: dict[str, tuple[str | None, str]],
+    batch_size: int | None = None,
+):
+    """SQL ``GROUP BY ROLLUP(keys...)`` from ONE scan: aggregates at
+    EVERY prefix level — (k1..kn), (k1..kn-1), ..., the grand total —
+    with rolled-up key columns NULL, exactly DuckDB's ROLLUP row shape.
+
+    Same no-shuffle plan as :func:`driver_grouped_agg` (low-cardinality
+    contract: the FINEST level's distinct keys are small-bounded): the
+    per-block partial pass runs ONCE at the finest level, and every
+    coarser level re-merges the same tiny partial table on the driver —
+    mergeable partials (sum/count/min/max/sumsq) make each level exact,
+    mean/std included, with no second scan of the corpus. Returns a
+    pandas DataFrame, levels concatenated, sorted finest-first by keys
+    (nulls last per level)."""
+    import pandas as pd
+
+    partial_exprs = _agg_partial_exprs(spec)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pl.from_arrow(batch).group_by(keys).agg(partial_exprs).to_arrow()
+
+    need = list(dict.fromkeys(keys + [c for c, op in spec.values() if op != "count" and c]))
+    blocks = [
+        tb
+        for tb in select_if_needed(ds, need)
+        .map_batches(partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if tb.num_rows
+    ]
+    if not blocks:
+        return pd.DataFrame(columns=keys + list(spec))
+    merged = pl.from_arrow(pa.concat_tables(blocks, promote_options="default"))
+    final_exprs = _agg_final_exprs(spec)
+    levels = []
+    for m in range(len(keys), -1, -1):
+        if m:
+            lvl = merged.group_by(keys[:m]).agg(final_exprs)
+        else:
+            lvl = merged.select(final_exprs)
+        lvl = lvl.with_columns(
+            [pl.lit(None).cast(merged.schema[k]).alias(k) for k in keys[m:]]
+        ).select(keys + list(spec))
+        levels.append(lvl.sort(keys[:m]) if m else lvl)
+    return pl.concat(levels).to_pandas()
 
 
 def grouped_min(ds, keys: list[str], value_col: str, out_col: str, num_blocks: int | None = None, keys_non_null: bool = False):

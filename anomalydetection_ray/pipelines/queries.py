@@ -14,7 +14,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..checks.referential import orphans_bloom, semi_join
 from ..checks.stats import column_stats
@@ -525,24 +525,34 @@ def docs_from_unknown_sources(sf_dir: str):
 @register(
     "value_stats_events",
     """
-    SELECT COUNT(value) AS cnt,
+    SELECT event_type, COUNT(*) AS cnt,
            ROUND(MIN(value), 6) AS vmin, ROUND(MAX(value), 6) AS vmax,
            ROUND(AVG(value), 6) AS vmean, ROUND(STDDEV(value), 6) AS vstd
-    FROM events
+    FROM events GROUP BY ROLLUP(event_type)
     """,
 )
 def value_stats_events(sf_dir: str):
-    """Global scalar aggregate (A6/A8) via Ray Data native partial+final
-    aggregates."""
-    ds = read_table(sf_dir, "events", columns=["value"])
-    row = ds.aggregate(
-        Count("value", alias_name="cnt"),
-        Min("value", alias_name="vmin"),
-        Max("value", alias_name="vmax"),
-        Mean("value", alias_name="vmean"),
-        Std("value", alias_name="vstd"),
+    """Scalar aggregates at EVERY rollup level (A6/A8 + round-4
+    ``rollup_agg``): per-event-type stats AND the grand total — SQL
+    ``GROUP BY ROLLUP`` — from ONE scan. Per-block mergeable partials
+    (sum/sumsq/count/min/max) are computed once at the finest level and
+    every coarser level re-merges the same tiny partial table on the
+    driver; rolled-up key columns are NULL exactly as DuckDB emits
+    them."""
+    from ..functions.shuffle import rollup_agg
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    df = rollup_agg(
+        ds,
+        ["event_type"],
+        {
+            "cnt": (None, "count"),
+            "vmin": ("value", "min"),
+            "vmax": ("value", "max"),
+            "vmean": ("value", "mean"),
+            "vstd": ("value", "std"),
+        },
     )
-    df = pd.DataFrame([row])
     df["cnt"] = df["cnt"].astype("int64")
     return _round_pd(df, {"vmin": 6, "vmax": 6, "vmean": 6, "vstd": 6})
 

@@ -135,3 +135,58 @@ def test_local_group_map_null_keys(ray_session):
     out2 = grouped_sum(ds2, ["k"], "v", "s").materialize()
     got2 = {r["k"]: r["s"] for b in out2.iter_batches(batch_format="pyarrow", batch_size=None) for r in b.to_pylist()}
     assert got2 == {1: 60, None: 60, 0: 30}
+
+
+def test_rollup_agg_duckdb_parity(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import rollup_agg
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    t = pa.table(
+        {
+            "a": pa.array(rng.choice(["x", "y", "z"], n)),
+            "b": pa.array(rng.integers(0, 4, n), type=pa.int64()),
+            "v": pa.array(rng.normal(50, 20, n)),
+        }
+    )
+    got = rollup_agg(
+        rd.from_arrow(t).repartition(6),
+        ["a", "b"],
+        {
+            "cnt": (None, "count"),
+            "s": ("v", "sum"),
+            "m": ("v", "mean"),
+            "sd": ("v", "std"),
+            "lo": ("v", "min"),
+            "hi": ("v", "max"),
+        },
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """
+        SELECT a, b, COUNT(*) AS cnt, SUM(v) AS s, AVG(v) AS m, STDDEV(v) AS sd,
+               MIN(v) AS lo, MAX(v) AS hi
+        FROM t GROUP BY ROLLUP(a, b)
+        """
+    ).df()
+
+    def canon(df):
+        df = df.copy()
+        df["a"] = df["a"].fillna("\x00")
+        df["b"] = df["b"].fillna(-1).astype("int64")
+        return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+    g, w = canon(got), canon(want)
+    # 3 levels: 12 (a,b) + 3 (a) + 1 total
+    assert len(g) == len(w) == 16
+    pd.testing.assert_frame_equal(
+        g[["a", "b", "cnt"]], w[["a", "b", "cnt"]], check_dtype=False
+    )
+    for c in ("s", "m", "sd", "lo", "hi"):
+        np.testing.assert_allclose(g[c].to_numpy(), w[c].to_numpy(), rtol=1e-12)
