@@ -542,3 +542,66 @@ def dataset_heavy_hitters(ds, col: str, k: int = 256):
     out.err += err_total
     out.n = n_total
     return out
+
+
+def pivot_wide(
+    ds,
+    keys: list[str],
+    pivot_col: str,
+    pivot_values: list,
+    value_col: str | None = None,
+    agg: str = "count",
+    prefix: str | None = None,
+):
+    """Grouped PIVOT (long -> wide): one output row per ``keys`` group,
+    one aggregate column per ``pivot_values`` entry — SQL ``agg(value)
+    FILTER (WHERE pivot_col = v)`` per value, or DuckDB ``PIVOT ... ON
+    ... USING``.
+
+    ``pivot_values`` is EXPLICIT by design: deriving it from the data
+    would make the output schema a function of corpus content (unbounded
+    width at scale, and a second pass to discover it); list the columns
+    you want, or feed a bounded distinct you computed upstream.
+    ``agg`` ∈ {"count", "sum", "min", "max", "mean"}; "count" counts
+    matching rows and needs no ``value_col``. Missing combinations are 0
+    for count and NULL otherwise (SQL FILTER semantics).
+
+    One scan, NO shuffle: each pivot value becomes a synthesized
+    column (the value where ``pivot_col`` matches, else null — an
+    int64 indicator for count), and the whole pivot is ONE
+    :func:`driver_grouped_agg` pass over those columns, inheriting its
+    mergeable-partials plan and its low-cardinality-keys contract (the
+    wide result must fit one machine anyway)."""
+    if agg not in ("count", "sum", "min", "max", "mean"):
+        raise ValueError(f"unsupported pivot agg {agg!r}")
+    if agg != "count" and value_col is None:
+        raise ValueError(f"agg {agg!r} needs a value_col")
+    pfx = prefix if prefix is not None else (f"{value_col}_" if value_col else "n_")
+    names = [f"{pfx}{v}" for v in pivot_values]
+    if len(set(names)) != len(names) or set(names) & set(keys):
+        raise ValueError(f"pivot output columns collide: {sorted(names)}")
+    syn = [f"__pv_{i}" for i in range(len(pivot_values))]
+
+    def widen(tb: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        piv = tb[pivot_col]
+        if isinstance(piv, pa.ChunkedArray):
+            piv = piv.combine_chunks()
+        for i, v in enumerate(pivot_values):
+            mask = pc.equal(piv, pa.scalar(v, type=piv.type))
+            mask = pc.fill_null(mask, False)
+            if agg == "count":
+                col = pc.cast(mask, pa.int64())
+            else:
+                col = pc.if_else(mask, tb[value_col], pa.nulls(tb.num_rows, tb.schema.field(value_col).type))
+            tb = tb.append_column(syn[i], col)
+        return tb.select(keys + syn)
+
+    wide = ds.map_batches(widen, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    spec = {name: (s, "sum" if agg == "count" else agg) for name, s in zip(names, syn)}
+    out = driver_grouped_agg(wide, keys, spec)
+    if agg == "count":
+        for name in names:
+            out[name] = out[name].fillna(0).astype("int64")
+    return out

@@ -190,3 +190,53 @@ def test_rollup_agg_duckdb_parity(ray_session):
     )
     for c in ("s", "m", "sd", "lo", "hi"):
         np.testing.assert_allclose(g[c].to_numpy(), w[c].to_numpy(), rtol=1e-12)
+
+
+def test_pivot_wide_duckdb_parity(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import pivot_wide
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["a", "b", "c"], n)),
+            "p": pa.array(rng.choice(["x", "y", "z", "rare"], n, p=[0.5, 0.3, 0.19, 0.01])),
+            "v": pa.array(rng.normal(10, 3, n)),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(5)
+    got_cnt = pivot_wide(ds, ["g"], "p", ["x", "y", "missing"], agg="count")
+    got_sum = pivot_wide(ds, ["g"], "p", ["x", "y"], value_col="v", agg="sum")
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """
+        SELECT g,
+               COUNT(*) FILTER (p = 'x') AS n_x,
+               COUNT(*) FILTER (p = 'y') AS n_y,
+               COUNT(*) FILTER (p = 'missing') AS n_missing,
+               SUM(v) FILTER (p = 'x') AS v_x,
+               SUM(v) FILTER (p = 'y') AS v_y
+        FROM t GROUP BY g ORDER BY g
+        """
+    ).df()
+    got_cnt = got_cnt.sort_values("g").reset_index(drop=True)
+    got_sum = got_sum.sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_cnt[["g", "n_x", "n_y", "n_missing"]], want[["g", "n_x", "n_y", "n_missing"]],
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(got_sum["v_x"], want["v_x"], rtol=1e-12)
+    np.testing.assert_allclose(got_sum["v_y"], want["v_y"], rtol=1e-12)
+
+    with pytest.raises(ValueError, match="needs a value_col"):
+        pivot_wide(ds, ["g"], "p", ["x"], agg="sum")
+    with pytest.raises(ValueError, match="collide"):
+        pivot_wide(ds, ["g"], "p", ["x", "x"], agg="count")
+    with pytest.raises(ValueError, match="unsupported"):
+        pivot_wide(ds, ["g"], "p", ["x"], agg="median")
