@@ -358,11 +358,16 @@ def window_rank(
     kinds: tuple[str, ...] = ("row_number",),
     carry: list[str] | None = None,
     num_blocks: int | None = None,
+    ntile: int | None = None,
 ):
     """Per-key ranking windows (SQL ``ROW_NUMBER()`` / ``RANK()`` /
-    ``DENSE_RANK() OVER (PARTITION BY key ORDER BY order_cols)``), the
-    §2.9 window family member LAG/LEAD and the rolling frames don't
-    cover. Appends one int64 column per requested kind, named after it.
+    ``DENSE_RANK()`` / ``PERCENT_RANK()`` / ``CUME_DIST() OVER
+    (PARTITION BY key ORDER BY order_cols)``), the §2.9 window family
+    member LAG/LEAD and the rolling frames don't cover. Appends one
+    column per requested kind, named after it (int64; the two
+    distribution kinds are float64). ``ntile=k`` additionally appends an
+    ``ntile`` int64 column with SQL NTILE semantics (buckets as even as
+    possible, earlier buckets take the remainder).
 
     ``RANK``/``DENSE_RANK`` are well-defined under order ties (tied rows
     share a rank). ``ROW_NUMBER`` is only deterministic when
@@ -377,17 +382,22 @@ def window_rank(
     results in one pass where possible (the driver query
     ``rolling_user_value`` chains three and is small by contract)."""
     carry = carry or []
-    allowed = ("row_number", "rank", "dense_rank")
+    allowed = ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist")
     bad = [k for k in kinds if k not in allowed]
     if bad:
         raise ValueError(f"unknown rank kinds {bad}; allowed: {allowed}")
+    if ntile is not None and ntile < 1:
+        raise ValueError("ntile must be >= 1")
     need = list(dict.fromkeys([key] + list(order_cols) + carry))
     base = ds.schema().base_schema
-    dup = [k for k in kinds if k in need]
+    out_names = list(kinds) + (["ntile"] if ntile else [])
+    dup = [k for k in out_names if k in need]
     if dup:
         raise ValueError(f"rank output columns collide with input columns: {dup}")
+    _FLOAT_KINDS = ("percent_rank", "cume_dist")
     out_schema = pa.schema(
-        [(c, base.field(c).type) for c in need] + [(k, pa.int64()) for k in kinds]
+        [(c, base.field(c).type) for c in need]
+        + [(k, pa.float64() if k in _FLOAT_KINDS else pa.int64()) for k in out_names]
     )
 
     def block(tb: pa.Table) -> pa.Table:
@@ -398,13 +408,32 @@ def window_rank(
         # any parallelism; rank/dense_rank read only the order_cols struct
         df = pl.from_arrow(tb.select(need)).sort(need)
         okey = pl.struct(list(order_cols)) if len(order_cols) > 1 else pl.col(order_cols[0])
+        n = pl.len().over(key)
+        rn = pl.int_range(1, pl.len() + 1, dtype=pl.Int64).over(key)
         exprs = []
         for k in kinds:
             if k == "row_number":
-                exprs.append(pl.int_range(1, pl.len() + 1, dtype=pl.Int64).over(key).alias(k))
+                exprs.append(rn.alias(k))
+            elif k == "percent_rank":
+                # (rank - 1) / (n - 1); a single-row group is 0 by SQL definition
+                pr = (okey.rank("min").over(key) - 1) / (n - 1).clip(lower_bound=1)
+                exprs.append(pr.cast(pl.Float64).alias(k))
+            elif k == "cume_dist":
+                exprs.append((okey.rank("max").over(key) / n).cast(pl.Float64).alias(k))
             else:
                 method = "min" if k == "rank" else "dense"
                 exprs.append(okey.rank(method).over(key).cast(pl.Int64).alias(k))
+        if ntile:
+            small = n // ntile
+            rem = n % ntile
+            cut = rem * (small + 1)  # rows in the (larger) leading buckets
+            exprs.append(
+                pl.when(rn <= cut)
+                .then((rn - 1) // (small + 1) + 1)
+                .otherwise(rem + (rn - 1 - cut) // small.clip(lower_bound=1) + 1)
+                .cast(pl.Int64)
+                .alias("ntile")
+            )
         df = df.with_columns(exprs)
         return df.select([f.name for f in out_schema]).to_arrow().cast(out_schema)
 

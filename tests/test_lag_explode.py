@@ -126,7 +126,7 @@ def test_window_rank_multi_order_and_guards(ray_session):
     pdt.assert_frame_equal(got, want[got.columns], check_dtype=False)
 
     with pytest.raises(ValueError, match="unknown rank kinds"):
-        window_rank(rd.from_arrow(tb), "k", ["a"], kinds=("percent_rank",))
+        window_rank(rd.from_arrow(tb), "k", ["a"], kinds=("median_rank",))
     tb2 = pa.table({"k": [1], "a": [1], "rank": [9]})
     with pytest.raises(ValueError, match="collide"):
         window_rank(rd.from_arrow(tb2), "k", ["a"], kinds=("rank",), carry=["rank"])
@@ -211,3 +211,48 @@ def test_explode_fixed_size_list(ray_session):
     out = as_table(explode_list_column(rd.from_arrow(tb), "xs", value_col="x", index_col="idx"))
     got = sorted(zip(out["id"].to_pylist(), out["idx"].to_pylist(), out["x"].to_pylist()))
     assert got == [(1, 0, 1.0), (1, 1, 2.0), (2, 0, 3.0), (2, 1, 4.0)]
+
+
+@pytest.mark.parametrize("k", [1, 3, 7])
+def test_window_rank_distribution_kinds_and_ntile(ray_session, k):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import window_rank
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    rng = np.random.default_rng(17)
+    n = 300
+    tb = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 7, n), type=pa.int64()),
+            "t": pa.array(rng.choice(5000, n, replace=False), type=pa.int64()),
+            "v": pa.array(rng.integers(0, 5, n), type=pa.int64()),
+        }
+    )
+    got = _sorted_pd(
+        as_table(
+            window_rank(
+                rd.from_arrow(tb).repartition(4), "k", ["v"],
+                kinds=("percent_rank", "cume_dist"), carry=["t"], ntile=k,
+            )
+        )
+    )
+    con = duckdb.connect()
+    con.register("e", tb)
+    want = _sorted_pd(
+        con.execute(
+            f"""
+            SELECT k, v, t,
+                   PERCENT_RANK() OVER w AS percent_rank,
+                   CUME_DIST()    OVER w AS cume_dist,
+                   NTILE({k}) OVER (PARTITION BY k ORDER BY v, t) AS ntile
+            FROM e WINDOW w AS (PARTITION BY k ORDER BY v)
+            """
+        ).arrow()
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+    with pytest.raises(ValueError, match="ntile"):
+        window_rank(rd.from_arrow(tb), "k", ["v"], ntile=0)
