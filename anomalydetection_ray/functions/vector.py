@@ -143,3 +143,51 @@ def grouped_centroids(ds, group_col: str, vec_col: str, num_blocks: int | None =
         out_rows.append({group_col: key[0], "centroid": (sums / max(n, 1)).tolist(), "n": n})
     out_rows.sort(key=lambda r: str(r[group_col]))
     return pa.Table.from_pylist(out_rows)
+
+
+def unpivot_long(ds, keys: list[str], value_cols: list[str], var_col: str = "name", value_col: str = "value"):
+    """Wide → long UNPIVOT/melt (the inverse of ``pivot_wide``): each
+    input row emits one output row per entry of ``value_cols`` —
+    (keys..., name, value) — SQL ``UNPIVOT``.
+
+    Pure streaming map (no shuffle, no state): per batch, one sliced
+    copy per value column concatenated arrow-side. Value columns are
+    cast to their common arrow type up front (mixed int/float widen to
+    float64); incompatible mixes raise at plan time, matching SQL's
+    same-type UNPIVOT rule."""
+    import pyarrow.compute as pc
+
+    base = ds.schema().base_schema
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    vtypes = [base.field(c).type for c in value_cols]
+    vtype = vtypes[0]
+    for t in vtypes[1:]:
+        if t != vtype:
+            if all(pa.types.is_integer(x) or pa.types.is_floating(x) for x in (vtype, t)):
+                vtype = pa.float64()
+            else:
+                raise ValueError(
+                    f"value_cols mix incompatible types {sorted(set(map(str, vtypes)))}; cast upstream"
+                )
+    clash = set([var_col, value_col]) & set(keys)
+    if var_col == value_col or clash:
+        raise ValueError(f"output columns collide: {sorted(clash | {var_col})}")
+    out_schema = pa.schema(
+        [(k, base.field(k).type) for k in keys] + [(var_col, pa.string()), (value_col, vtype)]
+    )
+
+    def melt(tb: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = [tb[k] for k in keys]
+            cols.append(pa.nulls(tb.num_rows, pa.string()).fill_null(c))
+            cols.append(tb[c].cast(vtype))
+            parts.append(pa.Table.from_arrays(cols, schema=out_schema))
+        return pa.concat_tables(parts) if parts else out_schema.empty_table()
+
+    from .shuffle import select_if_needed
+
+    return select_if_needed(ds, list(dict.fromkeys(keys + value_cols))).map_batches(
+        melt, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

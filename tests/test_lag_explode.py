@@ -256,3 +256,32 @@ def test_window_rank_distribution_kinds_and_ntile(ray_session, k):
 
     with pytest.raises(ValueError, match="ntile"):
         window_rank(rd.from_arrow(tb), "k", ["v"], ntile=0)
+
+
+def test_unpivot_duckdb_parity(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.vector import unpivot_long
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    tb = pa.table(
+        {
+            "id": pa.array([1, 2, 3], type=pa.int64()),
+            "a": pa.array([10, None, 30], type=pa.int64()),
+            "b": pa.array([1.5, 2.5, None], type=pa.float64()),
+        }
+    )
+    got = as_table(unpivot_long(rd.from_arrow(tb).repartition(2), ["id"], ["a", "b"]))
+    con = duckdb.connect()
+    con.register("e", tb)
+    want = con.execute(
+        "SELECT * FROM e UNPIVOT INCLUDE NULLS (value FOR name IN (a, b))"
+    ).arrow()
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(_sorted_pd(got), _sorted_pd(want), check_dtype=False)
+
+    with pytest.raises(ValueError, match="incompatible"):
+        unpivot_long(rd.from_arrow(pa.table({"id": [1], "a": [1], "s": ["x"]})), ["id"], ["a", "s"])
+    with pytest.raises(ValueError, match="collide"):
+        unpivot_long(rd.from_arrow(tb), ["id"], ["a"], var_col="id")
