@@ -563,8 +563,10 @@ def pivot_wide(
     width at scale, and a second pass to discover it); list the columns
     you want, or feed a bounded distinct you computed upstream.
     ``agg`` ∈ {"count", "sum", "min", "max", "mean"}; "count" counts
-    matching rows and needs no ``value_col``. Missing combinations are 0
-    for count and NULL otherwise (SQL FILTER semantics).
+    matching rows and needs no ``value_col``. Missing combinations: 0
+    for count and sum (polars' empty-sum convention — SQL FILTER yields
+    NULL there, so COALESCE the oracle side), NULL/NaN for min/max/mean
+    (matching SQL).
 
     One scan, NO shuffle: each pivot value becomes a synthesized
     column (the value where ``pivot_col`` matches, else null — an

@@ -213,7 +213,9 @@ def range_join_agg(
     Left-join shape: every left row survives; no match → ``rj_count`` 0
     and ``rj_sum`` 0.0 (SQL: ``COUNT(right.col)`` + ``COALESCE(SUM(...),
     0)``). Null ``right_value`` rows count but add 0 to the sum, like
-    SQL SUM skipping NULLs.
+    SQL SUM skipping NULLs. NULL join keys never match the ON condition
+    (null-key left rows ride through with count 0; null-key right rows
+    are dropped), exactly like a SQL LEFT JOIN.
 
     The aggregate form is the 100-TB-safe one — emitting matched PAIRS
     can expand |left|×|right| per key; the aggregate streams exactly one
@@ -265,11 +267,16 @@ def range_join_agg(
             return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
         df = pl.from_arrow(tb)
         l = df.filter(pl.col(_SIDE) == 0).sort([key])
-        # total-order right sort (ts then value): prefix-sum diffs are
-        # taken at tie-group boundaries, but float accumulation order
-        # WITHIN a tie group still changes the boundary sums in the last
-        # ulp — a fixed order makes results partitioning-invariant
-        r = df.filter(pl.col(_SIDE) == 1).sort([key, "__rts"] + (["__rv"] if right_value else []))
+        # NULL keys never match the ON condition (SQL semantics): null-key
+        # right rows are dropped outright; null-key LEFT rows survive with
+        # count 0 — they sort first (polars default), so the search loop
+        # below simply starts past them. Dropping right nulls BEFORE the
+        # numpy conversion also keeps rkeys sorted for searchsorted (a
+        # null becomes NaN/None in numpy and breaks the ascending order).
+        r = df.filter((pl.col(_SIDE) == 1) & pl.col(key).is_not_null()).sort(
+            [key, "__rts"] + (["__rv"] if right_value else [])
+        )
+        n_null_left = int(l[key].null_count())
         lkeys = l[key].to_numpy()
         lts = _epoch_us(l[left_ts])
         rkeys = r[key].to_numpy()
@@ -278,9 +285,11 @@ def range_join_agg(
         rj_sum = np.zeros(len(lkeys), dtype=np.float64) if right_value else None
         if right_value:
             rvals = np.nan_to_num(r["__rv"].to_numpy().astype(np.float64), nan=0.0)
-        if len(lkeys):
-            bounds = np.flatnonzero(
-                np.concatenate([[True], lkeys[1:] != lkeys[:-1], [True]])
+        if len(lkeys) > n_null_left:
+            sub = lkeys[n_null_left:]
+            bounds = (
+                np.flatnonzero(np.concatenate([[True], sub[1:] != sub[:-1], [True]]))
+                + n_null_left
             )
             for s, e in zip(bounds[:-1], bounds[1:]):
                 rs, re = np.searchsorted(rkeys, lkeys[s], side="left"), np.searchsorted(
@@ -373,7 +382,12 @@ def window_rank(
     share a rank). ``ROW_NUMBER`` is only deterministic when
     ``order_cols`` is a TOTAL order within each key — same contract the
     SQL function has; pass a tie-breaking unique column (e.g. the row
-    id) last, exactly as you would in the ``OVER`` clause.
+    id) last, exactly as you would in the ``OVER`` clause. NULL order
+    values rank NULL (polars semantics) rather than sorting last as
+    SQL's default NULLS LAST does — coalesce them upstream when SQL
+    parity over nullable order columns matters (``row_number`` and
+    ``ntile`` are unaffected: they follow the total-order sort, nulls
+    first).
 
     Same distribution shape as :func:`lag_lead`: ONE range-partition
     shuffle co-locates each key, then one vectorized polars sort +

@@ -294,6 +294,30 @@ def test_range_join_agg_edges(ray_session):
     )
     assert out["rj_count"].tolist() == [1, 0]
     assert "rj_sum" not in out.columns
+
+    # NULL keys never match the ON condition (SQL LEFT JOIN): the null
+    # left row survives with count 0, the null right row matches nothing —
+    # string keys exercise the object-array path
+    left_n = pa.table(
+        {"k": pa.array(["a", None, "b"]), "t": pa.array([100, 100, 100], type=pa.int64())}
+    )
+    right_n = pa.table(
+        {"k": pa.array(["a", None]), "t": pa.array([100, 100], type=pa.int64()), "v": [5.0, 7.0]}
+    )
+    out_n = (
+        as_table(
+            range_join_agg(
+                rd.from_arrow(left_n), rd.from_arrow(right_n), key="k", left_ts="t", right_ts="t",
+                lo=np.timedelta64(0, "us"), hi=np.timedelta64(0, "us"), right_value="v",
+            )
+        )
+        .to_pandas()
+        .sort_values("k", na_position="first")
+        .reset_index(drop=True)
+    )
+    assert out_n["rj_count"].tolist() == [0, 1, 0]
+    assert out_n["rj_sum"].tolist() == [0.0, 5.0, 0.0]
+
     with pytest.raises(ValueError, match="empty range"):
         range_join_agg(
             rd.from_arrow(left), rd.from_arrow(right), key="k", left_ts="t", right_ts="t",
