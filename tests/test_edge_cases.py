@@ -107,6 +107,24 @@ def test_operators_on_empty_inputs(ray_session):
     assert as_table(grouped_topk(ev, ["k"], "v", 3)).num_rows == 0
     assert as_table(stratified_split(ev, "k", [0.5, 0.5])[0]).num_rows == 0
 
+    # round-4 additions
+    from anomalydetection_ray.functions.shuffle import pivot_wide, rollup_agg
+    from anomalydetection_ray.functions.split import grouped_fixed_count_sample
+    from anomalydetection_ray.functions.temporal import range_join_agg, window_rank
+    from anomalydetection_ray.functions.text import tfidf_top_terms
+    from anomalydetection_ray.functions.vector import unpivot_long
+
+    assert as_table(
+        range_join_agg(ev, ev, key="k", left_ts="t", right_ts="t",
+                       lo=datetime.timedelta(0), hi=datetime.timedelta(minutes=5), right_value="v")
+    ).num_rows == 0
+    assert as_table(window_rank(ev, "k", ["v"], kinds=("rank",), ntile=4)).num_rows == 0
+    assert as_table(grouped_fixed_count_sample(ev, key="k", on="v", n=5)).num_rows == 0
+    assert tfidf_top_terms(docs, n_docs=0, k=5).num_rows == 0
+    assert len(rollup_agg(ev, ["k"], {"cnt": (None, "count")})) == 0
+    assert len(pivot_wide(ev, ["k"], "v", [1.0], agg="count")) == 0
+    assert as_table(unpivot_long(ev, ["k"], ["v"])).num_rows == 0
+
 
 def test_local_group_map_null_keys(ray_session):
     """Ray's sort rejects null keys outright (TypeError in boundary
