@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def list_column_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -191,3 +192,85 @@ def unpivot_long(ds, keys: list[str], value_cols: list[str], var_col: str = "nam
     return select_if_needed(ds, list(dict.fromkeys(keys + value_cols))).map_batches(
         melt, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def distributed_pca(ds, vec_col: str, k: int, carry: list[str] | None = None):
+    """Distributed PCA: fit the top-``k`` principal components from
+    streaming covariance partials, then project every row — the
+    dimensionality-reduction stage an embedding pipeline runs before
+    clustering/ANN (reference analog: the latent bottleneck of
+    ``models/VAE_utils.py``; here exact linear PCA, not learned).
+
+    Two passes, both streaming, nothing corpus-sized on the driver:
+
+    1. FIT — one ``map_batches`` emits per-block ``(n, colsum d,
+       X'X d×d)`` partials; the driver merges them (exact mean +
+       covariance via E[xx'] − μμ', associative sums) and runs ONE
+       ``numpy.linalg.eigh`` on the d×d matrix. d is the embedding
+       width (tiny next to the corpus); the corpus never moves.
+    2. PROJECT — a second ``map_batches`` maps each row to
+       ``(x − μ) @ W`` with the broadcast ``(μ, W)`` closure, appending
+       a ``list<float>`` column ``{vec_col}_pca``.
+
+    Returns ``(projected_ds, mean, components)`` with components
+    (d, k), columns = eigenvectors of the covariance, descending
+    eigenvalue order. Component SIGNS are fixed deterministically
+    (largest-|coefficient| entry made positive) so results are
+    reproducible across runs and block layouts. Rows whose vector is
+    null or ragged-width raise — same loud-failure contract as
+    ``list_column_to_matrix``."""
+    from .shuffle import select_if_needed
+
+    carry = carry or []
+    need = list(dict.fromkeys([vec_col] + carry))
+
+    def partial(tb: pa.Table) -> pa.Table:
+        x = list_column_to_matrix(tb[vec_col]).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], type=pa.int64()),
+                "s": pa.array([x.sum(axis=0).tolist()], type=pa.list_(pa.float64())),
+                "xx": pa.array([(x.T @ x).reshape(-1).tolist()], type=pa.list_(pa.float64())),
+            }
+        )
+
+    parts = [
+        t
+        for t in select_if_needed(ds, [vec_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not parts:
+        raise ValueError("distributed_pca: empty input")
+    pt = pa.concat_tables(parts, promote_options="default")
+    n = int(pc.sum(pt["n"]).as_py())
+    s = np.add.reduce([np.asarray(v, dtype=np.float64) for v in pt["s"].to_pylist()])
+    xx = np.add.reduce([np.asarray(v, dtype=np.float64) for v in pt["xx"].to_pylist()])
+    d = s.shape[0]
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}]")
+    mean = s / n
+    cov = xx.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    w = evecs[:, ::-1][:, :k]
+    # deterministic sign: make each component's largest-|coeff| entry positive
+    flip = np.sign(w[np.abs(w).argmax(axis=0), np.arange(k)])
+    flip[flip == 0] = 1.0
+    w = w * flip
+    out_col = f"{vec_col}_pca"
+
+    def project(tb: pa.Table) -> pa.Table:
+        x = list_column_to_matrix(tb[vec_col]).astype(np.float64)
+        p = (x - mean) @ w
+        lst = pa.FixedSizeListArray.from_arrays(
+            pa.array(p.reshape(-1), type=pa.float64()), k
+        ).cast(pa.list_(pa.float64()))
+        cols = {c: tb[c] for c in need}
+        cols[out_col] = lst
+        return pa.table(cols)
+
+    proj = select_if_needed(ds, need).map_batches(
+        project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return proj, mean, w

@@ -285,3 +285,43 @@ def test_unpivot_duckdb_parity(ray_session):
         unpivot_long(rd.from_arrow(pa.table({"id": [1], "a": [1], "s": ["x"]})), ["id"], ["a", "s"])
     with pytest.raises(ValueError, match="collide"):
         unpivot_long(rd.from_arrow(tb), ["id"], ["a"], var_col="id")
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_distributed_pca_matches_numpy(ray_session, nblocks):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.vector import distributed_pca
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    rng = np.random.default_rng(31)
+    n, d, k = 400, 8, 3
+    # anisotropic data so the top components are well-separated
+    x = rng.normal(size=(n, d)) * np.array([10, 8, 6, 1, 1, 1, 0.5, 0.2])
+    tb = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(x.tolist(), type=pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tb).repartition(nblocks)
+    proj, mean, w = distributed_pca(ds, "embedding", k, carry=["vec_id"])
+
+    np.testing.assert_allclose(mean, x.mean(axis=0), rtol=0, atol=1e-12)
+    # reference PCA on the gathered matrix
+    xc = x - x.mean(axis=0)
+    evals, evecs = np.linalg.eigh(xc.T @ xc / n)
+    wref = evecs[:, ::-1][:, :k]
+    flip = np.sign(wref[np.abs(wref).argmax(axis=0), np.arange(k)])
+    wref = wref * flip
+    np.testing.assert_allclose(w, wref, rtol=0, atol=1e-9)
+
+    got = as_table(proj).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pmat = np.array(got["embedding_pca"].tolist())
+    np.testing.assert_allclose(pmat, xc @ wref, rtol=0, atol=1e-9)
+    # variance concentrates in the leading component
+    v = pmat.var(axis=0)
+    assert v[0] > v[1] > v[2]
+
+    with pytest.raises(ValueError, match="k must be"):
+        distributed_pca(ds, "embedding", d + 1)
