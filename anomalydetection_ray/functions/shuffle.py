@@ -228,6 +228,16 @@ def local_group_map(ds, keys: list[str], block_fn, num_blocks: int | None = None
     )
 
 
+def _spec_value_cols(spec: dict[str, tuple[str | None, str]]) -> list[str]:
+    """Input columns an agg spec touches ("count" needs none; corr/covar
+    name a two-column tuple)."""
+    cols: list[str] = []
+    for col, op in spec.values():
+        if op == "count" or not col:
+            continue
+        cols.extend(col) if isinstance(col, tuple) else cols.append(col)
+    return cols
+
 def driver_grouped_agg(
     ds,
     keys: list[str],
@@ -261,7 +271,7 @@ def driver_grouped_agg(
         out = pl.from_arrow(batch).group_by(keys).agg(partial_exprs)
         return out.to_arrow()
 
-    need = list(dict.fromkeys(keys + [c for c, op in spec.values() if op != "count" and c]))
+    need = list(dict.fromkeys(keys + _spec_value_cols(spec)))
     blocks = [
         tb
         for tb in select_if_needed(ds, need)
@@ -294,6 +304,22 @@ def _agg_partial_exprs(spec: dict[str, tuple[str | None, str]]):
             exprs.append(pl.col(col).max().alias(f"{alias}__max"))
         elif op == "count":
             exprs.append(pl.len().alias(f"{alias}__cnt"))
+        elif op in ("corr", "covar"):
+            # Two-column co-moments. SQL CORR/COVAR_SAMP use only rows
+            # where BOTH sides are non-null, so every partial is masked
+            # by pairwise completeness (plain per-column sums would
+            # silently include half-null rows and diverge from DuckDB).
+            xc, yc = col
+            both = pl.col(xc).is_not_null() & pl.col(yc).is_not_null()
+            x = pl.when(both).then(pl.col(xc).cast(pl.Float64))
+            y = pl.when(both).then(pl.col(yc).cast(pl.Float64))
+            exprs.append(x.sum().alias(f"{alias}__sx"))
+            exprs.append(y.sum().alias(f"{alias}__sy"))
+            exprs.append((x * y).sum().alias(f"{alias}__sxy"))
+            exprs.append(both.sum().alias(f"{alias}__cnt"))
+            if op == "corr":
+                exprs.append((x * x).sum().alias(f"{alias}__sxx"))
+                exprs.append((y * y).sum().alias(f"{alias}__syy"))
         else:
             raise ValueError(f"unsupported op {op!r}")
     return exprs
@@ -318,6 +344,17 @@ def _agg_final_exprs(spec: dict[str, tuple[str | None, str]]):
             exprs.append(pl.col(f"{alias}__max").max().alias(alias))
         elif op == "count":
             exprs.append(pl.col(f"{alias}__cnt").sum().alias(alias))
+        elif op in ("corr", "covar"):
+            n = pl.col(f"{alias}__cnt").sum()
+            sx = pl.col(f"{alias}__sx").sum()
+            sy = pl.col(f"{alias}__sy").sum()
+            cov = (pl.col(f"{alias}__sxy").sum() - sx * sy / n) / (n - 1)
+            if op == "covar":
+                exprs.append(cov.alias(alias))
+            else:
+                vx = (pl.col(f"{alias}__sxx").sum() - sx**2 / n) / (n - 1)
+                vy = (pl.col(f"{alias}__syy").sum() - sy**2 / n) / (n - 1)
+                exprs.append((cov / (vx.sqrt() * vy.sqrt())).alias(alias))
     return exprs
 
 
@@ -346,7 +383,7 @@ def rollup_agg(
     def partial(batch: pa.Table) -> pa.Table:
         return pl.from_arrow(batch).group_by(keys).agg(partial_exprs).to_arrow()
 
-    need = list(dict.fromkeys(keys + [c for c, op in spec.values() if op != "count" and c]))
+    need = list(dict.fromkeys(keys + _spec_value_cols(spec)))
     blocks = [
         tb
         for tb in select_if_needed(ds, need)
@@ -405,6 +442,7 @@ def grouped_exact_quantiles(
     value_col: str,
     quantiles: list[float],
     num_blocks: int | None = None,
+    mad_col: str | None = None,
 ):
     """EXACT per-group quantiles at scale: hash-shuffle ONLY
     (keys, value) — the value column is narrow (numbers), so the
@@ -412,14 +450,25 @@ def grouped_exact_quantiles(
     vectorized np.percentile per group per block (all rows of a group are
     co-located). Linear interpolation, matching SQL ``quantile_cont``.
     For single-pass approximate quantiles over wide data use the KLL
-    sketch path (checks/stats.py) instead."""
+    sketch path (checks/stats.py) instead.
+
+    ``mad_col``: also emit the median absolute deviation
+    (median(|x - median(x)|), SQL ``mad()``) per group — the robust
+    scale estimate anomaly thresholds prefer over stddev under heavy
+    tails. Co-location makes it FREE here: both medians compute inside
+    the same block pass, no second corpus scan (the naive plan is two
+    full passes — grouped median, broadcast, grouped median of
+    deviations)."""
     qs = list(quantiles)
     qnames = quantile_column_names(qs)
+    if mad_col in qnames or mad_col in keys:
+        raise ValueError(f"mad_col {mad_col!r} collides with an output column")
+    out_names = qnames + ([mad_col] if mad_col else [])
 
     def local(tb: pa.Table) -> pa.Table:
         schema = pa.schema(
             [tb.schema.field(k) for k in keys]
-            + [pa.field(qn, pa.float64()) for qn in qnames]
+            + [pa.field(qn, pa.float64()) for qn in out_names]
         )
         if tb.num_rows == 0:
             return pa.Table.from_pydict({f.name: [] for f in schema}, schema=schema)
@@ -431,6 +480,10 @@ def grouped_exact_quantiles(
             pct = np.percentile(vals, [q * 100 for q in qs]) if vals.size else [float("nan")] * len(qs)
             for qn, v in zip(qnames, pct):
                 rec[qn] = float(v)
+            if mad_col:
+                rec[mad_col] = (
+                    float(np.median(np.abs(vals - np.median(vals)))) if vals.size else float("nan")
+                )
             rows.append(rec)
         return pa.Table.from_pylist(rows, schema=schema)
 

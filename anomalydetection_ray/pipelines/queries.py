@@ -326,13 +326,19 @@ def corpus_totals_docs(sf_dir: str):
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
            ROUND(AVG(l_extendedprice), 6) AS avg_price,
-           COUNT(*) AS cnt
+           COUNT(*) AS cnt,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
 )
 def pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped grouped aggregate: vectorized computed column inside
-    map_batches, then groupby-aggregate (partial pre-agg per block)."""
+    map_batches, then groupby-aggregate (partial pre-agg per block).
+    Round 4: the same one-scan partial pass also carries two-column
+    co-moments — SQL ``corr``/``covar_samp`` per group via mergeable
+    (Σx, Σy, Σxy, Σx², Σy², n) partials masked to pairwise-complete rows
+    (SQL drops a row when EITHER side is null)."""
     ds = read_table(
         sf_dir,
         "lineitem",
@@ -352,10 +358,22 @@ def pricing_summary(sf_dir: str):
             "avg_qty": ("l_quantity", "mean"),
             "avg_price": ("l_extendedprice", "mean"),
             "cnt": (None, "count"),
+            "price_qty_corr": (("l_extendedprice", "l_quantity"), "corr"),
+            "price_qty_covar": (("l_extendedprice", "l_quantity"), "covar"),
         },
     )
     agg["cnt"] = agg["cnt"].astype("int64")
-    return _round_pd(agg, {"sum_qty": 2, "sum_disc_price": 2, "avg_qty": 6, "avg_price": 6})
+    return _round_pd(
+        agg,
+        {
+            "sum_qty": 2,
+            "sum_disc_price": 2,
+            "avg_qty": 6,
+            "avg_price": 6,
+            "price_qty_corr": 6,
+            "price_qty_covar": 4,
+        },
+    )
 
 
 @register(
@@ -1240,7 +1258,8 @@ def heavy_hitter_users(sf_dir: str):
     """
     SELECT lang,
            ROUND(quantile_cont(n_chars, 0.5), 6) AS q50,
-           ROUND(quantile_cont(n_chars, 0.95), 6) AS q95
+           ROUND(quantile_cont(n_chars, 0.95), 6) AS q95,
+           ROUND(mad(n_chars), 6) AS mad_chars
     FROM documents GROUP BY lang
     """,
 )
@@ -1249,12 +1268,19 @@ def lang_length_quantiles(sf_dir: str):
     (lang, n_chars) pairs — 16 bytes/row — shuffle; one vectorized
     np.percentile per co-located group. Linear interpolation matches SQL
     quantile_cont; the KLL sketch path stays the one-pass approximate
-    alternative."""
+    alternative. Round 4: the same co-located pass also emits the median
+    absolute deviation (SQL ``mad()``) — the robust scale estimate for
+    heavy-tailed anomaly thresholds (median ± k·MAD instead of
+    mean ± k·σ) — at zero extra shuffle cost."""
     from ..functions.shuffle import grouped_exact_quantiles
 
     docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
-    df = as_table(grouped_exact_quantiles(docs, ["lang"], "n_chars", [0.5, 0.95])).to_pandas()
-    return _round_pd(df.sort_values("lang").reset_index(drop=True), {"q50": 6, "q95": 6})
+    df = as_table(
+        grouped_exact_quantiles(docs, ["lang"], "n_chars", [0.5, 0.95], mad_col="mad_chars")
+    ).to_pandas()
+    return _round_pd(
+        df.sort_values("lang").reset_index(drop=True), {"q50": 6, "q95": 6, "mad_chars": 6}
+    )
 
 
 @register(

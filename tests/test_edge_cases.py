@@ -258,3 +258,97 @@ def test_pivot_wide_duckdb_parity(ray_session):
         pivot_wide(ds, ["g"], "p", ["x", "x"], agg="count")
     with pytest.raises(ValueError, match="unsupported"):
         pivot_wide(ds, ["g"], "p", ["x"], agg="median")
+
+
+def test_corr_covar_null_masking_duckdb_parity(ray_session):
+    """SQL CORR/COVAR_SAMP drop a row when EITHER side is null — the
+    partial pass must mask to pairwise-complete rows, not take
+    independent per-column sums."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import driver_grouped_agg
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    x = rng.normal(100, 15, n)
+    y = 3.0 * x + rng.normal(0, 25, n)
+    xm = rng.random(n) < 0.15  # nulls on x only
+    ym = rng.random(n) < 0.15  # nulls on y only (overlapping sets)
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["a", "b", "c"], n)),
+            "x": pa.array(np.where(xm, np.nan, x)).cast(pa.float64()),
+            "y": pa.array(np.where(ym, np.nan, y)).cast(pa.float64()),
+        }
+    )
+    # arrow NaN != null: rebuild with real nulls
+    t = pa.table(
+        {
+            "g": t["g"],
+            "x": pa.array([None if m else v for m, v in zip(xm, x)], type=pa.float64()),
+            "y": pa.array([None if m else v for m, v in zip(ym, y)], type=pa.float64()),
+        }
+    )
+    got = driver_grouped_agg(
+        rd.from_arrow(t).repartition(5),
+        ["g"],
+        {
+            "r": (("x", "y"), "corr"),
+            "cv": (("x", "y"), "covar"),
+            "n": (None, "count"),
+        },
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT g, corr(x, y) AS r, covar_samp(x, y) AS cv, COUNT(*) AS n FROM t GROUP BY g"
+    ).df()
+    g = got.sort_values("g").reset_index(drop=True)
+    w = want.sort_values("g").reset_index(drop=True)
+    assert list(g["g"]) == list(w["g"])
+    np.testing.assert_allclose(g["r"].to_numpy(), w["r"].to_numpy(), rtol=1e-10)
+    np.testing.assert_allclose(g["cv"].to_numpy(), w["cv"].to_numpy(), rtol=1e-10)
+    assert list(g["n"].astype(int)) == list(w["n"].astype(int))
+
+
+def test_grouped_mad_duckdb_parity(ray_session):
+    """MAD inside the grouped-quantile block pass matches DuckDB mad()
+    (interpolated medians, even and odd group sizes, null values
+    dropped)."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import grouped_exact_quantiles
+
+    rng = np.random.default_rng(11)
+    n = 3001
+    vals = rng.normal(10, 4, n)
+    nullmask = rng.random(n) < 0.1
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["p", "q", "r", "s"], n)),
+            "v": pa.array([None if m else float(v) for m, v in zip(nullmask, vals)], type=pa.float64()),
+        }
+    )
+    out = grouped_exact_quantiles(
+        rd.from_arrow(t).repartition(7), ["g"], "v", [0.5], mad_col="mad"
+    )
+    got = {
+        r["g"]: (r["q50"], r["mad"])
+        for b in out.iter_batches(batch_format="pyarrow", batch_size=None)
+        for r in b.to_pylist()
+    }
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT g, quantile_cont(v, 0.5) AS q50, mad(v) AS mad FROM t GROUP BY g"
+    ).df()
+    assert set(got) == set(want["g"])
+    for _, row in want.iterrows():
+        q, m = got[row["g"]]
+        np.testing.assert_allclose(q, row["q50"], rtol=1e-12)
+        np.testing.assert_allclose(m, row["mad"], rtol=1e-12)
