@@ -358,25 +358,32 @@ def _agg_final_exprs(spec: dict[str, tuple[str | None, str]]):
     return exprs
 
 
-def rollup_agg(
+def grouping_sets_agg(
     ds,
     keys: list[str],
+    sets: list[tuple[str, ...]],
     spec: dict[str, tuple[str | None, str]],
     batch_size: int | None = None,
 ):
-    """SQL ``GROUP BY ROLLUP(keys...)`` from ONE scan: aggregates at
-    EVERY prefix level — (k1..kn), (k1..kn-1), ..., the grand total —
-    with rolled-up key columns NULL, exactly DuckDB's ROLLUP row shape.
+    """SQL ``GROUP BY GROUPING SETS (...)`` from ONE scan: aggregates at
+    every requested key subset, with absent key columns NULL — DuckDB's
+    grouping-sets row shape.
 
     Same no-shuffle plan as :func:`driver_grouped_agg` (low-cardinality
     contract: the FINEST level's distinct keys are small-bounded): the
-    per-block partial pass runs ONCE at the finest level, and every
-    coarser level re-merges the same tiny partial table on the driver —
-    mergeable partials (sum/count/min/max/sumsq) make each level exact,
-    mean/std included, with no second scan of the corpus. Returns a
-    pandas DataFrame, levels concatenated, sorted finest-first by keys
-    (nulls last per level)."""
+    per-block partial pass runs ONCE grouped by ALL of ``keys``, and
+    every set re-merges the same tiny partial table on the driver —
+    mergeable partials (sum/count/min/max/sumsq/co-moments) make each
+    set exact, mean/std/corr included, with no second scan of the
+    corpus. Sets are emitted in caller order (duplicate sets duplicate
+    rows, as in SQL); each set's rows sort by its own keys. Returns a
+    pandas DataFrame with columns ``keys + list(spec)``."""
     import pandas as pd
+
+    for s in sets:
+        unknown = set(s) - set(keys)
+        if unknown:
+            raise ValueError(f"grouping set {s} names columns not in keys: {sorted(unknown)}")
 
     partial_exprs = _agg_partial_exprs(spec)
 
@@ -396,16 +403,49 @@ def rollup_agg(
     merged = pl.from_arrow(pa.concat_tables(blocks, promote_options="default"))
     final_exprs = _agg_final_exprs(spec)
     levels = []
-    for m in range(len(keys), -1, -1):
-        if m:
-            lvl = merged.group_by(keys[:m]).agg(final_exprs)
+    for s in sets:
+        cols = [k for k in keys if k in s]  # canonical key order within a set
+        if cols:
+            lvl = merged.group_by(cols).agg(final_exprs)
         else:
             lvl = merged.select(final_exprs)
         lvl = lvl.with_columns(
-            [pl.lit(None).cast(merged.schema[k]).alias(k) for k in keys[m:]]
+            [pl.lit(None).cast(merged.schema[k]).alias(k) for k in keys if k not in s]
         ).select(keys + list(spec))
-        levels.append(lvl.sort(keys[:m]) if m else lvl)
+        levels.append(lvl.sort(cols) if cols else lvl)
     return pl.concat(levels).to_pandas()
+
+
+def rollup_agg(
+    ds,
+    keys: list[str],
+    spec: dict[str, tuple[str | None, str]],
+    batch_size: int | None = None,
+):
+    """SQL ``GROUP BY ROLLUP(keys...)``: every prefix level, finest
+    first, down to the grand total — the prefix-sets special case of
+    :func:`grouping_sets_agg` (one scan, driver re-merge per level)."""
+    sets = [tuple(keys[:m]) for m in range(len(keys), -1, -1)]
+    return grouping_sets_agg(ds, keys, sets, spec, batch_size=batch_size)
+
+
+def cube_agg(
+    ds,
+    keys: list[str],
+    spec: dict[str, tuple[str | None, str]],
+    batch_size: int | None = None,
+):
+    """SQL ``GROUP BY CUBE(keys...)``: all 2^n key subsets from the same
+    single scan (DuckDB's CUBE emission order: full set first, then
+    dropping later keys first). The 2^n blow-up is in the tiny driver
+    merge, never in corpus passes — n is bounded by the caller (>10
+    keys is rejected as a misuse guard)."""
+    if len(keys) > 10:
+        raise ValueError(f"cube over {len(keys)} keys = {2 ** len(keys)} sets; use grouping_sets_agg")
+    sets: list[tuple[str, ...]] = []
+    for mask in range(2 ** len(keys) - 1, -1, -1):
+        sets.append(tuple(k for i, k in enumerate(keys) if mask & (1 << (len(keys) - 1 - i))))
+    return grouping_sets_agg(ds, keys, sets, spec, batch_size=batch_size)
 
 
 def grouped_min(ds, keys: list[str], value_col: str, out_col: str, num_blocks: int | None = None, keys_non_null: bool = False):

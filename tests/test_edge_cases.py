@@ -352,3 +352,68 @@ def test_grouped_mad_duckdb_parity(ray_session):
         q, m = got[row["g"]]
         np.testing.assert_allclose(q, row["q50"], rtol=1e-12)
         np.testing.assert_allclose(m, row["mad"], rtol=1e-12)
+
+
+def test_cube_grouping_sets_duckdb_parity(ray_session):
+    """CUBE / arbitrary GROUPING SETS from one scan match DuckDB row-for-row
+    (set emission order is normalized away by sorting)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import cube_agg, grouping_sets_agg
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    t = pa.table(
+        {
+            "a": pa.array(rng.choice(["x", "y"], n)),
+            "b": pa.array(rng.integers(0, 3, n), type=pa.int64()),
+            "v": pa.array(rng.normal(7, 3, n)),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+
+    def canon(df):
+        df = df.copy()
+        df["a"] = df["a"].fillna("\x00")
+        df["b"] = pd.to_numeric(df["b"]).fillna(-1).astype("int64")
+        return df.sort_values(["a", "b", "cnt"]).reset_index(drop=True)
+
+    got = canon(
+        cube_agg(
+            rd.from_arrow(t).repartition(5),
+            ["a", "b"],
+            {"cnt": (None, "count"), "s": ("v", "sum"), "m": ("v", "mean")},
+        )
+    )
+    want = canon(
+        con.execute(
+            "SELECT a, b, COUNT(*) AS cnt, SUM(v) AS s, AVG(v) AS m FROM t GROUP BY CUBE(a, b)"
+        ).df()
+    )
+    assert len(got) == len(want) == 12  # 6 (a,b) + 2 (a) + 3 (b) + 1 total
+    pd.testing.assert_frame_equal(got[["a", "b", "cnt"]], want[["a", "b", "cnt"]], check_dtype=False)
+    for c in ("s", "m"):
+        np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(), rtol=1e-12)
+
+    # arbitrary (non-prefix) set: GROUP BY GROUPING SETS ((b), ())
+    raw2 = grouping_sets_agg(
+        rd.from_arrow(t).repartition(5),
+        ["a", "b"],
+        [("b",), ()],
+        {"cnt": (None, "count"), "s": ("v", "sum"), "m": ("v", "mean")},
+    )
+    assert raw2["a"].isna().all()  # `a` is in no set: NULL everywhere
+    got2 = canon(raw2)
+    want2 = canon(
+        con.execute(
+            "SELECT b, COUNT(*) AS cnt, SUM(v) AS s, AVG(v) AS m FROM t GROUP BY GROUPING SETS ((b), ())"
+        ).df()
+        .assign(a="\x00")
+    )
+    assert len(got2) == len(want2) == 4
+    pd.testing.assert_frame_equal(got2[["b", "cnt"]], want2[["b", "cnt"]], check_dtype=False)
+    np.testing.assert_allclose(got2["s"].to_numpy(), want2["s"].to_numpy(), rtol=1e-12)
