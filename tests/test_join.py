@@ -295,3 +295,59 @@ def test_skew_join_dim_side_budget_falls_back(ray_session):
     a = canon(as_table(skew_join(left, "k", right, "rk", hot_threshold=100, max_hot_right_rows=100)))
     b = canon(as_table(shuffle_hash_join(left, "k", right, "rk")))
     pd.testing.assert_frame_equal(a, b, check_dtype=True)
+
+
+@pytest.mark.parametrize(
+    "prefilter,how",
+    [("left", "inner"), ("left", "semi"), ("right", "inner"),
+     ("right", "left"), ("right", "semi"), ("right", "anti")],
+)
+def test_bloom_prefiltered_join_equivalence(ray_session, prefilter, how):
+    """Every sound (prefilter side, how) combination is row-identical to
+    the plain shuffle join — the Bloom only drops provably-unmatchable
+    rows; false positives ride through to the exact join."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.relational import (
+        bloom_prefiltered_join,
+        shuffle_hash_join,
+    )
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    # selective: only ~10% of left keys exist on the right; nulls on both
+    lk = rng.integers(0, 1000, n)
+    left = pa.table(
+        {
+            "k": pa.array([None if i % 97 == 0 else int(v) for i, v in enumerate(lk)], type=pa.int64()),
+            "k2": pa.array((lk % 7).astype("int64")),
+            "lv": pa.array(rng.normal(size=n)),
+        }
+    )
+    rk = rng.integers(0, 100, 400)
+    right = pa.table(
+        {
+            "rk": pa.array([None if i % 53 == 0 else int(v) for i, v in enumerate(rk)], type=pa.int64()),
+            "rk2": pa.array((rk % 7).astype("int64")),
+            "rv": pa.array(rng.normal(size=400)),
+        }
+    )
+    lds, rds = rd.from_arrow(left).repartition(5), rd.from_arrow(right).repartition(3)
+    got = as_table(
+        bloom_prefiltered_join(
+            lds, ["k", "k2"], rds, ["rk", "rk2"], how=how, prefilter=prefilter, capacity=4096
+        )
+    )
+    want = as_table(shuffle_hash_join(lds, ["k", "k2"], rds, ["rk", "rk2"], how=how))
+    a, b = _canon(got), _canon(want)
+    assert a.equals(b), f"{prefilter}/{how}:\n{a.head()}\nvs\n{b.head()}"
+
+
+def test_bloom_prefilter_unsound_modes_raise(ray_session):
+    from anomalydetection_ray.functions.relational import bloom_prefiltered_join
+
+    lds, rds, *_ = _mk_sides()
+    for prefilter, how in [("left", "left"), ("left", "anti"), ("left", "full"), ("right", "right"), ("right", "full")]:
+        with pytest.raises(ValueError):
+            bloom_prefiltered_join(lds, "k", rds, "rk", how=how, prefilter=prefilter)
