@@ -360,6 +360,59 @@ def lag_lead(
     return local_group_map(select_if_needed(ds, need), [key], block, num_blocks)
 
 
+def ewma(
+    ds,
+    key: str,
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+    carry: list[str] | None = None,
+    num_blocks: int | None = None,
+):
+    """Per-key exponentially-weighted moving average (the streaming
+    anomaly-baseline smoother: ``e_t = α·x_t + (1-α)·e_{t-1}`` over each
+    key's ``order_col``-ordered history — pandas
+    ``ewm(alpha, adjust=False)`` semantics).
+
+    The recurrence is sequential per key but keys are independent, so
+    the distribution shape is the same as :func:`lag_lead`: hash-shuffle
+    co-locates each key's full history, then ONE vectorized polars
+    ``ewm_mean().over(key)`` per block (Rust kernel — the recurrence
+    never runs as a Python loop). Total-order per-block sort keeps the
+    result invariant to block layout under ties. Null values emit null
+    and leave the running state unchanged (pandas ``ignore_na=False``
+    weighting for the rows that do have values); the first non-null row
+    of a key seeds the average. A single key's history must fit a block
+    — the same documented contract as every per-key window here (salt
+    upstream if one key exceeds it)."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    carry = carry or []
+    need = list(dict.fromkeys([key, order_col, value_col] + carry))
+    if out_col in need:
+        raise ValueError(f"out_col {out_col!r} collides with an input column")
+    base = ds.schema().base_schema
+    out_schema = pa.schema(
+        [(c, base.field(c).type) for c in need] + [(out_col, pa.float64())]
+    )
+
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
+        df = pl.from_arrow(tb.select(need)).sort(need)
+        df = df.with_columns(
+            pl.col(value_col)
+            .cast(pl.Float64)
+            .ewm_mean(alpha=alpha, adjust=False, ignore_nulls=False)
+            .over(key)
+            .alias(out_col)
+        )
+        return df.select([f.name for f in out_schema]).to_arrow().cast(out_schema)
+
+    return local_group_map(select_if_needed(ds, need), [key], block, num_blocks)
+
+
 def window_rank(
     ds,
     key: str,

@@ -323,3 +323,51 @@ def test_range_join_agg_edges(ray_session):
             rd.from_arrow(left), rd.from_arrow(right), key="k", left_ts="t", right_ts="t",
             lo=np.timedelta64(1, "us"), hi=np.timedelta64(0, "us"),
         )
+
+
+def test_ewma_pandas_parity_and_layout_invariance(ray_session):
+    """Per-key EWMA matches pandas ewm(alpha, adjust=False) on non-null
+    rows (nulls emit null, state carries), and is bit-identical at any
+    block layout."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import ewma
+
+    rng = np.random.default_rng(23)
+    n = 2500
+    t = pa.table(
+        {
+            "u": pa.array(rng.integers(0, 40, n), type=pa.int64()),
+            "ts": pa.array(rng.permutation(n), type=pa.int64()),
+            "v": pa.array(
+                [None if i % 31 == 0 else float(x) for i, x in enumerate(rng.normal(10, 3, n))],
+                type=pa.float64(),
+            ),
+        }
+    )
+    outs = []
+    for parts in (1, 4, 11):
+        ds = ewma(rd.from_arrow(t).repartition(parts), "u", "ts", "v", alpha=0.2, out_col="e")
+        df = (
+            pa.concat_tables(
+                [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None) if b.num_rows]
+            )
+            .to_pandas()
+            .sort_values(["u", "ts"])
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    for df in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], df)
+
+    got = outs[0]
+    ref = t.to_pandas().sort_values(["u", "ts"]).reset_index(drop=True)
+    ref["e"] = ref.groupby("u")["v"].transform(
+        lambda s: s.ewm(alpha=0.2, adjust=False, ignore_na=False).mean()
+    )
+    nn = ref["v"].notna()
+    np.testing.assert_allclose(got.loc[nn, "e"].to_numpy(), ref.loc[nn, "e"].to_numpy(), rtol=1e-12)
+    assert got.loc[~nn, "e"].isna().all()  # null in -> null out
