@@ -338,3 +338,91 @@ def merge_partials_to_stats(partial_tables) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows)
+
+
+def categorical_profile(
+    ds,
+    column: str,
+    partition_by: list[str] | None = None,
+    batch_size: int | None = 65536,
+) -> pd.DataFrame:
+    """Per-partition categorical profile: exact mode (ties break to the
+    smallest value), its count, the distinct-value count and the Shannon
+    entropy (natural log) of the value distribution.
+
+    Reference analog: the distinct-template frequency table preprocessing
+    builds before feature extraction (`models/preprocessing.py:7`) — this
+    is its "how skewed is this categorical column" summary.
+
+    Plan: ONE distributed exact count pass (``key_counts``: map-side
+    combiner, then a hash shuffle of tiny (keys, cnt) partials — one row
+    per distinct (partition, value) GLOBALLY), then an associative
+    per-block fold of those distinct rows. Entropy decomposes as
+    ``H = ln(T) - (sum c*ln c) / T`` with ``T = sum c``, so the fold only
+    carries ``(sum c, sum c*ln c, n_distinct, argmax-by-(cnt, -value))``
+    partials; the driver merges one candidate row per (partition, block),
+    never a value distribution. The block-local mode candidate is exact
+    because count rows are globally distinct: the global winner's count
+    equals its block's max, so it always survives the block fold.
+
+    NULL values of ``column`` are dropped (SQL ``WHERE col IS NOT NULL``
+    convention); NULL partition keys are kept as their own group.
+    """
+    import polars as pl
+
+    from ..functions.shuffle import select_if_needed
+    from .uniqueness import key_counts
+
+    keys = list(partition_by or [])
+    need = keys + [column]
+    base = select_if_needed(ds, need).map_batches(
+        lambda tb: tb.filter(pc.is_valid(tb.column(column))),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    counts = key_counts(base, need, batch_size=batch_size)
+
+    g = keys or ["__g__"]
+
+    def partial(tb: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tb)
+        if not keys:
+            df = df.with_columns(pl.lit(0).alias("__g__"))
+        cf = pl.col("cnt").cast(pl.Float64)
+        out = df.group_by(g).agg(
+            pl.col("cnt").sum().alias("_tot"),
+            (cf * cf.log()).sum().alias("_clnc"),
+            pl.len().cast(pl.Int64).alias("_ndist"),
+            pl.col("cnt").max().alias("_mcnt"),
+            pl.col(column).filter(pl.col("cnt") == pl.col("cnt").max()).min().alias("_mval"),
+        )
+        return out.to_arrow()
+
+    blocks = [
+        tb
+        for tb in counts.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if tb.num_rows
+    ]
+    cols = keys + ["mode", "mode_count", "n_distinct", "entropy"]
+    if not blocks:
+        return pd.DataFrame(columns=cols)
+    merged = pl.from_arrow(pa.concat_tables(blocks, promote_options="default"))
+    fin = merged.group_by(g).agg(
+        pl.col("_tot").sum().alias("_tot"),
+        pl.col("_clnc").sum().alias("_clnc"),
+        pl.col("_ndist").sum().alias("n_distinct"),
+        pl.col("_mcnt").max().alias("mode_count"),
+        pl.col("_mval").filter(pl.col("_mcnt") == pl.col("_mcnt").max()).min().alias("mode"),
+    )
+    fin = fin.with_columns(
+        pl.when(pl.col("_tot") > 0)
+        .then(pl.col("_tot").cast(pl.Float64).log() - pl.col("_clnc") / pl.col("_tot"))
+        .otherwise(None)
+        .alias("entropy")
+    )
+    if keys:
+        return fin.sort(g).select(cols).to_pandas()
+    return fin.select(["mode", "mode_count", "n_distinct", "entropy"]).to_pandas()

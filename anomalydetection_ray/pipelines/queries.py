@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..checks.referential import orphans_bloom, semi_join
-from ..checks.stats import column_stats
+from ..checks.stats import categorical_profile, column_stats
 from ..checks.uniqueness import duplicate_keys, key_counts
 from ..functions.relational import broadcast_join, broadcast_value_filter, frequency_filter
 from ..functions.shuffle import driver_grouped_agg
@@ -110,25 +110,59 @@ def as_table(ds) -> pa.Table:
 @register(
     "doc_stats_by_lang",
     """
-    SELECT lang,
-           COUNT(*) AS cnt,
-           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
-           CAST(MIN(n_chars) AS DOUBLE) AS vmin,
-           CAST(MAX(n_chars) AS DOUBLE) AS vmax,
-           ROUND(AVG(n_chars), 6) AS vmean,
-           ROUND(STDDEV(n_chars), 6) AS vstd
-    FROM documents GROUP BY lang
+    WITH stats AS (
+      SELECT lang,
+             COUNT(*) AS cnt,
+             CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+             CAST(MIN(n_chars) AS DOUBLE) AS vmin,
+             CAST(MAX(n_chars) AS DOUBLE) AS vmax,
+             ROUND(AVG(n_chars), 6) AS vmean,
+             ROUND(STDDEV(n_chars), 6) AS vstd
+      FROM documents GROUP BY lang
+    ),
+    sc AS (
+      SELECT lang, source, COUNT(*) AS c
+      FROM documents WHERE source IS NOT NULL GROUP BY lang, source
+    ),
+    md AS (
+      SELECT lang, source AS mode_source, c AS mode_source_cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, source ASC) AS rn
+      FROM sc
+    ),
+    ent AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sources,
+             ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS source_entropy
+      FROM sc GROUP BY lang
+    )
+    SELECT s.lang, s.cnt, s.nulls, s.vmin, s.vmax, s.vmean, s.vstd,
+           m.mode_source, m.mode_source_cnt, e.n_sources, e.source_entropy
+    FROM stats s
+    JOIN (SELECT * FROM md WHERE rn = 1) m USING (lang)
+    JOIN ent e USING (lang)
     """,
 )
 def doc_stats_by_lang(sf_dir: str):
     """Per-partition column stats (A6 analog) — exact subset of the merged
-    stats row (mean/std via Chan-merged moments, checks/stats.py)."""
-    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    stats row (mean/std via Chan-merged moments, checks/stats.py) — plus
+    the categorical profile of ``source`` per lang: exact mode (ties break
+    to the smallest source), distinct-source count and Shannon entropy of
+    the source distribution, all from ONE distributed count pass
+    (checks.stats.categorical_profile)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars", "source"])
     st = column_stats(ds, columns=["n_chars"], partition_by=["lang"]).to_pandas()
     out = st.rename(columns={"part": "lang", "count": "cnt", "mean": "vmean", "std": "vstd"})[
         ["lang", "cnt", "nulls", "vmin", "vmax", "vmean", "vstd"]
     ]
-    return _round_pd(out, {"vmean": 6, "vstd": 6})
+    prof = categorical_profile(ds, "source", partition_by=["lang"]).rename(
+        columns={
+            "mode": "mode_source",
+            "mode_count": "mode_source_cnt",
+            "n_distinct": "n_sources",
+            "entropy": "source_entropy",
+        }
+    )
+    out = out.merge(prof, on="lang", how="inner")
+    return _round_pd(out, {"vmean": 6, "vstd": 6, "source_entropy": 6})
 
 
 # shared fixed-bin edges for the drift oracle: integer edges (width 50)

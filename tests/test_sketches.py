@@ -484,3 +484,49 @@ def test_tdigest_serialization_roundtrip_and_extremes():
     assert td.quantile(1.0) == data.max()
     # empty sketch
     assert np.isnan(TDigest().quantile(0.5))
+
+
+def test_categorical_profile_mode_entropy_nulls_and_layout(ray_session):
+    """categorical_profile: exact mode with smallest-value tie-break, null
+    values dropped, null partitions kept, entropy = ln T - sum(c ln c)/T,
+    and invariance to block layout (the fold is associative)."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.checks.stats import categorical_profile
+
+    df = pd.DataFrame(
+        {
+            "lang": ["en"] * 6 + ["fr"] * 4 + [None] * 2,
+            "src": ["a", "a", "b", "b", "c", None, "x", "x", "y", "z", "q", "q"],
+        }
+    )
+    expect_en = math.log(5) - (4 * math.log(2)) / 5
+    expect_fr = math.log(4) - (2 * math.log(2)) / 4
+    for nblocks in (1, 3, 12):
+        out = categorical_profile(rd.from_pandas(df).repartition(nblocks), "src", ["lang"])
+        by = {r["lang"]: r for _, r in out.iterrows()}
+        assert by["en"]["mode"] == "a" and by["en"]["mode_count"] == 2  # tie a/b -> smallest
+        assert by["en"]["n_distinct"] == 3
+        assert abs(by["en"]["entropy"] - expect_en) < 1e-12
+        assert abs(by["fr"]["entropy"] - expect_fr) < 1e-12
+        assert by[None]["mode"] == "q" and by[None]["entropy"] == 0.0
+
+    glob = categorical_profile(rd.from_pandas(df).repartition(4), "src")
+    assert len(glob) == 1
+    assert glob.loc[0, "mode"] == "a" and glob.loc[0, "n_distinct"] == 7
+    T = 11.0
+    assert abs(glob.loc[0, "entropy"] - (math.log(T) - (8 * math.log(2)) / T)) < 1e-12
+
+
+def test_categorical_profile_empty(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.checks.stats import categorical_profile
+
+    empty = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype=str), "v": pd.Series([], dtype=str)}))
+    out = categorical_profile(empty, "v", ["k"])
+    assert len(out) == 0 and list(out.columns) == ["k", "mode", "mode_count", "n_distinct", "entropy"]
