@@ -563,3 +563,85 @@ def sessionize(
         return out.select([f.name for f in out_schema]).to_arrow().cast(out_schema)
 
     return local_group_map(select_if_needed(ds, need), [key], block, num_blocks)
+
+
+def funnel_counts(
+    ds,
+    steps: list[str],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+):
+    """Ordered-funnel analysis: for each step k, how many distinct ``key``
+    entities performed ``steps[0..k]`` in strict time order — each step
+    strictly AFTER the entity's first qualifying time for the previous
+    step (the classic product-analytics funnel over an event stream;
+    reference analog: the staged pass/fail progression its end-to-end
+    prediction report tabulates, `end_to_end_prediction.py:546`).
+
+    Plan: prune to (key, ts, event) and pre-filter to funnel events
+    (vectorized ``is_in``) BEFORE the exchange — at 100 TB the funnel
+    events are typically a small fraction of the stream and nothing else
+    should move — then co-partition by key (``local_group_map``: every
+    entity's events land whole in one block) and run ONE chained
+    vectorized pass per block: ``t_k = min ts of step-k events with
+    ts > t_{k-1}`` per key, a loop over ``len(steps)`` polars
+    group_by/join expressions, never over rows. Each block emits just
+    ``len(steps)`` partial counts; the driver sums them — correct because
+    co-location makes per-key progression block-local. Null keys and
+    null timestamps are dropped up front (SQL JOIN/comparison semantics).
+
+    Returns a pandas DataFrame ``(step, step_name, n_users)`` with one
+    row per step, n_users non-increasing.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .shuffle import local_group_map, select_if_needed
+
+    if not steps:
+        raise ValueError("funnel_counts needs at least one step")
+    nsteps = len(steps)
+    need = [key, ts_col, event_col]
+    step_set = pa.array(list(dict.fromkeys(steps)))
+
+    def prefilter(tb: pa.Table) -> pa.Table:
+        m = pc.and_kleene(pc.is_valid(tb[key]), pc.is_valid(tb[ts_col]))
+        m = pc.and_kleene(m, pc.is_in(tb[event_col], value_set=step_set))
+        return tb.filter(pc.coalesce(m, False))
+
+    base = select_if_needed(ds, need).map_batches(
+        prefilter, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def block(tb: pa.Table) -> pa.Table:
+        df = pl.from_arrow(tb)
+        counts = [0] * nsteps
+        cur = None
+        for k, step in enumerate(steps):
+            ev = df.filter(pl.col(event_col) == step)
+            if k:
+                ev = ev.join(cur, on=key, how="inner").filter(
+                    pl.col(ts_col) > pl.col("_t")
+                ).drop("_t")
+            cur = ev.group_by(key).agg(pl.col(ts_col).min().alias("_t"))
+            counts[k] = cur.height
+        return pa.table(
+            {
+                "step": pa.array(range(1, nsteps + 1), pa.int64()),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    parts = local_group_map(base, [key], block, keys_non_null=True)
+    tbs = [t for t in parts.iter_batches(batch_format="pyarrow", batch_size=None) if t.num_rows]
+    out = pd.DataFrame({"step": np.arange(1, nsteps + 1, dtype=np.int64), "step_name": steps})
+    if tbs:
+        summed = (
+            pa.concat_tables(tbs).to_pandas().groupby("step", as_index=False)["n_users"].sum()
+        )
+        out = out.merge(summed, on="step", how="left")
+        out["n_users"] = out["n_users"].fillna(0).astype("int64")
+    else:
+        out["n_users"] = np.zeros(nsteps, dtype=np.int64)
+    return out

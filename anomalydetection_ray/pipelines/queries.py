@@ -1211,9 +1211,28 @@ def value_quantiles_kll(sf_dir: str):
 @register(
     "distinct_users_by_type",
     """
-    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           1 AS hll_within_bound
-    FROM events GROUP BY event_type
+    WITH base AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             1 AS hll_within_bound
+      FROM events GROUP BY event_type
+    ),
+    s1 AS (SELECT user_id, MIN(ts) t FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) t FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) t FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+    fun AS (
+      SELECT 'view' AS event_type, CAST(1 AS BIGINT) AS funnel_step,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS funnel_users
+      UNION ALL
+      SELECT 'click', 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+      UNION ALL
+      SELECT 'purchase', 3, (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+    )
+    SELECT b.event_type, b.n_users, b.hll_within_bound,
+           COALESCE(f.funnel_step, 0) AS funnel_step,
+           COALESCE(f.funnel_users, 0) AS funnel_users
+    FROM base b LEFT JOIN fun f USING (event_type)
     """,
 )
 def distinct_users_by_type(sf_dir: str):
@@ -1226,7 +1245,11 @@ def distinct_users_by_type(sf_dir: str):
     - HLL (p=12, ±~1.6% standard error) from the same scan via
       column_stats; ``hll_within_bound`` asserts the estimate lands
       within 5% relative error of the exact count (SURVEY §7.4: assert
-      the sketch's bound, not value equality — DuckDB checks it == 1)."""
+      the sketch's bound, not value equality — DuckDB checks it == 1);
+    - round 4e: the view→click→purchase ORDERED FUNNEL
+      (functions.temporal.funnel_counts — strict-after step chaining,
+      co-partitioned by user) joins in as funnel_step / funnel_users,
+      recomputed in SQL via chained min-timestamp CTEs."""
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
     pairs = key_counts(ds, ["event_type", "user_id"])
     agg = pairs.groupby("event_type").aggregate(Count(alias_name="n_users")).to_pandas()
@@ -1236,7 +1259,17 @@ def distinct_users_by_type(sf_dir: str):
     out = agg.merge(est, on="event_type", how="left")
     rel_err = (out["distinct_est"] - out["n_users"]).abs() / out["n_users"].clip(lower=1)
     out["hll_within_bound"] = (rel_err <= 0.05).astype("int64")
-    return out[["event_type", "n_users", "hll_within_bound"]]
+    out = out[["event_type", "n_users", "hll_within_bound"]]
+    from ..functions.temporal import funnel_counts
+
+    fun = funnel_counts(
+        read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
+        ["view", "click", "purchase"],
+    ).rename(columns={"step_name": "event_type", "step": "funnel_step", "n_users": "funnel_users"})
+    out = out.merge(fun, on="event_type", how="left")
+    for c in ("funnel_step", "funnel_users"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return out
 
 
 @register(

@@ -371,3 +371,51 @@ def test_ewma_pandas_parity_and_layout_invariance(ray_session):
     nn = ref["v"].notna()
     np.testing.assert_allclose(got.loc[nn, "e"].to_numpy(), ref.loc[nn, "e"].to_numpy(), rtol=1e-12)
     assert got.loc[~nn, "e"].isna().all()  # null in -> null out
+
+
+def test_funnel_counts_attrition_strict_order_and_layout(ray_session):
+    """funnel_counts: real attrition, strict > (same-timestamp step does
+    NOT count), out-of-order events don't count, null keys/ts dropped,
+    block-layout invariance via the co-partition contract."""
+    import datetime as dt
+
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda k: t0 + dt.timedelta(seconds=k)
+    rows = [
+        # u1 completes the funnel in order
+        (1, s(0), "view"), (1, s(1), "click"), (1, s(2), "purchase"),
+        # u2 clicks at the SAME ts as its first view -> strict > rejects
+        (2, s(0), "view"), (2, s(0), "click"), (2, s(5), "purchase"),
+        # u3 purchase BEFORE click -> reaches step 2 only
+        (3, s(0), "view"), (3, s(4), "click"), (3, s(2), "purchase"),
+        # u4 view only
+        (4, s(0), "view"),
+        # u5 click/purchase but never views -> reaches nothing
+        (5, s(0), "click"), (5, s(1), "purchase"),
+        # u6: second view AFTER click still counts via first view
+        (6, s(0), "view"), (6, s(3), "click"), (6, s(9), "view"), (6, s(4), "purchase"),
+        # null user / null ts rows are dropped
+        (None, s(0), "view"), (7, None, "view"),
+        # noise event types never enter the exchange
+        (1, s(0), "error"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    # viewers u1,u2,u3,u4,u6 = 5; click-after-first-view u1,u3,u6 = 3;
+    # purchase-after-that u1,u6 = 2
+    expect = {1: 5, 2: 3, 3: 2}
+    for nb in (1, 4, 16):
+        out = funnel_counts(
+            rd.from_pandas(df).repartition(nb), ["view", "click", "purchase"]
+        )
+        got = dict(zip(out["step"], out["n_users"]))
+        assert got == expect, (nb, got)
+        assert list(out["step_name"]) == ["view", "click", "purchase"]
+
+    # empty input
+    out = funnel_counts(rd.from_pandas(df.iloc[:0]), ["view", "click"])
+    assert list(out["n_users"]) == [0, 0]
