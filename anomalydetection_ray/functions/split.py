@@ -213,3 +213,111 @@ def fixed_count_sample(ds, on: str, n: int, seed: int = 42, unit_fn=None):
         )[:n]
         cands = cands.take(order)
     return cands.drop_columns(["__u", "__u2"]).sort_by([(on, "ascending")])
+
+
+def md5_unit_hash_open(batch: pa.Table, on: str, seed: int = 0) -> np.ndarray:
+    """SQL-reproducible unit hash on (0, 1]:
+    ``(md5_number_lower(CAST(key AS VARCHAR)) % 100000 + 1) / 100001.0``.
+    Both engines compute the same exact integer, then the same single
+    double division, so values match bit-for-bit — and u can never be 0,
+    which makes it safe under ``ln`` (the weighted-sampling key)."""
+    from ..sketches.simhash import _md5_token_hash
+
+    del seed
+    col = batch[on]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.to_pylist()
+    h = np.fromiter((_md5_token_hash(str(v)) for v in vals), dtype=np.uint64, count=len(vals))
+    return ((h % np.uint64(100000)).astype(np.float64) + 1.0) / 100001.0
+
+
+def weighted_fixed_count_sample(
+    ds,
+    on: str,
+    weight_col: str,
+    n: int,
+    seed: int = 42,
+    unit_fn=None,
+    order_fn=None,
+):
+    """Deterministic WEIGHTED without-replacement sample of exactly n rows
+    (Efraimidis & Spirakis 2006): keep the n rows with the smallest
+    ``key = -ln(u) / w`` where u is a per-row unit hash of ``on`` in
+    (0, 1] and w the row's weight — inclusion probability is
+    proportional-to-weight without replacement, the token-budget-aware
+    sampling a training-data pipeline wants (sample documents by length,
+    clusters by size, ...).
+
+    Same scale shape as :func:`fixed_count_sample`: the per-block partial
+    top-n is the combiner (each block emits at most n rows), the driver
+    merge sees ≤ n × blocks candidate rows, and the result is identical
+    at any parallelism or block layout. Ties on the float key break on a
+    raw 64-bit order hash of ``on`` — SQL-expressible for the md5
+    variant, so with ``unit_fn=md5_unit_hash_open`` /
+    ``order_fn=md5_order_hash`` the selected rows match DuckDB's
+
+        ROW_NUMBER() OVER (ORDER BY
+          -LN((md5_number_lower(CAST(on AS VARCHAR)) % 100000 + 1)
+              / 100001.0) / w,
+          md5_number_lower(CAST(on AS VARCHAR))) <= n
+
+    row-exactly. Rows with null ``on``, null weight or weight <= 0 are
+    dropped up front (they have no defined inclusion probability).
+    """
+    import pyarrow.compute as pc
+
+    if n <= 0:
+        return None
+
+    def units(batch: pa.Table) -> np.ndarray:
+        if unit_fn is not None:
+            return unit_fn(batch, on, seed)
+        # fast default: xxhash unit flipped onto (0, 1]
+        return 1.0 - _hash_unit(batch, on, seed)
+
+    def orders(batch: pa.Table) -> np.ndarray:
+        if order_fn is not None:
+            return order_fn(batch, on, seed)
+        import polars as pl
+
+        col = batch[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=seed + 1).to_numpy()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = pc.cast(batch[weight_col], pa.float64())
+        keep = pc.and_kleene(pc.is_valid(batch[on]), pc.greater(w, 0.0))
+        batch = batch.filter(pc.coalesce(keep, False))
+        if batch.num_rows == 0:
+            return batch.append_column("__k", pa.array([], type=pa.float64())).append_column(
+                "__t", pa.array([], type=pa.uint64())
+            )
+        w = pc.cast(batch[weight_col], pa.float64()).to_numpy(zero_copy_only=False)
+        key = -np.log(units(batch)) / w
+        tie = orders(batch).astype(np.uint64)
+        t = batch.append_column("__k", pa.array(key, type=pa.float64())).append_column(
+            "__t", pa.array(tie, type=pa.uint64())
+        )
+        if t.num_rows <= n:
+            return t
+        return t.take(np.lexsort((tie, key))[:n])
+
+    cands = pa.concat_tables(
+        [
+            t
+            for t in ds.map_batches(
+                partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ]
+        or [partial(pa.Table.from_pydict({on: [], weight_col: []}))],
+        promote_options="default",
+    )
+    if cands.num_rows > n:
+        order = np.lexsort(
+            (cands["__t"].to_numpy(zero_copy_only=False), cands["__k"].to_numpy(zero_copy_only=False))
+        )[:n]
+        cands = cands.take(order)
+    return cands.drop_columns(["__k", "__t"]).sort_by([(on, "ascending")])

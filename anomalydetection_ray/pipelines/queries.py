@@ -2308,6 +2308,13 @@ def template_params_docs(sf_dir: str):
         PARTITION BY lang
         ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) AS rn
       FROM documents) t WHERE rn <= 20
+    UNION ALL
+    SELECT 'weighted' AS op, doc_id, lang FROM (
+      SELECT doc_id, lang, ROW_NUMBER() OVER (ORDER BY
+        -LN((md5_number_lower(CAST(doc_id AS VARCHAR)) % 100000 + 1) / 100001.0)
+          / GREATEST(n_chars, 1),
+        md5_number_lower(CAST(doc_id AS VARCHAR))) AS rn
+      FROM documents) t WHERE rn <= 50
     """,
 )
 def sampled_docs(sf_dir: str):
@@ -2347,4 +2354,30 @@ def sampled_docs(sf_dir: str):
     grouped = grouped_fixed_count_sample(
         docs, key="lang", on="doc_id", n=20, unit_fn=md5_order_hash
     ).map_batches(tag("grouped"), batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    return as_table(sampled.union(grouped))
+
+    # round 4e: WEIGHTED without-replacement sample (Efraimidis-Spirakis,
+    # functions/split.py) — inclusion proportional to document length
+    # (the token-budget sampling shape), md5 unit/order hashes so the
+    # selected rows match the SQL -LN(u)/w ROW_NUMBER ranking row-exactly
+    import ray.data as rd
+
+    from ..functions.split import md5_unit_hash_open, weighted_fixed_count_sample
+
+    wdocs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def clamp_w(batch: pa.Table) -> pa.Table:
+        w = pc.max_element_wise(pc.cast(batch["n_chars"], pa.int64()), 1)
+        return batch.set_column(batch.schema.get_field_index("n_chars"), "n_chars", w)
+
+    weighted = weighted_fixed_count_sample(
+        wdocs.map_batches(clamp_w, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        on="doc_id",
+        weight_col="n_chars",
+        n=50,
+        unit_fn=md5_unit_hash_open,
+        order_fn=md5_order_hash,
+    ).select(["doc_id", "lang"])
+    weighted_ds = rd.from_arrow(weighted).map_batches(
+        tag("weighted"), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return as_table(sampled.union(grouped).union(weighted_ds))

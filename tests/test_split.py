@@ -150,3 +150,71 @@ def test_grouped_fixed_count_sample_duckdb_parity_and_invariance(ray_session):
 
     with pytest.raises(ValueError, match="positive"):
         grouped_fixed_count_sample(rd.from_arrow(t), key="g", on="row_id", n=0)
+
+
+def test_weighted_fixed_count_sample_invariance_and_bias(ray_session):
+    """weighted_fixed_count_sample: exact count, block-layout invariance,
+    and the Efraimidis-Spirakis property — across independent seeds, a
+    10x-weight item is included ~10x as often as a 1x item (checked as a
+    loose monotone band, not an exact ratio)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.split import weighted_fixed_count_sample
+
+    df = pd.DataFrame({"id": range(200), "w": [10.0 if i < 20 else 1.0 for i in range(200)]})
+    base = weighted_fixed_count_sample(rd.from_pandas(df).repartition(7), "id", "w", 30, seed=1)
+    assert base.num_rows == 30
+    for nb in (1, 13):
+        again = weighted_fixed_count_sample(rd.from_pandas(df).repartition(nb), "id", "w", 30, seed=1)
+        assert again.equals(base), nb
+
+    heavy_rate = light_rate = 0
+    ds = rd.from_pandas(df).repartition(4)
+    for seed in range(40):
+        t = weighted_fixed_count_sample(ds, "id", "w", 20, seed=seed)
+        ids = t["id"].to_pylist()
+        heavy_rate += sum(1 for i in ids if i < 20)
+        light_rate += sum(1 for i in ids if i >= 20)
+    # expected inclusion ~ heavy 20 items at ~... just assert heavies are
+    # strongly over-represented per item vs lights
+    per_heavy = heavy_rate / 20
+    per_light = light_rate / 180
+    assert per_heavy > 4 * per_light, (per_heavy, per_light)
+
+    # nulls / non-positive weights never sampled
+    df2 = pd.DataFrame({"id": [1, 2, None, 4], "w": [1.0, None, 1.0, -3.0]})
+    t = weighted_fixed_count_sample(rd.from_pandas(df2), "id", "w", 10, seed=0)
+    assert t["id"].to_pylist() == [1.0]
+
+
+def test_weighted_fixed_count_sample_duckdb_parity(ray_session):
+    """md5 unit/order variant matches DuckDB's -LN(u)/w ROW_NUMBER ranking
+    row-exactly on the documents table."""
+    import duckdb
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.split import (
+        md5_order_hash,
+        md5_unit_hash_open,
+        weighted_fixed_count_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "n_chars"])
+    t = weighted_fixed_count_sample(
+        ds, "doc_id", "n_chars", 40, unit_fn=md5_unit_hash_open, order_fn=md5_order_hash
+    )
+    got = t["doc_id"].to_pylist()
+    want = duckdb.sql(
+        f"""
+        SELECT doc_id FROM (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY
+            -LN((md5_number_lower(CAST(doc_id AS VARCHAR)) % 100000 + 1) / 100001.0)
+              / n_chars,
+            md5_number_lower(CAST(doc_id AS VARCHAR))) AS rn
+          FROM read_parquet('{sf}/documents.parquet')) t
+        WHERE rn <= 40 ORDER BY doc_id
+        """
+    ).df()["doc_id"].tolist()
+    assert got == want
