@@ -475,3 +475,125 @@ def tfidf_top_terms(
     merged = pa.concat_tables(parts or [out_schema.empty_table()], promote_options="default")
     top = pl.from_arrow(merged).sort([order, "term"], descending=[True, False]).head(k)
     return top.to_arrow().cast(out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram language model (CCNet-style LM quality scoring)
+# ---------------------------------------------------------------------------
+
+
+def _pack_trigram_windows(texts: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorize char trigrams over a whole batch of strings at once.
+
+    The batch's texts are joined with a ``\\x00`` separator, decoded to a
+    single uint32 codepoint array (one ``str.encode('utf-32-le')`` — no
+    per-character Python), and every length-3 window is packed into one
+    uint64 as ``cp0<<42 | cp1<<21 | cp2`` (codepoints < 2^21, so the pack
+    is a bijection with the trigram string). Windows touching a separator
+    (or an empty/None text) are masked out. Returns ``(packed, doc_idx,
+    mask)`` over all windows; ``doc_idx`` maps each window to its row.
+    """
+    safe = ["" if t is None else t for t in texts]
+    joined = "\x00".join(safe)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    if len(cp) < 3:
+        e = np.array([], dtype=np.uint64)
+        return e, np.array([], dtype=np.int64), np.array([], dtype=bool)
+    a, b, c = cp[:-2], cp[1:-1], cp[2:]
+    mask = (a != 0) & (b != 0) & (c != 0)
+    packed = (a.astype(np.uint64) << np.uint64(42)) | (b.astype(np.uint64) << np.uint64(21)) | c.astype(np.uint64)
+    # row index of each window start: cumulative (len + 1) offsets
+    lens = np.fromiter((len(t) for t in safe), dtype=np.int64, count=len(safe))
+    starts = np.concatenate(([0], np.cumsum(lens + 1)))[:-1]
+    doc_idx = np.searchsorted(starts, np.arange(len(a), dtype=np.int64), side="right") - 1
+    return packed, doc_idx, mask
+
+
+class CharTrigramLM:
+    """Corpus character-trigram unigram LM: ``P(t) = count(t) / total``.
+
+    ``logprob(texts)`` scores each text as the MEAN natural-log
+    probability of its trigrams — the CCNet-shaped "does this look like
+    the corpus" quality signal (low = gibberish / boilerplate outliers).
+    Unseen trigrams floor at count ``unseen_count`` (default 1) so
+    scoring never produces -inf on out-of-corpus text. Texts with < 3
+    chars get NaN (no trigram evidence).
+
+    The model is two parallel numpy arrays (sorted packed trigrams +
+    counts) — broadcast it once with ``ray.put`` and look it up inside
+    ``map_batches``; vocabulary is bounded by charset^3, not corpus rows.
+    """
+
+    def __init__(self, vocab: np.ndarray, counts: np.ndarray, unseen_count: float = 1.0):
+        self.vocab = vocab
+        self.counts = counts.astype(np.float64)
+        self.total = float(self.counts.sum())
+        self.unseen = float(unseen_count)
+
+    def logprob(self, texts: list) -> np.ndarray:
+        packed, doc_idx, mask = _pack_trigram_windows(texts)
+        packed, doc_idx = packed[mask], doc_idx[mask]
+        out = np.full(len(texts), np.nan)
+        if not len(packed) or not self.total:
+            return out
+        idx = np.searchsorted(self.vocab, packed)
+        idx_c = np.minimum(idx, len(self.vocab) - 1)
+        found = self.vocab[idx_c] == packed
+        cnt = np.where(found, self.counts[idx_c], self.unseen)
+        lp = np.log(cnt / self.total)
+        sums = np.bincount(doc_idx, weights=lp, minlength=len(texts))
+        npos = np.bincount(doc_idx, minlength=len(texts))
+        has = npos > 0
+        out[has] = sums[has] / npos[has]
+        return out
+
+
+def char_trigram_lm(docs_ds, text_col: str = "text", min_count: int = 1) -> CharTrigramLM:
+    """Fit :class:`CharTrigramLM` on a corpus with ONE distributed pass:
+    per-block packed-trigram ``np.unique`` partials (tiny (uint64, cnt)
+    rows — the text never re-shuffles) → ``grouped_sum`` hash shuffle →
+    driver gather of the VOCABULARY ONLY (bounded by charset^3; pass
+    ``min_count`` > 1 to prune the heavy tail on huge charsets — pruned
+    trigrams score as unseen)."""
+    from .shuffle import grouped_sum, select_if_needed
+
+    def partials(tb: pa.Table) -> pa.Table:
+        col = tb[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        packed, _, mask = _pack_trigram_windows(col.to_pylist())
+        u, c = np.unique(packed[mask], return_counts=True)
+        return pa.table(
+            {"tri": pa.array(u, pa.uint64()), "cnt_partial": pa.array(c, pa.int64())}
+        )
+
+    partial_ds = select_if_needed(docs_ds, [text_col]).map_batches(
+        partials, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    counts = grouped_sum(partial_ds, ["tri"], "cnt_partial", "cnt")
+    tbs = [
+        t
+        for t in counts.iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not tbs:
+        return CharTrigramLM(np.array([], dtype=np.uint64), np.array([], dtype=np.int64))
+    tb = pa.concat_tables(tbs)
+    vocab = tb["tri"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    cnt = tb["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if min_count > 1:
+        keep = cnt >= min_count
+        vocab, cnt = vocab[keep], cnt[keep]
+    order = np.argsort(vocab)
+    return CharTrigramLM(vocab[order], cnt[order])
+
+
+def lm_logprob_batch(model: CharTrigramLM, batch: pa.Table, text_col: str = "text", out_col: str = "lm_logprob") -> pa.Table:
+    """Append the per-row mean trigram log-probability (NaN→null for
+    texts with < 3 chars)."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lp = model.logprob(col.to_pylist())
+    arr = pa.array(lp, pa.float64(), from_pandas=True)  # NaN -> null
+    return batch.append_column(out_col, arr)

@@ -730,8 +730,21 @@ def anomaly_scores(sf_dir: str):
              AS n_bpe_tokens,
            CAST(r.n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
            ROUND(CAST(r.n_distinct_tokens AS DOUBLE) / GREATEST(r.n_toks, 1), 6) AS distinct_ratio,
-           ROUND(CAST(r.top AS DOUBLE) / GREATEST(r.n_toks, 1), 6) AS top_token_share
+           ROUND(CAST(r.top AS DOUBLE) / GREATEST(r.n_toks, 1), 6) AS top_token_share,
+           ROUND(sc.lm, 6) AS lm_logprob
     FROM documents d JOIN rep r USING (doc_id)
+    LEFT JOIN (
+      WITH tg AS (
+        SELECT d2.doc_id, substr(d2.text, CAST(i AS INTEGER), 3) AS t
+        FROM documents d2,
+             LATERAL (SELECT UNNEST(generate_series(1, GREATEST(length(d2.text) - 2, 0))) AS i) s
+        WHERE length(d2.text) >= 3
+      ),
+      c3 AS (SELECT t, CAST(COUNT(*) AS DOUBLE) c FROM tg GROUP BY t),
+      n3 AS (SELECT SUM(c) n FROM c3)
+      SELECT tg.doc_id, AVG(LN(c3.c / (SELECT n FROM n3))) AS lm
+      FROM tg JOIN c3 USING (t) GROUP BY tg.doc_id
+    ) sc USING (doc_id)
     """,
 )
 def doc_scalar_functions(sf_dir: str):
@@ -745,15 +758,24 @@ def doc_scalar_functions(sf_dir: str):
       float64 ops on both sides: bit-stable vs DuckDB);
     - GPT-2-shaped BPE-pretokenizer count (RE2 on both engines);
     - repetition signals (distinct-token ratio, top-token share) via one
-      polars tokenize + grouped count per batch (functions/text.py)."""
-    from ..functions.text import bpe_token_count_batch, repetition_batch
+      polars tokenize + grouped count per batch (functions/text.py);
+    - round 4e: CCNet-style char-trigram LM score (mean ln P(trigram)
+      under the corpus unigram-of-trigrams model) — the model fits in ONE
+      distributed packed-uint64 count pass, broadcasts once via ray.put,
+      and each batch scores with two numpy lookups (functions/text.py:
+      CharTrigramLM); DuckDB recomputes it from a lateral substr unnest."""
+    import ray
+
+    from ..functions.text import bpe_token_count_batch, char_trigram_lm, lm_logprob_batch, repetition_batch
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    model_ref = ray.put(char_trigram_lm(docs))
 
     def scalars(tb: pa.Table) -> pa.Table:
         q = quality_batch(tb)
         b = bpe_token_count_batch(tb)
         r = repetition_batch(tb)
+        lm = lm_logprob_batch(ray.get(model_ref), tb)
         safe = pc.max_element_wise(pc.cast(q["n_chars_q"], pa.float64()), 1.0)
         punct_ppm = pc.floor(pc.divide(pc.multiply(pc.cast(q["n_punct"], pa.float64()), 1e6), safe))
         upper_ppm = pc.floor(pc.divide(pc.multiply(pc.cast(q["n_upper"], pa.float64()), 1e6), safe))
@@ -767,6 +789,7 @@ def doc_scalar_functions(sf_dir: str):
                 "n_distinct_tokens": r["n_distinct_tokens"],
                 "distinct_ratio": pc.round(r["distinct_ratio"], ndigits=6),
                 "top_token_share": pc.round(r["top_token_share"], ndigits=6),
+                "lm_logprob": pc.round(lm["lm_logprob"], ndigits=6),
             }
         )
 

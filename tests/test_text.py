@@ -227,3 +227,43 @@ def test_term_doc_stats_and_tfidf_topk(ray_session):
         term_doc_stats(rd.from_arrow(docs), ngram=3)
     with pytest.raises(ValueError, match="order"):
         tfidf_top_terms(rd.from_arrow(docs), n_docs=8, order="df")
+
+
+def test_char_trigram_lm_fit_score_unseen_and_layout(ray_session):
+    """CharTrigramLM: layout-invariant fit, exact hand-checked probabilities,
+    unseen-trigram floor (never -inf), <3-char texts -> null, unicode safe."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import CharTrigramLM, char_trigram_lm
+
+    corpus = pd.DataFrame({"text": ["abcabc", "bca", "日本語のテキスト", None, "xy"]})
+    # trigram multiset: abcabc -> abc,bca,cab,abc ; bca -> bca ;
+    # 日本語のテキスト -> 6 windows ; None/xy -> none. total = 11
+    models = [
+        char_trigram_lm(rd.from_pandas(corpus).repartition(nb)) for nb in (1, 2, 5)
+    ]
+    m0 = models[0]
+    assert m0.total == 11.0
+    for m in models[1:]:
+        assert np.array_equal(m.vocab, m0.vocab) and np.array_equal(m.counts, m0.counts)
+
+    lp = m0.logprob(["abc", "bca", "zzz", "ab", "", None, "日本語"])
+    assert abs(lp[0] - math.log(2 / 11)) < 1e-12      # abc seen twice
+    assert abs(lp[1] - math.log(2 / 11)) < 1e-12      # bca seen twice
+    assert abs(lp[2] - math.log(1 / 11)) < 1e-12      # unseen floors at count 1
+    assert np.isnan(lp[3]) and np.isnan(lp[4]) and np.isnan(lp[5])
+    assert np.isfinite(lp[6])
+
+    # min_count pruning: trigrams below the floor score as unseen
+    pruned = char_trigram_lm(rd.from_pandas(corpus), min_count=2)
+    assert pruned.vocab.size == 2  # only abc and bca survive
+    lp2 = pruned.logprob(["cab"])
+    assert abs(lp2[0] - math.log(1 / pruned.total)) < 1e-12
+
+    # empty corpus
+    empty = char_trigram_lm(rd.from_pandas(pd.DataFrame({"text": ["ab", None]})))
+    assert np.isnan(empty.logprob(["abcdef"])[0])
