@@ -700,3 +700,221 @@ def pivot_wide(
         for name in names:
             out[name] = out[name].fillna(0).astype("int64")
     return out
+
+
+def global_value_ranks(ds, col: str):
+    """Distributed GLOBAL ranking over one column, as a compact
+    distinct-value lookup — the whole-dataset sibling of
+    ``temporal.window_rank`` (SQL ``RANK()/DENSE_RANK()/PERCENT_RANK()/
+    CUME_DIST() OVER (ORDER BY col)`` with no partition key).
+
+    Plan: (1) ONE exchange reduces the corpus to globally-distinct
+    ``(value, cnt)`` rows (``local_group_map`` — equal values co-locate,
+    so after the per-block group count each value exists exactly once);
+    (2) a range sort orders the distinct values and the result is
+    MATERIALIZED so both following passes see identical block boundaries;
+    (3) each batch emits one ``(min_v, cnt, ndist)`` partial — batches of
+    the sorted distinct table hold disjoint value ranges, so the driver
+    prefix-sum over O(batches) partials yields each batch's global row /
+    distinct offsets; (4) a second pass over the SAME materialized blocks
+    adds the offsets to local cumsums. Driver work is O(batches), never
+    O(distinct); the corpus streams through once.
+
+    Nulls are excluded (SQL window ORDER BY semantics are engine-specific
+    for nulls; callers keep null rows unranked via the left-join apply).
+    ``col`` must be numeric (the batch-boundary offset lookup keys on
+    float64 mins; exact up to 2^53 for integer columns).
+    Returns ``(ranks_ds, n_rows, n_distinct)`` where ``ranks_ds`` has one
+    row per distinct value: ``(value, rank, dense_rank, cume_cnt)`` with
+    ``rank`` = 1 + rows strictly below (SQL RANK over ties),
+    ``cume_cnt`` = rows <= value (CUME_DIST numerator).
+    """
+    import pyarrow.compute as pc
+
+    base = select_if_needed(ds, [col]).map_batches(
+        lambda tb: tb.filter(pc.is_valid(tb[col])),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+
+    def distinct_counts(tb: pa.Table) -> pa.Table:
+        out = pl.from_arrow(tb.select([col])).group_by(col).agg(pl.len().cast(pl.Int64).alias("cnt"))
+        fields = [tb.schema.field(col), pa.field("cnt", pa.int64())]
+        return out.to_arrow().cast(pa.schema(fields))
+
+    per_value = local_group_map(base, [col], distinct_counts, keys_non_null=True).sort(col)
+    per_value = per_value.materialize()
+
+    part_schema = pa.schema([("min_v", pa.float64()), ("cnt", pa.int64()), ("ndist", pa.int64())])
+
+    def partial(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return part_schema.empty_table()
+        v = tb[col].to_numpy(zero_copy_only=False)
+        c = tb["cnt"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"min_v": [float(np.min(v))], "cnt": [int(c.sum())], "ndist": [len(v)]},
+            schema=part_schema,
+        )
+
+    parts = [
+        t
+        for t in per_value.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not parts:
+        import ray.data as rd
+
+        try:
+            col_type = arrow_schema(ds).field(col).type
+        except (KeyError, AttributeError, TypeError):
+            # a fully-empty pandas-backed dataset loses its schema
+            col_type = pa.float64()
+        empty = pa.table(
+            {
+                col: pa.array([], col_type),
+                "rank": pa.array([], pa.int64()),
+                "dense_rank": pa.array([], pa.int64()),
+                "cume_cnt": pa.array([], pa.int64()),
+            }
+        )
+        return rd.from_arrow(empty), 0, 0
+    pdf = pa.concat_tables(parts).to_pandas().sort_values("min_v").reset_index(drop=True)
+    n_rows = int(pdf["cnt"].sum())
+    n_distinct = int(pdf["ndist"].sum())
+    mins = pdf["min_v"].to_numpy()
+    row_offs = np.concatenate([[0], np.cumsum(pdf["cnt"].to_numpy())[:-1]])
+    d_offs = np.concatenate([[0], np.cumsum(pdf["ndist"].to_numpy())[:-1]])
+
+    def add_offsets(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.table(
+                {
+                    col: pa.array([], tb.schema.field(col).type),
+                    "rank": pa.array([], pa.int64()),
+                    "dense_rank": pa.array([], pa.int64()),
+                    "cume_cnt": pa.array([], pa.int64()),
+                }
+            )
+        v = tb[col].to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="mergesort")
+        c = tb["cnt"].to_numpy(zero_copy_only=False)[order]
+        i = int(np.searchsorted(mins, float(v[order[0]]), side="right")) - 1
+        if i < 0 or not np.isclose(mins[i], float(v[order[0]]), rtol=0, atol=0):
+            raise RuntimeError(
+                "global_value_ranks: batch boundaries changed between the "
+                "offset pass and the apply pass (materialized sort no longer "
+                "stable) — min %r not in the offset table" % float(v[order[0]])
+            )
+        local_prefix = np.concatenate([[0], np.cumsum(c)[:-1]])
+        rank = row_offs[i] + local_prefix + 1
+        drank = d_offs[i] + np.arange(len(v), dtype=np.int64) + 1
+        cume = row_offs[i] + np.cumsum(c)
+        out = pa.table(
+            {
+                col: tb[col].take(pa.array(order)),
+                "rank": pa.array(rank.astype(np.int64)),
+                "dense_rank": pa.array(drank),
+                "cume_cnt": pa.array(cume.astype(np.int64)),
+            }
+        )
+        return out
+
+    ranks_ds = per_value.map_batches(add_offsets, batch_format="pyarrow", batch_size=None)
+    return ranks_ds, n_rows, n_distinct
+
+
+def with_global_rank(
+    ds,
+    col: str,
+    kinds: tuple = ("rank", "percent_rank", "cume_dist"),
+    driver_max_bytes: int = 64 << 20,
+    prefix: str = "",
+):
+    """Append whole-dataset window-rank columns for ``col`` (SQL
+    ``<kind>() OVER (ORDER BY col)``, kinds ⊆ {rank, dense_rank,
+    percent_rank, cume_dist}) without ever materializing per-row ranks
+    centrally: :func:`global_value_ranks` builds the distinct-value
+    lookup, which is then applied broadcast-style (``ray.put`` once,
+    searchsorted per batch) when it fits ``driver_max_bytes``, else via
+    the generic co-partitioned :func:`~anomalydetection_ray.functions.
+    relational.shuffle_hash_join` (left join — null / unseen values keep
+    null ranks)."""
+    import ray
+
+    ranks_ds, n_rows, _ = global_value_ranks(ds, col)
+    est = metadata_size_estimate(ranks_ds)
+    if est is not None and est > driver_max_bytes:
+        from .relational import shuffle_hash_join
+
+        def derive(tb: pa.Table) -> pa.Table:
+            return _derive_rank_columns(tb, kinds, n_rows, prefix)
+
+        joined = shuffle_hash_join(ds, ranks_ds, on=[col], how="left", suffix="__gvr")
+        return joined.map_batches(derive, batch_format="pyarrow", batch_size=None)
+
+    lookup = pa.concat_tables(
+        [t for t in ranks_ds.iter_batches(batch_format="pyarrow", batch_size=None) if t.num_rows]
+    ) if n_rows else None
+    if lookup is not None:
+        vals = lookup[col].to_numpy(zero_copy_only=False)
+        order = np.argsort(vals, kind="mergesort")
+        store = ray.put(
+            {
+                "vals": vals[order],
+                "rank": lookup["rank"].to_numpy(zero_copy_only=False)[order],
+                "dense_rank": lookup["dense_rank"].to_numpy(zero_copy_only=False)[order],
+                "cume_cnt": lookup["cume_cnt"].to_numpy(zero_copy_only=False)[order],
+            }
+        )
+    else:
+        store = ray.put(None)
+
+    def apply(tb: pa.Table) -> pa.Table:
+        s = ray.get(store)
+        n = tb.num_rows
+        rank = np.full(n, np.nan)
+        drank = np.full(n, np.nan)
+        cume = np.full(n, np.nan)
+        if s is not None and n:
+            v = tb[col].to_numpy(zero_copy_only=False)
+            valid = pa.compute.is_valid(tb[col]).to_numpy(zero_copy_only=False)
+            vv = v[valid]
+            if len(vv):
+                idx = np.searchsorted(s["vals"], vv)
+                idx_c = np.minimum(idx, len(s["vals"]) - 1)
+                hit = s["vals"][idx_c] == vv
+                rank[valid] = np.where(hit, s["rank"][idx_c], np.nan)
+                drank[valid] = np.where(hit, s["dense_rank"][idx_c], np.nan)
+                cume[valid] = np.where(hit, s["cume_cnt"][idx_c], np.nan)
+        cols = {"rank": rank, "dense_rank": drank, "cume_cnt": cume}
+        t = tb
+        for name, arr in cols.items():
+            t = t.append_column(f"__gvr_{name}", pa.array(arr, pa.float64(), from_pandas=True))
+        return _derive_rank_columns(t, kinds, n_rows, prefix, raw_prefix="__gvr_")
+
+    return ds.map_batches(apply, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def _derive_rank_columns(tb: pa.Table, kinds, n_rows: int, prefix: str, raw_prefix: str = ""):
+    """Turn raw (rank, dense_rank, cume_cnt) columns into the requested
+    SQL window columns and drop the raw ones."""
+    import pyarrow.compute as pc
+
+    raw_names = {k: f"{raw_prefix}{k}" for k in ("rank", "dense_rank", "cume_cnt")}
+    raw = {k: tb[name] for k, name in raw_names.items()}
+    out = tb.drop_columns([name for name in raw_names.values() if name in tb.column_names])
+    for k in kinds:
+        if k in ("rank", "dense_rank"):
+            col = pc.cast(raw[k], pa.int64())
+        elif k == "percent_rank":
+            denom = float(max(n_rows - 1, 1))
+            col = pc.divide(pc.subtract(pc.cast(raw["rank"], pa.float64()), 1.0), denom)
+        elif k == "cume_dist":
+            col = pc.divide(pc.cast(raw["cume_cnt"], pa.float64()), float(max(n_rows, 1)))
+        else:
+            raise ValueError(f"unknown rank kind {k!r}")
+        out = out.append_column(f"{prefix}{k}", col)
+    return out

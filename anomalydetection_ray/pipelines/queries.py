@@ -674,10 +674,16 @@ def windowed_event_counts(sf_dir: str):
              sqrt(list_aggregate(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS sc
       FROM embeddings
-    ), t AS (SELECT quantile_cont(sc, 0.95) AS q FROM s)
-    SELECT vec_id, ROUND(sc, 6) AS anomaly_score,
-           CAST(sc > q AS INTEGER) AS anomaly_prediction
-    FROM s, t
+    ), t AS (SELECT quantile_cont(sc, 0.95) AS q FROM s),
+    r AS (
+      SELECT vec_id, ROUND(sc, 6) AS anomaly_score,
+             CAST(sc > q AS INTEGER) AS anomaly_prediction
+      FROM s, t
+    )
+    SELECT vec_id, anomaly_score, anomaly_prediction,
+           ROUND(PERCENT_RANK() OVER (ORDER BY anomaly_score), 6) AS score_percent_rank,
+           ROUND(CUME_DIST() OVER (ORDER BY anomaly_score), 6) AS score_cume_dist
+    FROM r
     """,
 )
 def anomaly_scores(sf_dir: str):
@@ -685,7 +691,11 @@ def anomaly_scores(sf_dir: str):
     (``end_to_end_prediction.py:444``) + global p95 threshold (``:447``) +
     binary verdict (``:451``). Norms stream as zero-copy matrix kernels;
     the threshold collects ONE float column (exact p95, as the reference
-    does) — the sketch-based scale path is `value_quantiles_kll`."""
+    does) — the sketch-based scale path is `value_quantiles_kll`. Round
+    4e: each row also gets its GLOBAL score percentile
+    (functions.shuffle.with_global_rank — distinct-value rank lookup from
+    one exchange + range sort, O(batches) driver work; ranked over the
+    ROUNDED score so both engines order identical keys)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     scored = ds.map_batches(l2_norm_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     # exact global p95 over the score column only (A2 semantics)
@@ -703,7 +713,23 @@ def anomaly_scores(sf_dir: str):
             }
         )
 
-    return scored.map_batches(verdict, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    verdicts = scored.map_batches(
+        verdict, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    from ..functions.shuffle import with_global_rank
+
+    ranked = with_global_rank(
+        verdicts, "anomaly_score", kinds=("percent_rank", "cume_dist"), prefix="score_"
+    )
+
+    def round_ranks(batch: pa.Table) -> pa.Table:
+        for c in ("score_percent_rank", "score_cume_dist"):
+            batch = batch.set_column(
+                batch.schema.get_field_index(c), c, pc.round(batch[c], 6)
+            )
+        return batch
+
+    return ranked.map_batches(round_ranks, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

@@ -325,3 +325,53 @@ def test_distributed_pca_matches_numpy(ray_session, nblocks):
 
     with pytest.raises(ValueError, match="k must be"):
         distributed_pca(ds, "embedding", d + 1)
+
+
+def test_with_global_rank_duckdb_parity_and_plans(ray_session):
+    """with_global_rank: RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST over the
+    whole dataset match DuckDB's null-filtered window (ties included),
+    identically on the broadcast plan and the forced shuffle-join plan,
+    at any block layout; null values keep null ranks."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import with_global_rank
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"id": range(400), "v": np.round(rng.normal(size=400), 2)})
+    df.loc[5, "v"] = None
+
+    want = duckdb.sql(
+        """
+        SELECT id, RANK() OVER w AS rank, DENSE_RANK() OVER w AS dense_rank,
+               PERCENT_RANK() OVER w AS percent_rank, CUME_DIST() OVER w AS cume_dist
+        FROM df WHERE v IS NOT NULL WINDOW w AS (ORDER BY v) ORDER BY id
+        """
+    ).df()
+
+    for nb, max_bytes in ((1, 64 << 20), (6, 64 << 20), (6, 0)):
+        out = with_global_rank(
+            rd.from_pandas(df).repartition(nb),
+            "v",
+            kinds=("rank", "dense_rank", "percent_rank", "cume_dist"),
+            driver_max_bytes=max_bytes,
+        )
+        got = (
+            pa.concat_tables(out.iter_batches(batch_format="pyarrow", batch_size=None))
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        gm = got[got["v"].notna()].reset_index(drop=True)
+        for c in ("rank", "dense_rank"):
+            assert (gm[c].astype("int64") == want[c].astype("int64")).all(), (nb, max_bytes, c)
+        for c in ("percent_rank", "cume_dist"):
+            assert np.allclose(gm[c], want[c]), (nb, max_bytes, c)
+        assert got.loc[got["v"].isna(), "rank"].isna().all()
+
+    # empty input
+    out = with_global_rank(rd.from_pandas(df.iloc[:0]), "v", kinds=("rank",))
+    assert sum(t.num_rows for t in out.iter_batches(batch_format="pyarrow", batch_size=None)) == 0
