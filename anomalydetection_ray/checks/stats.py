@@ -426,3 +426,78 @@ def categorical_profile(
     if keys:
         return fin.sort(g).select(cols).to_pandas()
     return fin.select(["mode", "mode_count", "n_distinct", "entropy"]).to_pandas()
+
+
+def mutual_information(ds, col_a: str, col_b: str, batch_size: int | None = 65536) -> dict:
+    """Exact mutual information between two categorical columns, plus the
+    marginal and joint Shannon entropies (natural log) — the
+    "is this metadata column informative about that one" dependence
+    check (e.g. does ``source`` predict ``lang``; a cross-column sibling
+    of :func:`categorical_profile`).
+
+    Fully decomposed into streaming sums — NO join anywhere:
+
+        H(X)  = ln N - Σ_a c_a ln c_a / N        (marginal counts)
+        H(XY) = ln N - Σ_ab c_ab ln c_ab / N     (joint counts)
+        MI    = H(X) + H(Y) - H(XY)
+
+    so the plan is ONE distributed joint count (``key_counts`` — the only
+    exchange; one row per distinct (a, b) pair globally), two
+    ``grouped_sum`` reductions of that joint to the marginals, and three
+    streaming ``Σ c ln c`` scalar aggregates. Nothing corpus-sized or
+    distinct-pair-sized ever reaches the driver. Rows where either
+    column is null are dropped (SQL GROUP BY + join-free convention).
+
+    Returns ``{"n", "h_a", "h_b", "h_ab", "mi", "nmi"}`` with ``nmi`` =
+    MI / max(H(X), H(Y)) (0 when both entropies are 0).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.shuffle import grouped_sum, select_if_needed
+    from .uniqueness import key_counts
+
+    base = select_if_needed(ds, [col_a, col_b]).map_batches(
+        lambda tb: tb.filter(
+            pc.and_(pc.is_valid(tb[col_a]), pc.is_valid(tb[col_b]))
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    joint = key_counts(base, [col_a, col_b], batch_size=batch_size)
+
+    def clnc_sums(cnt_col):
+        def partial(tb: pa.Table) -> pa.Table:
+            c = tb[cnt_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table(
+                {"clnc": [float((c * np.log(c)).sum())], "ctot": [float(c.sum())]}
+            )
+
+        return partial
+
+    def reduce_clnc(count_ds, cnt_col):
+        agg = count_ds.map_batches(
+            clnc_sums(cnt_col), batch_format="pyarrow", batch_size=None
+        ).aggregate(Sum("clnc", alias_name="clnc"), Sum("ctot", alias_name="ctot"))
+        return float(agg["clnc"] or 0.0), float(agg["ctot"] or 0.0)
+
+    jln, n = reduce_clnc(joint, "cnt")
+    aln, _ = reduce_clnc(grouped_sum(joint, [col_a], "cnt", "ca"), "ca")
+    bln, _ = reduce_clnc(grouped_sum(joint, [col_b], "cnt", "cb"), "cb")
+
+    if n <= 0:
+        return {"n": 0, "h_a": 0.0, "h_b": 0.0, "h_ab": 0.0, "mi": 0.0, "nmi": 0.0}
+    ln_n = float(np.log(n))
+    h_a = ln_n - aln / n
+    h_b = ln_n - bln / n
+    h_ab = ln_n - jln / n
+    mi = h_a + h_b - h_ab
+    denom = max(h_a, h_b)
+    return {
+        "n": int(n),
+        "h_a": h_a,
+        "h_b": h_b,
+        "h_ab": h_ab,
+        "mi": mi,
+        "nmi": mi / denom if denom > 0 else 0.0,
+    }

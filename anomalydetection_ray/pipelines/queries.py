@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..checks.referential import orphans_bloom, semi_join
-from ..checks.stats import categorical_profile, column_stats
+from ..checks.stats import categorical_profile, column_stats, mutual_information
 from ..checks.uniqueness import duplicate_keys, key_counts
 from ..functions.relational import broadcast_join, broadcast_value_filter, frequency_filter
 from ..functions.shuffle import driver_grouped_agg
@@ -290,20 +290,33 @@ def freq_filter_docs(sf_dir: str):
 @register(
     "corpus_totals_docs",
     r"""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN text   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
-           CAST(SUM(CASE WHEN lang   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
-           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls,
-           CAST(SUM(n_emails) AS BIGINT) AS total_emails,
-           CAST(SUM(n_urls) AS BIGINT) AS total_urls,
-           CAST(SUM(n_ips) AS BIGINT) AS total_ips,
-           CAST(SUM(CASE WHEN n_emails + n_urls + n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged
-    FROM (
-      SELECT text, lang, source,
-             len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_emails,
-             len(regexp_extract_all(COALESCE(text, ''), 'https?://[^\s]+')) AS n_urls,
-             len(regexp_extract_all(COALESCE(text, ''), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
-      FROM documents)
+    WITH tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN text   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
+             CAST(SUM(CASE WHEN lang   IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+             CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls,
+             CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+             CAST(SUM(n_urls) AS BIGINT) AS total_urls,
+             CAST(SUM(n_ips) AS BIGINT) AS total_ips,
+             CAST(SUM(CASE WHEN n_emails + n_urls + n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged
+      FROM (
+        SELECT text, lang, source,
+               len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(COALESCE(text, ''), 'https?://[^\s]+')) AS n_urls,
+               len(regexp_extract_all(COALESCE(text, ''), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
+        FROM documents)
+    ),
+    j AS (SELECT lang, source, CAST(COUNT(*) AS DOUBLE) c FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+    jt AS (SELECT SUM(c) n, SUM(c * LN(c)) jln FROM j),
+    ma AS (SELECT SUM(s * LN(s)) aln FROM (SELECT SUM(c) s FROM j GROUP BY lang)),
+    mb AS (SELECT SUM(s * LN(s)) bln FROM (SELECT SUM(c) s FROM j GROUP BY source))
+    SELECT tot.*,
+           ROUND(LN(n) - aln / n, 6) AS h_lang,
+           ROUND(LN(n) - bln / n, 6) AS h_source,
+           ROUND((LN(n) - aln / n) + (LN(n) - bln / n) - (LN(n) - jln / n), 6)
+             AS mi_lang_source
+    FROM tot, jt, ma, mb
     """,
 )
 def corpus_totals_docs(sf_dir: str):
@@ -344,7 +357,15 @@ def corpus_totals_docs(sf_dir: str):
         "total_emails", "total_urls", "total_ips", "docs_flagged",
     ]
     row = p.aggregate(*[Sum(c, alias_name=c) for c in cols])
-    return pd.DataFrame([row])[cols].astype("int64")
+    out = pd.DataFrame([row])[cols].astype("int64")
+    # round 4e: cross-column dependence scalars — exact MI / entropies of
+    # (lang, source) via join-free streaming Σ c ln c decomposition
+    # (checks.stats.mutual_information)
+    mi = mutual_information(ds, "lang", "source")
+    out["h_lang"] = round(mi["h_a"], 6)
+    out["h_source"] = round(mi["h_b"], 6)
+    out["mi_lang_source"] = round(mi["mi"], 6)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -530,3 +530,31 @@ def test_categorical_profile_empty(ray_session):
     empty = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype=str), "v": pd.Series([], dtype=str)}))
     out = categorical_profile(empty, "v", ["k"])
     assert len(out) == 0 and list(out.columns) == ["k", "mode", "mode_count", "n_distinct", "entropy"]
+
+
+def test_mutual_information_dependence_independence_nulls(ray_session):
+    """mutual_information: MI = ln 2 for a perfectly dependent binary pair,
+    0 for independence, null rows dropped, layout invariant, empty safe."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.checks.stats import mutual_information
+
+    dep = pd.DataFrame({"a": ["x", "x", "y", "y"] * 10, "b": ["p", "p", "q", "q"] * 10})
+    for nb in (1, 3, 8):
+        r = mutual_information(rd.from_pandas(dep).repartition(nb), "a", "b")
+        assert abs(r["mi"] - math.log(2)) < 1e-12 and abs(r["nmi"] - 1.0) < 1e-12, (nb, r)
+
+    ind = pd.DataFrame({"a": ["x", "x", "y", "y"] * 10, "b": ["p", "q", "p", "q"] * 10})
+    r = mutual_information(rd.from_pandas(ind).repartition(4), "a", "b")
+    assert abs(r["mi"]) < 1e-12 and r["n"] == 40
+
+    # null rows in either column are excluded
+    withnull = pd.concat([dep, pd.DataFrame({"a": [None, "x"], "b": ["p", None]})])
+    r2 = mutual_information(rd.from_pandas(withnull).repartition(3), "a", "b")
+    assert r2["n"] == 40 and abs(r2["mi"] - math.log(2)) < 1e-12
+
+    empty = mutual_information(rd.from_pandas(dep.iloc[:0]), "a", "b")
+    assert empty == {"n": 0, "h_a": 0.0, "h_b": 0.0, "h_ab": 0.0, "mi": 0.0, "nmi": 0.0}
