@@ -2,6 +2,7 @@
 embedding-cosine. First-class engine features for training-data curation
 (the reference has no dedup at all, SURVEY.md §2.7)."""
 
+from .distributed import connected_components
 from .exact import exact_dedup
 from .neardup import (
     embedding_cosine_dedup,
@@ -14,6 +15,7 @@ from .neardup import (
 )
 
 __all__ = [
+    "connected_components",
     "exact_dedup",
     "minhash_lsh_dedup",
     "minhash_lsh_dedup_verified",
