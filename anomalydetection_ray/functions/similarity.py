@@ -215,3 +215,139 @@ def ivf_topk_cosine(
         concurrency=sized_actor_concurrency(ds),
     )
     return _final_topk(partials, id_col, k)
+
+
+def kmeans_fit(
+    ds,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 20,
+    seed: int = 42,
+    tol: float = 1e-7,
+    init_sample: int = 4096,
+):
+    """FULL-CORPUS distributed k-means (Euclidean Lloyd iterations) — the
+    public clustering operator behind IVF's sample-trained centroids
+    (reference analog: the latent-space clustering its VAE pipelines
+    visualize, `models/VAE_utils.py:297-303`).
+
+    Init: seeded k-means++ (D²-weighted picks) on a deterministic
+    hash-rate sample (same discipline as ``ivf_topk_cosine``: sampled by
+    id hash, sorted by id, so init is identical at any parallelism). Each Lloyd
+    iteration is ONE streaming ``map_batches`` pass: blocks assign rows
+    to their nearest center with a matmul and emit per-center
+    ``(vec_sum, count, sse)`` partials — k×d floats per block, the corpus
+    never gathers — and the driver merge updates centers (empty clusters
+    keep their previous center). Stops at ``iters`` or when the max
+    squared center shift falls under ``tol``.
+
+    Returns ``(centers (k, d) ndarray, inertia float, n_iter int)``.
+    Chain :func:`kmeans_assign` to label rows.
+    """
+    import polars as pl
+    import ray
+
+    n_total = ds.count()
+    if not n_total:
+        raise ValueError("empty dataset: nothing to cluster")
+    rate = min(1.0, init_sample / max(n_total, 1))
+
+    def hash_sample(batch: pa.Table) -> pa.Table:
+        col = batch[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        u = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=seed).to_numpy() / 2.0**64
+        return batch.filter(pa.array(u < rate))
+
+    tabs = [
+        t
+        for t in _sel(ds, [id_col, vec_col])
+        .map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not tabs:
+        raise ValueError("hash-rate init sample came back empty; raise init_sample")
+    sample_tbl = pa.concat_tables(tabs, promote_options="default").sort_by(id_col)
+    sample = list_column_to_matrix(sample_tbl[vec_col].combine_chunks()).astype(np.float64)
+    k_eff = min(k, len(sample))
+    rng = np.random.RandomState(seed)
+    # k-means++ init on the (bounded, sorted) driver sample: D^2-weighted
+    # picks avoid the merged-blob local optima plain random seeding hits
+    centers = sample[[rng.randint(len(sample))]].copy()
+    d2 = ((sample - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, k_eff):
+        tot = float(d2.sum())
+        if tot <= 0:
+            nxt = rng.randint(len(sample))
+        else:
+            nxt = int(rng.choice(len(sample), p=d2 / tot))
+        centers = np.vstack([centers, sample[nxt]])
+        d2 = np.minimum(d2, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    d = centers.shape[1]
+
+    inertia = float("nan")
+    n_iter = 0
+    for n_iter in range(1, iters + 1):
+        cref = ray.put(centers)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            x = list_column_to_matrix(batch[vec_col]).astype(np.float64)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over centers
+            d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ c.T) + (c * c).sum(axis=1)
+            assign = d2.argmin(axis=1)
+            sse = float(np.maximum(d2[np.arange(len(x)), assign], 0.0).sum())
+            sums = np.zeros((len(c), x.shape[1]))
+            np.add.at(sums, assign, x)
+            cnt = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "cell": pa.array(np.arange(len(c), dtype=np.int64)),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "cnt": pa.array(cnt),
+                    # block sse rides on cell 0's row; the driver just sums
+                    "sse": pa.array(np.concatenate([[sse], np.zeros(len(c) - 1)])),
+                }
+            )
+
+        parts = [
+            t
+            for t in _sel(ds, [vec_col])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ]
+        tb = pa.concat_tables(parts)
+        cells = tb["cell"].to_numpy(zero_copy_only=False)
+        vs = list_column_to_matrix(tb["vsum"].combine_chunks())
+        cnts = tb["cnt"].to_numpy(zero_copy_only=False)
+        sums = np.zeros((k_eff, d))
+        np.add.at(sums, cells, vs)
+        total = np.bincount(cells, weights=cnts, minlength=k_eff)
+        inertia = float(tb["sse"].to_numpy(zero_copy_only=False).sum())
+        new_centers = centers.copy()
+        nz = total > 0
+        new_centers[nz] = sums[nz] / total[nz, None]
+        shift = float(((new_centers - centers) ** 2).sum(axis=1).max())
+        centers = new_centers
+        if shift < tol:
+            break
+    return centers, inertia, n_iter
+
+
+def kmeans_assign(ds, centers: np.ndarray, vec_col: str = "embedding", out_col: str = "cluster"):
+    """Append each row's nearest-center index (broadcast centers via
+    ``ray.put`` once; one matmul per batch)."""
+    import ray
+
+    cref = ray.put(np.asarray(centers, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = list_column_to_matrix(batch[vec_col]).astype(np.float64)
+        d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ c.T) + (c * c).sum(axis=1)
+        return batch.append_column(out_col, pa.array(d2.argmin(axis=1).astype(np.int64)))
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
