@@ -918,3 +918,27 @@ def _derive_rank_columns(tb: pa.Table, kinds, n_rows: int, prefix: str, raw_pref
             raise ValueError(f"unknown rank kind {k!r}")
         out = out.append_column(f"{prefix}{k}", col)
     return out
+
+
+def equi_depth_buckets(ds, col: str, k: int, out_col: str | None = None, driver_max_bytes: int = 64 << 20):
+    """Global equi-depth discretization: bucket i of k holds (about) the
+    i-th n/k-quantile slice — ``bucket = CEIL(CUME_DIST() OVER (ORDER BY
+    col) * k)``, the SQL-exact tie-stable formulation (ties share a
+    cume_dist, hence a bucket, so the cut never splits equal values).
+    A thin composition over :func:`with_global_rank`; null values get a
+    null bucket. The standard feature-binning stage before histogram
+    models / per-bucket stratification."""
+    import pyarrow.compute as pc
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    out_col = out_col or f"{col}_bucket"
+    ranked = with_global_rank(
+        ds, col, kinds=("cume_dist",), driver_max_bytes=driver_max_bytes, prefix="__edb_"
+    )
+
+    def bucketize(tb: pa.Table) -> pa.Table:
+        b = pc.cast(pc.ceil(pc.multiply(tb["__edb_cume_dist"], float(k))), pa.int64())
+        return tb.drop_columns(["__edb_cume_dist"]).append_column(out_col, b)
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -703,7 +703,8 @@ def windowed_event_counts(sf_dir: str):
     )
     SELECT vec_id, anomaly_score, anomaly_prediction,
            ROUND(PERCENT_RANK() OVER (ORDER BY anomaly_score), 6) AS score_percent_rank,
-           ROUND(CUME_DIST() OVER (ORDER BY anomaly_score), 6) AS score_cume_dist
+           ROUND(CUME_DIST() OVER (ORDER BY anomaly_score), 6) AS score_cume_dist,
+           CAST(CEIL(CUME_DIST() OVER (ORDER BY anomaly_score) * 10) AS BIGINT) AS score_decile
     FROM r
     """,
 )
@@ -744,6 +745,12 @@ def anomaly_scores(sf_dir: str):
     )
 
     def round_ranks(batch: pa.Table) -> pa.Table:
+        # equi-depth decile from the same cume_dist (shared global-rank
+        # lookup; SQL CEIL(CUME_DIST() * 10) parity — ties share a bucket)
+        decile = pc.cast(
+            pc.ceil(pc.multiply(batch["score_cume_dist"], 10.0)), pa.int64()
+        )
+        batch = batch.append_column("score_decile", decile)
         for c in ("score_percent_rank", "score_cume_dist"):
             batch = batch.set_column(
                 batch.schema.get_field_index(c), c, pc.round(batch[c], 6)

@@ -375,3 +375,39 @@ def test_with_global_rank_duckdb_parity_and_plans(ray_session):
     # empty input
     out = with_global_rank(rd.from_pandas(df.iloc[:0]), "v", kinds=("rank",))
     assert sum(t.num_rows for t in out.iter_batches(batch_format="pyarrow", batch_size=None)) == 0
+
+
+def test_equi_depth_buckets_duckdb_parity(ray_session):
+    """equi_depth_buckets: bucket = CEIL(CUME_DIST()*k) matches DuckDB,
+    ties never split across buckets, nulls get null buckets, every
+    non-null row is bucketed 1..k."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import equi_depth_buckets
+
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame({"id": range(300), "v": np.round(rng.normal(size=300), 1)})  # heavy ties
+    df.loc[7, "v"] = None
+    out = equi_depth_buckets(rd.from_pandas(df).repartition(5), "v", 7)
+    got = (
+        pa.concat_tables(out.iter_batches(batch_format="pyarrow", batch_size=None))
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """
+        SELECT id, CAST(CEIL(CUME_DIST() OVER (ORDER BY v) * 7) AS BIGINT) AS b
+        FROM df WHERE v IS NOT NULL ORDER BY id
+        """
+    ).df()
+    gm = got[got["v"].notna()].reset_index(drop=True)
+    assert (gm["v_bucket"].astype("int64") == want["b"].astype("int64")).all()
+    assert got.loc[got["v"].isna(), "v_bucket"].isna().all()
+    assert gm["v_bucket"].between(1, 7).all()
+    # equal values share a bucket
+    assert (gm.groupby("v")["v_bucket"].nunique() == 1).all()
