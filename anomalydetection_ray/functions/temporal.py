@@ -571,6 +571,7 @@ def funnel_counts(
     key: str = "user_id",
     ts_col: str = "ts",
     event_col: str = "event_type",
+    within=None,
 ):
     """Ordered-funnel analysis: for each step k, how many distinct ``key``
     entities performed ``steps[0..k]`` in strict time order — each step
@@ -590,6 +591,11 @@ def funnel_counts(
     ``len(steps)`` partial counts; the driver sums them — correct because
     co-location makes per-key progression block-local. Null keys and
     null timestamps are dropped up front (SQL JOIN/comparison semantics).
+
+    ``within`` (optional ``datetime.timedelta``, or a numeric delta for
+    numeric ``ts_col``) bounds the CONVERSION WINDOW: steps 2..k only
+    count when ``ts <= first_step_ts + within`` — the standard
+    "converted within N days of entry" funnel semantics.
 
     Returns a pandas DataFrame ``(step, step_name, n_users)`` with one
     row per step, n_users non-increasing.
@@ -621,10 +627,17 @@ def funnel_counts(
         for k, step in enumerate(steps):
             ev = df.filter(pl.col(event_col) == step)
             if k:
-                ev = ev.join(cur, on=key, how="inner").filter(
-                    pl.col(ts_col) > pl.col("_t")
-                ).drop("_t")
-            cur = ev.group_by(key).agg(pl.col(ts_col).min().alias("_t"))
+                cond = pl.col(ts_col) > pl.col("_t")
+                if within is not None:
+                    cond = cond & (pl.col(ts_col) <= pl.col("_t1") + within)
+                ev = ev.join(cur, on=key, how="inner").filter(cond).drop("_t")
+                cur = ev.group_by(key).agg(
+                    pl.col(ts_col).min().alias("_t"), pl.col("_t1").first()
+                )
+            else:
+                cur = ev.group_by(key).agg(pl.col(ts_col).min().alias("_t")).with_columns(
+                    pl.col("_t").alias("_t1")
+                )
             counts[k] = cur.height
         return pa.table(
             {
