@@ -642,11 +642,13 @@ def _hour_bucket(batch: pa.Table) -> pa.Table:
     """
     WITH h AS (
       SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
-             COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+             COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       FROM events GROUP BY event_type, hour_bucket)
     SELECT event_type, hour_bucket, CAST(cnt AS BIGINT) AS cnt, sum_value,
            CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY hour_bucket
-                RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_3h
+                RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt_3h,
+           n_users
     FROM h
     """,
 )
@@ -660,13 +662,29 @@ def windowed_event_counts(sf_dir: str):
     - sliding (3 h window, 1 h slide) layered ON the tumbling partials
       (raw events never re-scanned): a vectorized gap-aware combine over
       bucket VALUES (cumsum + searchsorted — RANGE semantics, so missing
-      hours shrink the window exactly like the SQL oracle)."""
-    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+      hours shrink the window exactly like the SQL oracle);
+    - round 4e: per-window DISTINCT USERS via two-level aggregation
+      (key_counts hash-shuffles the tiny (window, user) pairs to one row
+      per distinct triple, then a per-window count — the exact windowed
+      COUNT(DISTINCT) a streaming monitor needs; HLL is the sketch path)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value", "user_id"])
     hourly = driver_grouped_agg(
         ds.map_batches(_hour_bucket, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
         ["event_type", "hour_bucket"],
         {"cnt": (None, "count"), "sum_value": ("value", "sum")},
     )
+    pairs = key_counts(
+        read_table(sf_dir, "events", columns=["event_type", "ts", "user_id"]).map_batches(
+            _hour_bucket, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ),
+        ["event_type", "hour_bucket", "user_id"],
+    )
+    nusers = (
+        pairs.groupby(["event_type", "hour_bucket"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    nusers["n_users"] = nusers["n_users"].astype("int64")
     pieces = []
     for _, g in hourly.groupby("event_type", sort=False):
         g = g.sort_values("hour_bucket")
@@ -678,7 +696,9 @@ def windowed_event_counts(sf_dir: str):
     out = pd.concat(pieces).reset_index(drop=True)
     out["hour_bucket"] = out["hour_bucket"].astype("int64")
     out["cnt"] = out["cnt"].astype("int64")
-    out = out[["event_type", "hour_bucket", "cnt", "sum_value", "cnt_3h"]]
+    out = out.merge(nusers, on=["event_type", "hour_bucket"], how="left")
+    out["n_users"] = out["n_users"].fillna(0).astype("int64")
+    out = out[["event_type", "hour_bucket", "cnt", "sum_value", "cnt_3h", "n_users"]]
     return _round_pd(out, {"sum_value": 4})
 
 
