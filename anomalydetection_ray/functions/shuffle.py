@@ -304,12 +304,16 @@ def _agg_partial_exprs(spec: dict[str, tuple[str | None, str]]):
             exprs.append(pl.col(col).max().alias(f"{alias}__max"))
         elif op == "count":
             exprs.append(pl.len().alias(f"{alias}__cnt"))
-        elif op in ("corr", "covar"):
-            # Two-column co-moments. SQL CORR/COVAR_SAMP use only rows
-            # where BOTH sides are non-null, so every partial is masked
-            # by pairwise completeness (plain per-column sums would
+        elif op in ("corr", "covar", "regr_slope", "regr_intercept", "regr_r2"):
+            # Two-column co-moments. SQL CORR/COVAR_SAMP/REGR_* use only
+            # rows where BOTH sides are non-null, so every partial is
+            # masked by pairwise completeness (plain per-column sums would
             # silently include half-null rows and diverge from DuckDB).
+            # regr ops name the column pair SQL-style: (y, x) — swap so
+            # the internal x is always the regression x
             xc, yc = col
+            if op.startswith("regr"):
+                yc, xc = col
             both = pl.col(xc).is_not_null() & pl.col(yc).is_not_null()
             x = pl.when(both).then(pl.col(xc).cast(pl.Float64))
             y = pl.when(both).then(pl.col(yc).cast(pl.Float64))
@@ -317,8 +321,9 @@ def _agg_partial_exprs(spec: dict[str, tuple[str | None, str]]):
             exprs.append(y.sum().alias(f"{alias}__sy"))
             exprs.append((x * y).sum().alias(f"{alias}__sxy"))
             exprs.append(both.sum().alias(f"{alias}__cnt"))
-            if op == "corr":
+            if op in ("corr", "regr_slope", "regr_intercept", "regr_r2"):
                 exprs.append((x * x).sum().alias(f"{alias}__sxx"))
+            if op in ("corr", "regr_r2"):
                 exprs.append((y * y).sum().alias(f"{alias}__syy"))
         else:
             raise ValueError(f"unsupported op {op!r}")
@@ -344,17 +349,30 @@ def _agg_final_exprs(spec: dict[str, tuple[str | None, str]]):
             exprs.append(pl.col(f"{alias}__max").max().alias(alias))
         elif op == "count":
             exprs.append(pl.col(f"{alias}__cnt").sum().alias(alias))
-        elif op in ("corr", "covar"):
+        elif op in ("corr", "covar", "regr_slope", "regr_intercept", "regr_r2"):
             n = pl.col(f"{alias}__cnt").sum()
             sx = pl.col(f"{alias}__sx").sum()
             sy = pl.col(f"{alias}__sy").sum()
             cov = (pl.col(f"{alias}__sxy").sum() - sx * sy / n) / (n - 1)
             if op == "covar":
                 exprs.append(cov.alias(alias))
-            else:
+            elif op == "corr":
                 vx = (pl.col(f"{alias}__sxx").sum() - sx**2 / n) / (n - 1)
                 vy = (pl.col(f"{alias}__syy").sum() - sy**2 / n) / (n - 1)
                 exprs.append((cov / (vx.sqrt() * vy.sqrt())).alias(alias))
+            else:
+                # least-squares fit of y on x (the (n-1) factors cancel in
+                # slope and r2, so population/sample choice is irrelevant)
+                sxx_c = pl.col(f"{alias}__sxx").sum() - sx**2 / n
+                sxy_c = pl.col(f"{alias}__sxy").sum() - sx * sy / n
+                slope = sxy_c / sxx_c
+                if op == "regr_slope":
+                    exprs.append(slope.alias(alias))
+                elif op == "regr_intercept":
+                    exprs.append((sy / n - slope * sx / n).alias(alias))
+                else:
+                    syy_c = pl.col(f"{alias}__syy").sum() - sy**2 / n
+                    exprs.append((sxy_c**2 / (sxx_c * syy_c)).alias(alias))
     return exprs
 
 

@@ -383,7 +383,10 @@ def corpus_totals_docs(sf_dir: str):
            ROUND(AVG(l_extendedprice), 6) AS avg_price,
            COUNT(*) AS cnt,
            ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
-           ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar
+           ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS price_qty_slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS price_qty_intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS price_qty_r2
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -393,7 +396,10 @@ def pricing_summary(sf_dir: str):
     Round 4: the same one-scan partial pass also carries two-column
     co-moments — SQL ``corr``/``covar_samp`` per group via mergeable
     (Σx, Σy, Σxy, Σx², Σy², n) partials masked to pairwise-complete rows
-    (SQL drops a row when EITHER side is null)."""
+    (SQL drops a row when EITHER side is null). Round 4e: per-group
+    LEAST-SQUARES fit from the SAME partials — SQL
+    ``regr_slope/regr_intercept/regr_r2`` (trend-per-group, the drift
+    direction signal)."""
     ds = read_table(
         sf_dir,
         "lineitem",
@@ -415,6 +421,9 @@ def pricing_summary(sf_dir: str):
             "cnt": (None, "count"),
             "price_qty_corr": (("l_extendedprice", "l_quantity"), "corr"),
             "price_qty_covar": (("l_extendedprice", "l_quantity"), "covar"),
+            "price_qty_slope": (("l_extendedprice", "l_quantity"), "regr_slope"),
+            "price_qty_intercept": (("l_extendedprice", "l_quantity"), "regr_intercept"),
+            "price_qty_r2": (("l_extendedprice", "l_quantity"), "regr_r2"),
         },
     )
     agg["cnt"] = agg["cnt"].astype("int64")
@@ -427,6 +436,9 @@ def pricing_summary(sf_dir: str):
             "avg_price": 6,
             "price_qty_corr": 6,
             "price_qty_covar": 4,
+            "price_qty_slope": 6,
+            "price_qty_intercept": 4,
+            "price_qty_r2": 6,
         },
     )
 

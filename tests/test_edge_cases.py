@@ -417,3 +417,50 @@ def test_cube_grouping_sets_duckdb_parity(ray_session):
     assert len(got2) == len(want2) == 4
     pd.testing.assert_frame_equal(got2[["b", "cnt"]], want2[["b", "cnt"]], check_dtype=False)
     np.testing.assert_allclose(got2["s"].to_numpy(), want2["s"].to_numpy(), rtol=1e-12)
+
+
+def test_regr_ops_duckdb_parity_and_asymmetry(ray_session):
+    """regr_slope/intercept/r2 spec ops: (y, x) SQL argument order (the
+    fit is ASYMMETRIC — regressing y on x != x on y), pairwise-complete
+    null masking, DuckDB parity at any layout."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import driver_grouped_agg
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    x = rng.normal(10, 2, n)
+    y = 4.0 * x - 7.0 + rng.normal(0, 3, n)
+    xm = rng.random(n) < 0.1
+    ym = rng.random(n) < 0.1
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["a", "b"], n)),
+            "x": pa.array([None if m else v for m, v in zip(xm, x)], type=pa.float64()),
+            "y": pa.array([None if m else v for m, v in zip(ym, y)], type=pa.float64()),
+        }
+    )
+    for nb in (1, 6):
+        got = driver_grouped_agg(
+            rd.from_arrow(t).repartition(nb),
+            ["g"],
+            {
+                "sl": (("y", "x"), "regr_slope"),
+                "ic": (("y", "x"), "regr_intercept"),
+                "r2": (("y", "x"), "regr_r2"),
+                "sl_rev": (("x", "y"), "regr_slope"),
+            },
+        ).sort_values("g").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute(
+            """SELECT g, regr_slope(y, x) AS sl, regr_intercept(y, x) AS ic,
+                      regr_r2(y, x) AS r2, regr_slope(x, y) AS sl_rev
+               FROM t GROUP BY g ORDER BY g"""
+        ).df()
+        for c in ("sl", "ic", "r2", "sl_rev"):
+            np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(), rtol=1e-10)
+        # asymmetry really exercised: y-on-x slope ~4, x-on-y ~1/4-ish
+        assert abs(got["sl"][0] - 4.0) < 0.3 and got["sl_rev"][0] < 1.0
