@@ -1519,35 +1519,52 @@ def revenue_by_nation(sf_dir: str):
 @register(
     "dev_from_group_mean",
     """
+    WITH g AS (
+      SELECT lang, source, AVG(n_chars) AS grp_mean,
+             median(n_chars) AS med, mad(n_chars) AS madv
+      FROM documents GROUP BY lang, source)
     SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source,
-           ROUND(d.n_chars - g.grp_mean, 6) AS dev
+           ROUND(d.n_chars - g.grp_mean, 6) AS dev,
+           CASE WHEN g.madv > 0
+                THEN ROUND((d.n_chars - g.med) / (1.4826 * g.madv), 6) END AS robust_z,
+           CAST(ABS(d.n_chars - g.med) > 3.5 * 1.4826 * g.madv AS INTEGER) AS is_outlier
     FROM documents d
-    JOIN (SELECT lang, source, AVG(n_chars) AS grp_mean
-          FROM documents GROUP BY lang, source) g
-      ON d.lang = g.lang AND d.source = g.source
+    JOIN g ON d.lang = g.lang AND d.source = g.source
     """,
 )
 def dev_from_group_mean(sf_dir: str):
-    """COMPOSITE-KEY distributed join (round-3 verdict item 6): per-row
-    deviation from the (lang, source) group mean — the grouped analog of
-    the reference's per-row deviation scorer (T5,
-    ``end_to_end_prediction.py:444``). The group means are a small
+    """COMPOSITE-KEY distributed join (round-3 verdict item 6) + ROBUST
+    per-row outlier flags (round 4f): per-row deviation from the
+    (lang, source) group mean — the grouped analog of the reference's
+    per-row deviation scorer (T5, ``end_to_end_prediction.py:444``) —
+    plus the median/MAD modified z-score and its |z| > 3.5 flag from
+    :func:`~anomalydetection_ray.functions.shuffle.robust_outlier_flags`
+    (grouped median+MAD in one co-located 16 B/row pass, stats broadcast
+    once, flags as pure Arrow kernels — the heavy-tail-safe alternative
+    to the reference's mean±σ threshold). The group means are a small
     aggregate, but the join runs on the FORCED shuffle plan
     (``shuffle_hash_join`` on a two-column key) so the driver gate checks
     the tagged-union co-partition path end-to-end against DuckDB."""
     import ray.data as rd
 
     from ..functions.relational import shuffle_hash_join
+    from ..functions.shuffle import robust_outlier_flags
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+    flagged = robust_outlier_flags(docs, ["lang", "source"], "n_chars")
     means = driver_grouped_agg(docs, ["lang", "source"], {"grp_mean": ("n_chars", "mean")})
     joined = shuffle_hash_join(
-        docs, ["lang", "source"], rd.from_pandas(means), ["lang", "source"], how="inner"
+        flagged, ["lang", "source"], rd.from_pandas(means), ["lang", "source"], how="inner"
     )
 
     def dev(tb: pa.Table) -> pa.Table:
         d = pc.round(pc.subtract(pc.cast(tb["n_chars"], pa.float64()), tb["grp_mean"]), ndigits=6)
-        return tb.select(["doc_id", "lang", "source"]).append_column("dev", d)
+        return (
+            tb.select(["doc_id", "lang", "source"])
+            .append_column("dev", d)
+            .append_column("robust_z", pc.round(tb["robust_z"], ndigits=6))
+            .append_column("is_outlier", tb["is_outlier"])
+        )
 
     return as_table(joined.map_batches(dev, batch_format="pyarrow", batch_size=None, zero_copy_batch=True))
 

@@ -70,6 +70,68 @@ def test_grouped_exact_quantiles_match_numpy(ray_session):
         assert np.isclose(out.loc[g, "q90"], np.percentile(sub, 90))
 
 
+def test_robust_outlier_flags_match_numpy(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import robust_outlier_flags
+
+    rng = np.random.default_rng(11)
+    keys = rng.choice(["x", "y", "z"], size=4000)
+    vals = rng.standard_normal(4000) * 10
+    # plant unambiguous outliers in one group
+    idx = np.flatnonzero(keys == "y")[:5]
+    vals[idx] = 1e6
+    t = pa.table({"g": keys, "v": vals})
+    out = (
+        robust_outlier_flags(rd.from_arrow(t).repartition(7), ["g"], "v")
+        .to_pandas()
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
+    for g in ("x", "y", "z"):
+        sub = np.sort(vals[keys == g])
+        med = np.median(sub)
+        mad = np.median(np.abs(sub - med))
+        got = out[out["g"] == g]
+        assert np.allclose(got["robust_z"], (sub - med) / (1.4826 * mad))
+        assert (got["is_outlier"].to_numpy() == (np.abs(sub - med) > 3.5 * 1.4826 * mad)).all()
+    assert int(out["is_outlier"].sum()) >= 5
+
+
+def test_robust_outlier_flags_degenerate_and_external_stats(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import robust_outlier_flags
+
+    # mad == 0 group: z is NULL, flag still fires for values off the median
+    t = pa.table({"g": ["a"] * 5 + ["b"] * 3, "v": [2.0, 2.0, 2.0, 2.0, 9.0, 1.0, 2.0, 3.0]})
+    out = (
+        robust_outlier_flags(rd.from_arrow(t).repartition(3), ["g"], "v")
+        .to_pandas()
+        .sort_values(["g", "v"])
+        .reset_index(drop=True)
+    )
+    a = out[out["g"] == "a"]
+    assert a["robust_z"].isna().all()  # mad=0 -> null z
+    assert a["is_outlier"].tolist() == [0, 0, 0, 0, 1]  # only the 9.0 is off the median
+    b = out[out["g"] == "b"]
+    assert b["is_outlier"].tolist() == [0, 0, 0]
+    assert np.allclose(b["robust_z"], [-1 / 1.4826, 0.0, 1 / 1.4826])
+
+    # external stats missing a group -> null z and flag for its rows
+    stats = pd.DataFrame({"g": ["a"], "med": [2.0], "mad": [1.0]})
+    out2 = robust_outlier_flags(rd.from_arrow(t), ["g"], "v", stats=stats).to_pandas()
+    missing = out2[out2["g"] == "b"]
+    assert missing["robust_z"].isna().all() and missing["is_outlier"].isna().all()
+
+    # colliding output column is rejected up front
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        robust_outlier_flags(rd.from_arrow(t), ["g"], "v", z_col="g")
+
+
 def test_grouped_topk_exact_and_deterministic(ray_session):
     import ray.data as rd
 
