@@ -194,6 +194,41 @@ def unpivot_long(ds, keys: list[str], value_cols: list[str], var_col: str = "nam
     )
 
 
+def streaming_moments(ds, vec_col: str) -> tuple[int, np.ndarray, np.ndarray]:
+    """First and second moments of a list<float> column from ONE streaming
+    pass: per-block ``(n, Σx d, X'X d×d)`` partials, merged on the driver
+    (associative sums — exact at any block layout). Returns
+    ``(n, colsum, xx)`` with ``xx`` the d×d raw second-moment matrix; the
+    corpus never moves. Shared by :func:`distributed_pca` and the
+    Mahalanobis scorer (functions/anomaly.py). Raises on empty input."""
+    from .shuffle import select_if_needed
+
+    def partial(tb: pa.Table) -> pa.Table:
+        x = list_column_to_matrix(tb[vec_col]).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], type=pa.int64()),
+                "s": pa.array([x.sum(axis=0).tolist()], type=pa.list_(pa.float64())),
+                "xx": pa.array([(x.T @ x).reshape(-1).tolist()], type=pa.list_(pa.float64())),
+            }
+        )
+
+    parts = [
+        t
+        for t in select_if_needed(ds, [vec_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not parts:
+        raise ValueError("streaming_moments: empty input")
+    pt = pa.concat_tables(parts, promote_options="default")
+    n = int(pc.sum(pt["n"]).as_py())
+    s = np.add.reduce([np.asarray(v, dtype=np.float64) for v in pt["s"].to_pylist()])
+    xx = np.add.reduce([np.asarray(v, dtype=np.float64) for v in pt["xx"].to_pylist()])
+    return n, s, xx.reshape(s.shape[0], s.shape[0])
+
+
 def distributed_pca(ds, vec_col: str, k: int, carry: list[str] | None = None):
     """Distributed PCA: fit the top-``k`` principal components from
     streaming covariance partials, then project every row — the
@@ -224,34 +259,12 @@ def distributed_pca(ds, vec_col: str, k: int, carry: list[str] | None = None):
     carry = carry or []
     need = list(dict.fromkeys([vec_col] + carry))
 
-    def partial(tb: pa.Table) -> pa.Table:
-        x = list_column_to_matrix(tb[vec_col]).astype(np.float64)
-        return pa.table(
-            {
-                "n": pa.array([x.shape[0]], type=pa.int64()),
-                "s": pa.array([x.sum(axis=0).tolist()], type=pa.list_(pa.float64())),
-                "xx": pa.array([(x.T @ x).reshape(-1).tolist()], type=pa.list_(pa.float64())),
-            }
-        )
-
-    parts = [
-        t
-        for t in select_if_needed(ds, [vec_col])
-        .map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
-    if not parts:
-        raise ValueError("distributed_pca: empty input")
-    pt = pa.concat_tables(parts, promote_options="default")
-    n = int(pc.sum(pt["n"]).as_py())
-    s = np.add.reduce([np.asarray(v, dtype=np.float64) for v in pt["s"].to_pylist()])
-    xx = np.add.reduce([np.asarray(v, dtype=np.float64) for v in pt["xx"].to_pylist()])
+    n, s, xx = streaming_moments(ds, vec_col)
     d = s.shape[0]
     if not 1 <= k <= d:
         raise ValueError(f"k must be in [1, {d}]")
     mean = s / n
-    cov = xx.reshape(d, d) / n - np.outer(mean, mean)
+    cov = xx / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     w = evecs[:, ::-1][:, :k]
     # deterministic sign: make each component's largest-|coeff| entry positive
