@@ -413,6 +413,95 @@ def ewma(
     return local_group_map(select_if_needed(ds, need), [key], block, num_blocks)
 
 
+def cusum_flags(
+    ds,
+    key: str,
+    order_col: str,
+    value_col: str,
+    k: float = 0.5,
+    h: float = 5.0,
+    baseline: "pd.DataFrame | None" = None,
+    carry: list[str] | None = None,
+    num_blocks: int | None = None,
+):
+    """Per-key two-sided CUSUM changepoint statistic (Page 1954) — the
+    classic sequential mean-shift detector a streaming monitor runs where
+    a plain threshold misses SLOW drifts (many small deviations in one
+    direction accumulate; reference analog: the score-histogram drift
+    check, ``end_to_end_prediction.py:546``).
+
+    Over each key's ``order_col``-ordered history, on the standardized
+    deviation ``z_t = (x_t − μ) / σ``:
+
+    - ``cusum_pos``: S⁺_t = max(0, S⁺_{t−1} + z_t − k)
+    - ``cusum_neg``: S⁻_t = max(0, S⁻_{t−1} − z_t − k)
+    - ``cusum_alarm`` (int32): 1 where either side exceeds ``h``.
+
+    ``k`` is the drift allowance and ``h`` the decision interval, both in
+    σ units (0.5/5 is the textbook ARL≈465 design). μ/σ come from
+    ``baseline`` (pandas: key, mu, sigma — the in-control reference
+    period, broadcast once) or, when None, from each key's OWN full
+    history (retrospective changepoint scan). σ ≤ 0 or null ⇒ z = 0 (no
+    signal, never a divide); null values contribute z = 0 — the running
+    statistic decays by ``k`` and is still emitted, it never jumps.
+
+    Distribution shape = :func:`ewma`: hash-shuffle co-locates each key's
+    history, then the max(0, ·) recursion runs as pure Rust/vector
+    kernels via the reflection identity ``S_t = cs_t − min(0,
+    min_{j≤t} cs_j)`` with ``cs = cum_sum(z − k)`` — one ``cum_sum`` +
+    one ``cum_min`` per side ``.over(key)``, no Python loop. Same
+    one-key-per-block contract as every per-key window here."""
+    if not (k >= 0.0 and h > 0.0):
+        raise ValueError(f"need k >= 0 and h > 0, got k={k}, h={h}")
+    carry = carry or []
+    need = list(dict.fromkeys([key, order_col, value_col] + carry))
+    out_cols = ["cusum_pos", "cusum_neg", "cusum_alarm"]
+    for c in out_cols:
+        if c in need:
+            raise ValueError(f"output column {c!r} collides with an input column")
+    if baseline is not None:
+        missing = {key, "mu", "sigma"} - set(baseline.columns)
+        if missing:
+            raise ValueError(f"baseline is missing columns {sorted(missing)}")
+    base = ds.schema().base_schema
+    out_schema = pa.schema(
+        [(c, base.field(c).type) for c in need]
+        + [("cusum_pos", pa.float64()), ("cusum_neg", pa.float64()), ("cusum_alarm", pa.int32())]
+    )
+    bl = None if baseline is None else pl.from_pandas(baseline[[key, "mu", "sigma"]])
+
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
+        df = pl.from_arrow(tb.select(need)).sort(need)
+        x = pl.col(value_col).cast(pl.Float64)
+        if bl is None:
+            mu, sigma = x.mean().over(key), x.std(ddof=1).over(key)
+        else:
+            df = df.join(bl.with_columns(pl.col(key).cast(df.schema[key])), on=key, how="left")
+            mu, sigma = pl.col("mu"), pl.col("sigma")
+        z = (
+            pl.when(sigma.is_null() | (sigma <= 0) | x.is_null())
+            .then(0.0)
+            .otherwise((x - mu) / sigma)
+            .alias("_z")
+        )
+        df = df.with_columns(z)
+        sides = []
+        for name, sign in (("cusum_pos", 1.0), ("cusum_neg", -1.0)):
+            cs = (pl.col("_z") * sign - k).cum_sum().over(key)
+            runmin = pl.min_horizontal(cs.cum_min().over(key), pl.lit(0.0))
+            sides.append((cs - runmin).alias(name))
+        df = df.with_columns(sides).with_columns(
+            ((pl.col("cusum_pos") > h) | (pl.col("cusum_neg") > h))
+            .cast(pl.Int32)
+            .alias("cusum_alarm")
+        )
+        return df.select([f.name for f in out_schema]).to_arrow().cast(out_schema)
+
+    return local_group_map(select_if_needed(ds, need), [key], block, num_blocks)
+
+
 def window_rank(
     ds,
     key: str,

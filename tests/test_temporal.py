@@ -461,3 +461,98 @@ def test_funnel_counts_conversion_window(ray_session):
         """
     ).df()
     assert (int(want["a"][0]), int(want["b"][0]), int(want["c"][0])) == (4, 3, 1)
+
+
+def _ref_cusum(vals, mu, sigma, k, h):
+    """Python-loop CUSUM reference (the definitionally-correct recursion)."""
+    import numpy as np
+
+    sp = sn = 0.0
+    out = []
+    for x in vals:
+        z = 0.0 if (sigma is None or sigma <= 0 or x is None or np.isnan(x)) else (x - mu) / sigma
+        sp = max(0.0, sp + z - k)
+        sn = max(0.0, sn - z - k)
+        out.append((sp, sn, int(sp > h or sn > h)))
+    return out
+
+
+def test_cusum_matches_loop_reference_and_detects_shift(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import cusum_flags
+
+    rng = np.random.default_rng(4)
+    n_pre, n_post = 120, 40
+    vals = np.concatenate([rng.normal(10.0, 2.0, n_pre), rng.normal(10.0 + 2.0 * 2.0, 2.0, n_post)])
+    df = pd.DataFrame({"k": "a", "t": np.arange(n_pre + n_post, dtype=np.int64), "v": vals})
+    baseline = pd.DataFrame({"k": ["a"], "mu": [10.0], "sigma": [2.0]})
+    out = (
+        cusum_flags(rd.from_arrow(pa.Table.from_pandas(df)).repartition(5), "k", "t", "v", baseline=baseline)
+        .to_pandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    ref = _ref_cusum(vals, 10.0, 2.0, 0.5, 5.0)
+    assert np.allclose(out["cusum_pos"], [r[0] for r in ref])
+    assert np.allclose(out["cusum_neg"], [r[1] for r in ref])
+    assert (out["cusum_alarm"].to_numpy() == [r[2] for r in ref]).all()
+    # the 2sigma shift alarms, and only after it starts
+    alarm_at = np.flatnonzero(out["cusum_alarm"].to_numpy())
+    assert len(alarm_at) > 0 and alarm_at.min() >= n_pre
+
+
+def test_cusum_self_baseline_nulls_and_layout_invariance(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import cusum_flags
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for key in ("a", "b", "c"):
+        v = rng.normal(5.0, 1.0, 80)
+        rows.append(pd.DataFrame({"k": key, "t": np.arange(80, dtype=np.int64), "v": v}))
+    df = pd.concat(rows, ignore_index=True)
+    df.loc[5, "v"] = np.nan  # null carries: z=0, statistic decays by k
+    outs = []
+    for parts in (1, 6):
+        out = (
+            cusum_flags(rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts), "k", "t", "v")
+            .to_pandas()
+            .sort_values(["k", "t"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # self-baseline equals an explicit baseline built from each key's stats
+    bl = df.groupby("k")["v"].agg(mu="mean", sigma="std").reset_index()
+    want = (
+        cusum_flags(rd.from_arrow(pa.Table.from_pandas(df)), "k", "t", "v", baseline=bl)
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    assert np.allclose(outs[0]["cusum_pos"], want["cusum_pos"])
+    assert np.allclose(outs[0]["cusum_neg"], want["cusum_neg"])
+    # per-key loop reference, self-baseline
+    for key, g in df.groupby("k"):
+        mu, sigma = g["v"].mean(), g["v"].std(ddof=1)
+        ref = _ref_cusum(g.sort_values("t")["v"].to_numpy(), mu, sigma, 0.5, 5.0)
+        got = outs[0][outs[0]["k"] == key]
+        assert np.allclose(got["cusum_pos"], [r[0] for r in ref])
+    # baseline missing a key -> z=0 everywhere for it (stat = 0, no alarm)
+    bl2 = bl[bl["k"] != "c"]
+    out2 = cusum_flags(rd.from_arrow(pa.Table.from_pandas(df)), "k", "t", "v", baseline=bl2).to_pandas()
+    c = out2[out2["k"] == "c"]
+    assert (c["cusum_pos"] == 0).all() and (c["cusum_alarm"] == 0).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cusum_flags(rd.from_arrow(pa.Table.from_pandas(df)), "k", "t", "v", h=0.0)
+    with _pytest.raises(ValueError):
+        cusum_flags(rd.from_arrow(pa.Table.from_pandas(df)), "k", "t", "v", baseline=pd.DataFrame({"k": []}))
