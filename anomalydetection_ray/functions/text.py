@@ -597,3 +597,108 @@ def lm_logprob_batch(model: CharTrigramLM, batch: pa.Table, text_col: str = "tex
     lp = model.logprob(col.to_pylist())
     arr = pa.array(lp, pa.float64(), from_pandas=True)  # NaN -> null
     return batch.append_column(out_col, arr)
+
+
+def _token_ngram_hashes(texts: pa.Array | pa.ChunkedArray, n: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, hash) pairs for every whitespace-token n-gram of every
+    text, fully vectorized: polars extract_all → explode → n−1
+    within-row shifts joined with '\\x1f' → one 64-bit hash kernel.
+    Rows with fewer than n tokens contribute nothing."""
+    import polars as pl
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    df = (
+        pl.DataFrame(
+            {"i": np.arange(len(texts), dtype=np.int64), "t": pl.Series(texts).fill_null("")}
+        )
+        .with_columns(pl.col("t").str.extract_all(r"\S+"))
+        .explode("t")
+        .drop_nulls("t")
+    )
+    gram = pl.col("t")
+    for j in range(1, n):
+        gram = gram + "\x1f" + pl.col("t").shift(-j).over("i")
+    df = df.with_columns(gram.alias("g")).drop_nulls("g")
+    if df.height == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    return df["i"].to_numpy(), df["g"].hash(seed=seed).to_numpy()
+
+
+def decontaminate(
+    ds,
+    text_col: str,
+    bench_ds,
+    bench_text_col: str | None = None,
+    n: int = 13,
+    flag_col: str | None = None,
+    max_bench_ngrams: int = 50_000_000,
+    seed: int = 17,
+):
+    """Benchmark DECONTAMINATION: drop (or flag) every document sharing
+    at least one whitespace-token ``n``-gram with an evaluation/benchmark
+    set — the published test-set-overlap filter LLM training corpora run
+    (13-gram overlap in Brown et al. 2020 §C/appendix; the same shape as
+    The Pile / Llama decontamination).
+
+    Plan, Ray-Data-first:
+
+    1. BENCH SET — one ``map_batches`` over ``bench_ds`` emits per-block
+       DISTINCT n-gram hashes (uint64); the driver merges them with one
+       ``np.unique``. The contract is that benchmark sets are
+       small-bounded (MBs of text, not corpus-scale) — ``max_bench_ngrams``
+       enforces it loudly (8 B/hash ⇒ the default caps the broadcast at
+       ~400 MB; for a genuinely corpus-sized quarantine set use the
+       MinHash/winnowing pair path in ``dedup/`` instead, which never
+       gathers).
+    2. SCAN — the sorted hash array ships ONCE (``ray.put``); every
+       corpus batch builds its own n-gram hashes with the SAME vectorized
+       construction (:func:`_token_ngram_hashes`) and probes via
+       ``np.searchsorted`` — contaminated = any probe hit.
+
+    ``flag_col=None`` (default) FILTERS contaminated docs out;
+    ``flag_col='contaminated'`` keeps every row and appends an int32 0/1
+    flag instead (for audits/reporting). Documents with fewer than ``n``
+    tokens are clean by construction. False positives are limited to
+    64-bit hash collisions (~1e-19 per pair)."""
+    import ray
+
+    from .shuffle import select_if_needed
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bcol = bench_text_col or text_col
+
+    def bench_partial(tb: pa.Table) -> pa.Table:
+        _, h = _token_ngram_hashes(tb[bcol], n, seed)
+        return pa.table({"h": pa.array(np.unique(h), type=pa.uint64())})
+
+    parts = [
+        t["h"].to_numpy(zero_copy_only=False)
+        for t in select_if_needed(bench_ds, [bcol])
+        .map_batches(bench_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    bench = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.uint64)
+    if len(bench) > max_bench_ngrams:
+        raise ValueError(
+            f"benchmark set has {len(bench):,} distinct {n}-grams > max_bench_ngrams="
+            f"{max_bench_ngrams:,}; decontaminate() broadcasts the bench set — for a "
+            "corpus-sized quarantine set use the dedup/ shuffle paths instead"
+        )
+    bref = ray.put(bench)
+
+    def scan(tb: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        idx, h = _token_ngram_hashes(tb[text_col], n, seed)
+        bad = np.zeros(tb.num_rows, dtype=bool)
+        if len(h) and len(b):
+            pos = np.searchsorted(b, h)
+            hit = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == h)
+            bad[np.unique(idx[hit])] = True
+        if flag_col is None:
+            return tb.filter(pa.array(~bad))
+        return tb.append_column(flag_col, pa.array(bad.astype(np.int32), type=pa.int32()))
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

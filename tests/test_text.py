@@ -267,3 +267,82 @@ def test_char_trigram_lm_fit_score_unseen_and_layout(ray_session):
     # empty corpus
     empty = char_trigram_lm(rd.from_pandas(pd.DataFrame({"text": ["ab", None]})))
     assert np.isnan(empty.logprob(["abcdef"])[0])
+
+
+def test_decontaminate_filters_ngram_overlap(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import decontaminate
+
+    corpus = pa.table(
+        {
+            "doc_id": pa.array(list(range(5)), type=pa.int64()),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",  # shares 4-gram with bench
+                "completely unrelated text about ray data engines",
+                "short one",  # < n tokens -> clean
+                "quick brown fox jumps",  # exactly the bench 4-gram
+                "the quick brown wolf jumps over nothing",  # no shared 4-gram
+            ],
+        }
+    )
+    bench = pa.table({"text": ["we saw the quick brown fox jumps today", "evaluation prompt xyz"]})
+    for parts in (1, 3):
+        ds = rd.from_arrow(corpus).repartition(parts)
+        out = (
+            decontaminate(ds, "text", rd.from_arrow(bench), n=4)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["doc_id"].tolist() == [1, 2, 4]
+        flagged = (
+            decontaminate(ds, "text", rd.from_arrow(bench), n=4, flag_col="contaminated")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert flagged["contaminated"].tolist() == [1, 0, 0, 1, 0]
+    # n larger than every doc -> everything clean
+    out2 = decontaminate(rd.from_arrow(corpus), "text", rd.from_arrow(bench), n=50).to_pandas()
+    assert len(out2) == 5
+    # bench-size contract enforced loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bench_ngrams"):
+        decontaminate(rd.from_arrow(corpus), "text", rd.from_arrow(bench), n=2, max_bench_ngrams=1).to_pandas()
+    with _pytest.raises(ValueError):
+        decontaminate(rd.from_arrow(corpus), "text", rd.from_arrow(bench), n=0)
+
+
+def test_decontaminate_matches_python_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import decontaminate
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(3, 40))) for _ in range(200)]
+    bench = [" ".join(rng.choice(vocab, size=rng.integers(5, 25))) for _ in range(20)]
+    n = 3
+
+    def grams(s):
+        t = s.split()
+        return {tuple(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    bset = set().union(*[grams(b) for b in bench])
+    want_clean = [i for i, d in enumerate(docs) if not (grams(d) & bset)]
+    t = pa.table({"doc_id": pa.array(list(range(200)), type=pa.int64()), "text": docs})
+    got = (
+        decontaminate(
+            rd.from_arrow(t).repartition(4), "text", rd.from_arrow(pa.table({"text": bench})), n=n
+        )
+        .to_pandas()["doc_id"]
+        .sort_values()
+        .tolist()
+    )
+    assert got == want_clean
+    assert 0 < len(got) < 200  # the test corpus genuinely splits
