@@ -996,12 +996,25 @@ def dedup_simhash_md5_docs(sf_dir: str):
                + len(regexp_extract_all(COALESCE(text, ''), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_pii
       FROM documents
       WHERE text IS NOT NULL AND length(text) > 0),
-    kept AS (
-      SELECT doc_id, text, lang, CAST(len(t) AS BIGINT) AS n_tokens
+    kept0 AS (
+      SELECT doc_id, text, lang, t, CAST(len(t) AS BIGINT) AS n_tokens
       FROM q
       WHERE len(t) >= 24
         AND len(list_distinct(t)) * 10 >= len(t) * 3
         AND n_pii = 0),
+    bgrams AS (
+      SELECT DISTINCT unnest(list_transform(range(1, len(t) - 6),
+               i -> array_to_string(t[i:i+7], chr(31)))) AS g
+      FROM (SELECT regexp_extract_all(COALESCE(text, ''), '\S+') AS t
+            FROM documents WHERE doc_id % 64 = 0)),
+    kgrams AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+               i -> array_to_string(t[i:i+7], chr(31)))) AS g
+      FROM kept0),
+    contam AS (SELECT DISTINCT k.doc_id FROM kgrams k JOIN bgrams b USING (g)),
+    kept AS (
+      SELECT doc_id, text, lang, n_tokens FROM kept0
+      WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
     ex AS (SELECT * FROM kept WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY text)),
     mtoks AS (
       SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS tok FROM ex),
@@ -1058,6 +1071,12 @@ def curation_pipeline_docs(sf_dir: str):
        email/URL/IPv4 PII hits (three RE2 kernels — vacuous on the
        synthetic corpus by construction, exercised by the planted-PII
        pytest in tests/test_text.py);
+    1.5 benchmark DECONTAMINATION (round 4f,
+       :func:`~anomalydetection_ray.functions.text.decontaminate`): any
+       doc sharing an 8-token n-gram with the deterministic
+       ``doc_id % 64 == 0`` eval slice is dropped — the GPT-3-style
+       test-set-overlap quarantine; the oracle recomputes it with
+       list-slice n-grams joined on chr(31);
     2. exact dedup (hash-partitioned survivor selection);
     3. VERIFIED MinHash-LSH near-dup dedup (word shingles, exact
        Jaccard >= 0.8 connectivity, component minima — the oracle
@@ -1071,7 +1090,7 @@ def curation_pipeline_docs(sf_dir: str):
     over curation operators."""
     from ..dedup import exact_dedup, minhash_lsh_dedup_verified, simhash_dedup
     from ..functions.shuffle import metadata_size_estimate
-    from ..functions.text import pii_pattern_counts_batch, repetition_batch
+    from ..functions.text import decontaminate, pii_pattern_counts_batch, repetition_batch
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     # The gate only shrinks data, so the fresh read's metadata estimate is
@@ -1102,6 +1121,16 @@ def curation_pipeline_docs(sf_dir: str):
         return b.filter(mask).select(["doc_id", "text", "lang", "n_tokens"])
 
     kept = docs.map_batches(gate, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    # 1.5: benchmark DECONTAMINATION (round 4f) — the deterministic
+    # doc_id % 64 == 0 slice stands in for the eval set; any kept doc
+    # sharing an 8-token n-gram with it (including the slice docs
+    # themselves) is dropped before dedup, exactly as a training run
+    # would quarantine its benchmark overlap.
+    bench = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 63), 0)),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    kept = decontaminate(kept, "text", bench, n=8)
     # Each dedup stage takes several passes over its input (signature scan,
     # verification, drop-filter), so a lazy chain re-executes the whole
     # upstream pipeline per pass — compounding across three stages.

@@ -68,17 +68,25 @@ def test_curation_gate_drops_pii_and_repetition(ray_session, tmp_path):
     fn, sql = registry()["curation_pipeline_docs"]
 
     clean = " ".join(f"tok{i}" for i in range(30))
+    bench_text = " ".join(f"bench{i}" for i in range(30))
+    # doc 128 sits on the doc_id % 64 == 0 benchmark slice: it and any doc
+    # sharing an 8-token n-gram with it must fall to decontamination
+    leak = " ".join(f"bench{i}" for i in range(10, 20)) + " " + " ".join(
+        f"other{i}" for i in range(16)
+    )
     rows = pd.DataFrame(
         {
-            "doc_id": [0, 1, 2, 3, 4],
+            "doc_id": [100, 101, 102, 103, 104, 128, 105],
             "text": [
                 clean,  # kept
                 clean + " email hit alice@example.com now",  # PII -> dropped
                 "dup " * 40,  # distinct_ratio 1/40 -> dropped
                 "short text",  # < 24 tokens -> dropped
-                clean + " extra",  # kept (not a near-dup at J>=0.8? 30/31 ~ 0.97 -> near-dup of doc 0)
+                clean + " extra",  # near-dup of doc 100 (J ~ 0.97) -> collapses
+                bench_text,  # benchmark slice doc: self-contaminated -> dropped
+                leak,  # shares a 10-token run with the bench doc -> dropped
             ],
-            "lang": ["en"] * 5,
+            "lang": ["en"] * 7,
         }
     )
     pq.write_table(pa.Table.from_pandas(rows), str(tmp_path / "documents.parquet"))
@@ -92,8 +100,9 @@ def test_curation_gate_drops_pii_and_repetition(ray_session, tmp_path):
     )
     want = con.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
 
-    # PII doc, repetitive doc, short doc all gone; doc 4 collapses into 0
-    assert got["doc_id"].tolist() == [0]
+    # PII doc, repetitive doc, short doc all gone; the bench doc and its
+    # n-gram leak fall to decontamination; doc 104 collapses into 100
+    assert got["doc_id"].tolist() == [100]
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)].astype(str), want[sorted(want.columns)].astype(str)
     )
