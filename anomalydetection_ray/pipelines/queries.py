@@ -1231,8 +1231,14 @@ def mlp_reconstruction_scores(sf_dir: str):
     gathers to the driver), weights persisted to a snapshot file, then an
     actor pool scores per-row reconstruction error with the snapshot
     loaded once per actor (reference: VAE reconstruction scoring,
-    models/VAE_utils.py:214-235,291-294). Rows-only: the iterative
-    training is not SQL-expressible."""
+    models/VAE_utils.py:214-235,291-294). Round 4f: the same top-20 rows
+    also carry the MULTIVARIATE scorers from functions/anomaly.py —
+    squared Mahalanobis distance (μ/Σ from one streaming moment-partials
+    pass) and the isolation-forest score (forest fit on the deterministic
+    hash-rate sample, level-synchronous vectorized traversal) — so the
+    driver exercises all three anomaly scorers in one recorded row.
+    Rows-only: iterative training / learned trees are not
+    SQL-expressible."""
     import polars as pl
 
     from ..functions.autoencoder import NumpyAutoencoder, score_with_autoencoder
@@ -1256,6 +1262,15 @@ def mlp_reconstruction_scores(sf_dir: str):
         out = as_table(scored.select_columns(["vec_id", "recon_error"]))
     df = out.to_pandas().sort_values(["recon_error", "vec_id"], ascending=[False, True]).head(20)
     df["recon_error"] = df["recon_error"].round(6)
+    from ..functions.anomaly import isolation_forest_scores, mahalanobis_scores
+
+    maha, _mean, _cov = mahalanobis_scores(emb, "embedding", carry=["vec_id"])
+    mdf = as_table(maha.select_columns(["vec_id", "maha_sq"])).to_pandas()
+    iso, _forest = isolation_forest_scores(emb, "vec_id", "embedding", n_trees=60, sample_size=128, carry=[])
+    idf = as_table(iso.select_columns(["vec_id", "iforest_score"])).to_pandas()
+    df = df.merge(mdf, on="vec_id", how="left").merge(idf, on="vec_id", how="left")
+    df["maha_sq"] = df["maha_sq"].round(6)
+    df["iforest_score"] = df["iforest_score"].round(6)
     return df.reset_index(drop=True)
 
 
