@@ -549,6 +549,64 @@ def grouped_exact_quantiles(
     return local_group_map(select_if_needed(ds, keys + [value_col]), keys, local, num_blocks)
 
 
+def grouped_kll_quantiles(
+    ds,
+    keys: list[str],
+    value_col: str,
+    quantiles: list[float],
+    k: int = 256,
+    num_blocks: int | None = None,
+):
+    """APPROXIMATE per-group quantiles from mergeable KLL sketches — the
+    scale path next to :func:`grouped_exact_quantiles`: the exact plan
+    ships every row's (keys, value) pair (~16 B/row — 100s of GB of
+    exchange at 100 TB), while this plan ships ONE ~k-item sketch per
+    (group, block) (~2 KB each), so the exchange is
+    O(groups × blocks × k) — independent of row count. Per block, one
+    KLL per group it contains; the hash shuffle co-locates each group's
+    sketches; one n-ary ``KLL.merge_many`` per group emits the quantile
+    columns (same names as the exact op). Worst-case rank error is the
+    sketch's O(1/k) guarantee — assert RANK ERROR, never value equality
+    (SURVEY §7.4; k=256 measures ~0.01)."""
+    from ..sketches.kll import KLL
+
+    qs = list(quantiles)
+    qnames = quantile_column_names(qs)
+
+    def key_fields(tb: pa.Table) -> list[pa.Field]:
+        return [tb.schema.field(kc) for kc in keys]
+
+    def partial(tb: pa.Table) -> pa.Table:
+        schema = pa.schema(key_fields(tb) + [pa.field("__kll", pa.binary())])
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in schema}, schema=schema)
+        df = pl.from_arrow(tb.select(keys + [value_col])).drop_nulls(value_col)
+        rows = []
+        for key_vals, g in df.group_by(keys):
+            rec = dict(zip(keys, key_vals))
+            rec["__kll"] = KLL(k).update(g[value_col].to_numpy()).to_bytes()
+            rows.append(rec)
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    def final(tb: pa.Table) -> pa.Table:
+        schema = pa.schema(key_fields(tb) + [pa.field(qn, pa.float64()) for qn in qnames])
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in schema}, schema=schema)
+        rows = []
+        for key_vals, g in pl.from_arrow(tb).group_by(keys):
+            sk = KLL.merge_many(KLL.from_bytes(b) for b in g["__kll"].to_list())
+            rec = dict(zip(keys, key_vals))
+            for qn, v in zip(qnames, sk.quantiles(qs)):
+                rec[qn] = float(v)
+            rows.append(rec)
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    parts = select_if_needed(ds, keys + [value_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return local_group_map(parts, keys, final, num_blocks)
+
+
 def robust_outlier_flags(
     ds,
     keys: list[str],

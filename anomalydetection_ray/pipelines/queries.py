@@ -1485,7 +1485,8 @@ def heavy_hitter_users(sf_dir: str):
     SELECT lang,
            ROUND(quantile_cont(n_chars, 0.5), 6) AS q50,
            ROUND(quantile_cont(n_chars, 0.95), 6) AS q95,
-           ROUND(mad(n_chars), 6) AS mad_chars
+           ROUND(mad(n_chars), 6) AS mad_chars,
+           1 AS q50_kll_ok, 1 AS q95_kll_ok
     FROM documents GROUP BY lang
     """,
 )
@@ -1493,17 +1494,57 @@ def lang_length_quantiles(sf_dir: str):
     """EXACT per-group quantiles at scale (A2's grouped form): only
     (lang, n_chars) pairs — 16 bytes/row — shuffle; one vectorized
     np.percentile per co-located group. Linear interpolation matches SQL
-    quantile_cont; the KLL sketch path stays the one-pass approximate
-    alternative. Round 4: the same co-located pass also emits the median
+    quantile_cont. Round 4: the same co-located pass also emits the median
     absolute deviation (SQL ``mad()``) — the robust scale estimate for
     heavy-tailed anomaly thresholds (median ± k·MAD instead of
-    mean ± k·σ) — at zero extra shuffle cost."""
-    from ..functions.shuffle import grouped_exact_quantiles
+    mean ± k·σ) — at zero extra shuffle cost. Round 4f: the GROUPED KLL
+    sketch path (``grouped_kll_quantiles`` — one ~2 KB sketch per
+    (group, block) crosses the exchange instead of every row; the plan
+    when rows ≫ groups) runs beside it and is oracle-asserted by RANK
+    ERROR (SURVEY §7.4): one distributed rank scan finds each estimate's
+    true rank interval per lang; ``q50_kll_ok``/``q95_kll_ok`` assert the
+    distance to q is <= 0.02 (k=256 measures ~0.01)."""
+    import polars as pl
+
+    from ..functions.shuffle import grouped_exact_quantiles, grouped_kll_quantiles
 
     docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
     df = as_table(
         grouped_exact_quantiles(docs, ["lang"], "n_chars", [0.5, 0.95], mad_col="mad_chars")
     ).to_pandas()
+    ests = (
+        as_table(grouped_kll_quantiles(docs, ["lang"], "n_chars", [0.5, 0.95]))
+        .to_pandas()
+        .rename(columns={"q50": "e50", "q95": "e95"})
+    )
+
+    def rank_partial(tb: pa.Table) -> pa.Table:
+        d = pl.from_arrow(tb).drop_nulls("n_chars").join(pl.from_pandas(ests), on="lang", how="inner")
+        x = pl.col("n_chars")
+        g = d.group_by("lang").agg(
+            n=pl.len().cast(pl.Int64),
+            lo50=(x < pl.col("e50")).sum().cast(pl.Int64),
+            hi50=(x <= pl.col("e50")).sum().cast(pl.Int64),
+            lo95=(x < pl.col("e95")).sum().cast(pl.Int64),
+            hi95=(x <= pl.col("e95")).sum().cast(pl.Int64),
+        )
+        return g.to_arrow().cast(
+            pa.schema([("lang", tb.schema.field("lang").type)] + [(c, pa.int64()) for c in ("n", "lo50", "hi50", "lo95", "hi95")])
+        )
+
+    ranks = (
+        as_table(docs.map_batches(rank_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True))
+        .to_pandas()
+        .groupby("lang", sort=False)
+        .sum()
+    )
+    for q, col in ((0.5, "50"), (0.95, "95")):
+        lo = ranks[f"lo{col}"] / ranks["n"]
+        hi = ranks[f"hi{col}"] / ranks["n"]
+        err = (lo - q).clip(lower=0) + (q - hi).clip(lower=0)
+        df = df.merge(
+            (err <= 0.02).astype("int64").rename(f"q{col}_kll_ok").reset_index(), on="lang"
+        )
     return _round_pd(
         df.sort_values("lang").reset_index(drop=True), {"q50": 6, "q95": 6, "mad_chars": 6}
     )

@@ -558,3 +558,38 @@ def test_mutual_information_dependence_independence_nulls(ray_session):
 
     empty = mutual_information(rd.from_pandas(dep.iloc[:0]), "a", "b")
     assert empty == {"n": 0, "h_a": 0.0, "h_b": 0.0, "h_ab": 0.0, "mi": 0.0, "nmi": 0.0}
+
+
+def test_grouped_kll_quantiles_rank_error(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import grouped_kll_quantiles
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    rng = np.random.default_rng(21)
+    keys = rng.choice(["x", "y", "z"], size=30_000, p=[0.6, 0.3, 0.1])
+    vals = np.where(keys == "x", rng.standard_normal(30_000) * 50,
+                    rng.exponential(10.0, 30_000))
+    t = pa.table({"g": keys, "v": vals})
+    for parts in (2, 9):
+        out = (
+            as_table(grouped_kll_quantiles(rd.from_arrow(t).repartition(parts), ["g"], "v", [0.5, 0.95]))
+            .to_pandas()
+            .set_index("g")
+        )
+        assert sorted(out.index) == ["x", "y", "z"]
+        for g in ("x", "y", "z"):
+            sub = np.sort(vals[keys == g])
+            for q, col in ((0.5, "q50"), (0.95, "q95")):
+                est = out.loc[g, col]
+                lo = np.searchsorted(sub, est, side="left") / len(sub)
+                hi = np.searchsorted(sub, est, side="right") / len(sub)
+                err = max(lo - q, 0.0) + max(q - hi, 0.0)
+                assert err <= 0.02, (g, col, err)
+    # null values drop; an all-null group vanishes (exact-op parity)
+    t2 = pa.table({"g": ["a", "a", "b"], "v": pa.array([1.0, None, None], type=pa.float64())})
+    out2 = as_table(grouped_kll_quantiles(rd.from_arrow(t2), ["g"], "v", [0.5])).to_pandas()
+    assert out2["g"].tolist() == ["a"] and out2["q50"].tolist() == [1.0]
