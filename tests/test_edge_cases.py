@@ -464,3 +464,49 @@ def test_regr_ops_duckdb_parity_and_asymmetry(ray_session):
             np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(), rtol=1e-10)
         # asymmetry really exercised: y-on-x slope ~4, x-on-y ~1/4-ish
         assert abs(got["sl"][0] - 4.0) < 0.3 and got["sl_rev"][0] < 1.0
+
+
+def test_round4f_ops_empty_and_degenerate_inputs(ray_session):
+    """Round-4f operators on empty/degenerate inputs: streaming ops emit
+    empty tables with the right schema; fit-based scorers raise loudly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.anomaly import isolation_forest_scores, mahalanobis_scores
+    from anomalydetection_ray.functions.shuffle import grouped_kll_quantiles, robust_outlier_flags
+    from anomalydetection_ray.functions.temporal import cusum_flags
+    from anomalydetection_ray.functions.text import decontaminate
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    empty_kv = rd.from_arrow(pa.table({"g": pa.array([], type=pa.string()), "v": pa.array([], type=pa.float64())}))
+    # (schema degrades to no-columns on fully-empty shuffles repo-wide —
+    # the existing exact-quantile edge test asserts rows only; same here)
+    out = as_table(grouped_kll_quantiles(empty_kv, ["g"], "v", [0.5]))
+    assert out.num_rows == 0
+
+    out2 = as_table(robust_outlier_flags(empty_kv, ["g"], "v"))
+    assert out2.num_rows == 0
+
+    empty_ts = rd.from_arrow(
+        pa.table({"k": pa.array([], type=pa.string()), "t": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.float64())})
+    )
+    out3 = as_table(cusum_flags(empty_ts, "k", "t", "v"))
+    assert out3.num_rows == 0
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([1], type=pa.int64()), "text": ["a b c"]}))
+    empty_docs = rd.from_arrow(pa.table({"doc_id": pa.array([], type=pa.int64()), "text": pa.array([], type=pa.string())}))
+    # empty bench -> nothing contaminated; empty corpus -> empty out
+    assert decontaminate(docs, "text", empty_docs, n=2).to_pandas()["doc_id"].tolist() == [1]
+    assert len(decontaminate(empty_docs, "text", docs, n=2).to_pandas()) == 0
+
+    empty_vec = rd.from_arrow(
+        pa.table({"vec_id": pa.array([], type=pa.int64()), "embedding": pa.array([], type=pa.list_(pa.float64()))})
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mahalanobis_scores(empty_vec, "embedding")
+    with _pytest.raises(ValueError):
+        isolation_forest_scores(empty_vec, "vec_id", "embedding")
