@@ -683,6 +683,66 @@ def robust_outlier_flags(
     return joined.map_batches(flag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
+def impute_group_stat(
+    ds,
+    keys: list[str],
+    value_col: str,
+    stat: str = "median",
+    out_col: str | None = None,
+    stats: pd.DataFrame | None = None,
+    num_blocks: int | None = None,
+):
+    """Null IMPUTATION with the group statistic — SQL
+    ``COALESCE(x, stat(x) OVER (PARTITION BY keys))`` — the
+    missing-data repair stage a feature pipeline runs before scoring.
+
+    ``stat`` ∈ {'median', 'mean'}: median comes from the co-located
+    :func:`grouped_exact_quantiles` pass (16 B/row exchange), mean from
+    mergeable :func:`driver_grouped_agg` partials (no keyed shuffle at
+    all). Either way the per-group fill table is driver-small and ships
+    ONCE (``broadcast_join`` how='left'); the fill itself is one Arrow
+    ``coalesce`` kernel per batch. Pass ``stats`` (pandas: keys +
+    ``fill``) to impute from a REFERENCE period instead (train-time
+    stats at serve time — the leakage-safe variant). Rows of groups with
+    no known stat (absent from ``stats``, or all-null in-group) keep
+    their nulls. ``out_col=None`` replaces ``value_col`` in place."""
+    from .relational import broadcast_join
+
+    dest = out_col or value_col
+    if dest in keys:
+        raise ValueError(f"output column {dest!r} collides with a key")
+    if stats is None:
+        if stat == "median":
+            st = (
+                grouped_exact_quantiles(ds, keys, value_col, [0.5], num_blocks=num_blocks)
+                .to_pandas()
+                .rename(columns={"q50": "fill"})
+            )
+        elif stat == "mean":
+            st = driver_grouped_agg(ds, keys, {"fill": (value_col, "mean")})
+        else:
+            raise ValueError(f"stat must be 'median' or 'mean', got {stat!r}")
+    else:
+        missing = {*keys, "fill"} - set(stats.columns)
+        if missing:
+            raise ValueError(f"stats is missing columns {sorted(missing)}")
+        st = stats[keys + ["fill"]]
+    # an all-null group yields a NaN mean — drop it so its rows keep
+    # their nulls instead of being "filled" with NaN
+    st = st[st["fill"].notna()]
+    joined = broadcast_join(ds, keys, st, keys, how="left")
+
+    def fill(tb: pa.Table) -> pa.Table:
+        v = pc.cast(tb[value_col], pa.float64())
+        filled = pc.coalesce(v, tb["fill"])
+        tb = tb.drop_columns(["fill"])
+        if dest == value_col:
+            return tb.set_column(tb.schema.get_field_index(value_col), value_col, filled)
+        return tb.append_column(dest, filled)
+
+    return joined.map_batches(fill, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
 def grouped_topk(
     ds,
     keys: list[str],
