@@ -351,3 +351,182 @@ def kmeans_assign(ds, centers: np.ndarray, vec_col: str = "embedding", out_col: 
         return batch.append_column(out_col, pa.array(d2.argmin(axis=1).astype(np.int64)))
 
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze & Schmid, TPAMI 2011)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_euclid(x: np.ndarray, k: int, iters: int = 15, seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd k-means in EUCLIDEAN geometry (subvectors are not unit
+    vectors, so the cosine trainer above is wrong here). Empty clusters
+    keep their previous center."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(x))
+    cent = x[rng.choice(len(x), k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_fit(
+    ds,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    nbits: int = 8,
+    train_sample: int = 10_000,
+    iters: int = 15,
+    seed: int = 42,
+) -> np.ndarray:
+    """Fit product-quantization codebooks: the embedding column compresses
+    to ``m`` uint8 codes per row (d×8 bytes → m bytes — 32× at d=32, m=8)
+    — THE published scale path for ANN over corpora whose raw vectors
+    don't fit the cluster (Jégou et al. 2011). Vectors are L2-normalized
+    first so ADC inner-product search below approximates COSINE, matching
+    the rest of this family.
+
+    Training uses the same deterministic sorted hash-rate sample
+    discipline as IVF/k-means (reproducible at any parallelism, never a
+    prefix); one euclidean k-means per d/m-dim subspace, 2^nbits
+    centroids each. Returns codebooks shaped (m, 2^nbits, d/m).
+    Requires d % m == 0 and nbits <= 8."""
+    import polars as pl
+    import ray  # noqa: F401  (family convention; sample gather is driver-side)
+
+    if nbits > 8:
+        raise ValueError("nbits > 8 would not fit uint8 codes")
+    n_total = ds.count()
+    rate = min(1.0, train_sample / max(n_total, 1))
+
+    def hash_sample(batch: pa.Table) -> pa.Table:
+        col = batch[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        u = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=seed).to_numpy() / 2.0**64
+        return batch.filter(pa.array(u < rate))
+
+    tabs = [
+        t
+        for t in _sel(ds, [id_col, vec_col])
+        .map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not tabs:
+        raise ValueError("pq_fit: hash-rate sample came back empty")
+    sample_tbl = pa.concat_tables(tabs, promote_options="default").sort_by(id_col)
+    x = _normalize(list_column_to_matrix(sample_tbl[vec_col].combine_chunks()))
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"embedding dim {d} is not divisible by m={m}")
+    dsub, k = d // m, 1 << nbits
+    return np.stack(
+        [_kmeans_euclid(x[:, j * dsub : (j + 1) * dsub], k, iters=iters, seed=seed + j) for j in range(m)]
+    )
+
+
+def pq_encode(ds, id_col: str, vec_col: str, codebooks: np.ndarray, out_col: str = "pq_code"):
+    """Encode every row to its ``m`` nearest-subspace-centroid codes — one
+    (n, K) distance matmul + argmin per subspace per batch, emitted as a
+    ``fixed_size_list<uint8>[m]`` column alongside ``id_col``. The
+    codebooks ship once via ``ray.put``."""
+    import ray
+
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    cref = ray.put(cb)
+    m, _k, dsub = cb.shape
+
+    def encode(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _normalize(list_column_to_matrix(batch[vec_col]))
+        if x.shape[1] != m * dsub:
+            raise ValueError(f"dim {x.shape[1]} != m*dsub {m * dsub}")
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            xs = x[:, j * dsub : (j + 1) * dsub]
+            cj = c[j]
+            d2 = (xs * xs).sum(axis=1, keepdims=True) - 2.0 * (xs @ cj.T) + (cj * cj).sum(axis=1)
+            codes[:, j] = d2.argmin(axis=1)
+        lst = pa.FixedSizeListArray.from_arrays(pa.array(codes.reshape(-1), type=pa.uint8()), m)
+        return pa.table({id_col: batch[id_col], out_col: lst})
+
+    return _sel(ds, [id_col, vec_col]).map_batches(
+        encode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+class _PQPartialTopK:
+    """ADC search: per query, an (m, K) lookup table of subspace inner
+    products against the codebooks; a row's approximate cosine is the sum
+    of m table lookups on its codes — the raw vectors never load."""
+
+    def __init__(self, id_col: str, code_col: str, codebooks_ref, queries_ref, k: int):
+        import ray
+
+        self.id_col, self.code_col, self.k = id_col, code_col, k
+        cb = ray.get(codebooks_ref)  # (m, K, dsub)
+        q = _normalize(ray.get(queries_ref).astype(np.float64))  # (Q, d)
+        m, K, dsub = cb.shape
+        qs = q.reshape(len(q), m, dsub)  # (Q, m, dsub)
+        # luts[q, j, code] = q_sub_j . cb[j, code]
+        self.luts = np.einsum("qjd,jkd->qjk", qs, cb)
+        self.m = m
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # list_column_to_matrix honors slice offsets on fixed-size lists
+        codes = list_column_to_matrix(batch[self.code_col]).astype(np.int64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        jj = np.arange(self.m)
+        out = []
+        for qi in range(self.luts.shape[0]):
+            sims = self.luts[qi][jj, codes].sum(axis=1)  # (n,)
+            k = min(self.k, len(sims))
+            top = np.argpartition(-sims, k - 1)[:k]
+            out.append((np.full(k, qi, dtype=np.int64), ids[top], sims[top]))
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(np.concatenate([o[0] for o in out])),
+                self.id_col: pa.array(np.concatenate([o[1] for o in out])),
+                "score": pa.array(np.concatenate([o[2] for o in out])),
+            }
+        )
+
+
+def pq_topk_cosine(
+    ds,
+    id_col: str,
+    vec_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    m: int = 8,
+    nbits: int = 8,
+    train_sample: int = 10_000,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Approximate top-k cosine via product quantization, end to end:
+    fit (sample) → encode (streaming, m bytes/row) → ADC search over the
+    CODES. At 100 TB this is the plan where even IVF's raw-vector probes
+    are too big: the search stage's working set is the code column —
+    32× smaller than the embeddings — and the scan is m table lookups
+    per row instead of a d-dim dot product."""
+    import ray
+
+    from .shuffle import sized_actor_concurrency
+
+    cb = pq_fit(ds, id_col, vec_col, m=m, nbits=nbits, train_sample=train_sample, seed=seed)
+    codes = pq_encode(ds, id_col, vec_col, cb)
+    partials = codes.map_batches(
+        _PQPartialTopK,
+        fn_constructor_args=(id_col, "pq_code", ray.put(cb), ray.put(np.asarray(queries, dtype=np.float64)), k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=sized_actor_concurrency(ds),
+    )
+    return _final_topk(partials, id_col, k)

@@ -551,3 +551,66 @@ def test_rounds_path_above_matrix_cap_matches_distributed(ray_session):
     assert got == want
     # clusters genuinely collapsed: well under n survivors
     assert len(got) < n - 2000
+
+
+def test_pq_topk_recall_and_determinism(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.similarity import (
+        pq_encode,
+        pq_fit,
+        pq_topk_cosine,
+        topk_cosine,
+    )
+
+    rng = np.random.default_rng(19)
+    # planted design: each query has 10 TRUE neighbors (query + tiny
+    # noise) against a well-separated background, so the exact top-10 has
+    # a margin far above PQ's quantization error (a corpus of
+    # near-identical cluster members would make recall@10 meaningless —
+    # any quantizer scrambles sub-error-sized margins)
+    queries = rng.standard_normal((4, 16)) * 4
+    planted = np.concatenate(
+        [queries[i] + rng.standard_normal((10, 16)) * 0.05 for i in range(4)]
+    )
+    background = rng.standard_normal((1760, 16)) * 4
+    x = np.concatenate([planted, background])
+    ids = np.arange(len(x), dtype=np.int64)
+    tbl = pa.table(
+        {"vec_id": ids, "embedding": pa.array([r.tolist() for r in x], type=pa.list_(pa.float64()))}
+    )
+    q = queries
+    exact = topk_cosine(rd.from_arrow(tbl), "vec_id", "embedding", q, k=10)
+    recalls, results = [], []
+    for parts in (2, 7):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        approx = pq_topk_cosine(ds, "vec_id", "embedding", q, k=10, m=4, nbits=6, seed=5)
+        results.append(approx)
+        for qi in range(4):
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            a = set(approx[approx["query_id"] == qi]["vec_id"])
+            recalls.append(len(e & a) / len(e))
+    # layout-invariant: sorted hash sample -> same codebooks -> same codes
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        results[0].reset_index(drop=True), results[1].reset_index(drop=True)
+    )
+    assert np.mean(recalls) >= 0.7, recalls
+
+    # encode: shape/dtype + compression contract
+    cb = pq_fit(rd.from_arrow(tbl), "vec_id", "embedding", m=4, nbits=6, seed=5)
+    assert cb.shape == (4, 64, 4)
+    codes = pq_encode(rd.from_arrow(tbl), "vec_id", "embedding", cb).to_pandas()
+    assert len(codes) == 1800
+    first = np.asarray(codes["pq_code"].iloc[0])
+    assert first.shape == (4,) and first.dtype == np.uint8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pq_fit(rd.from_arrow(tbl), "vec_id", "embedding", m=5)  # 16 % 5 != 0
+    with _pytest.raises(ValueError):
+        pq_fit(rd.from_arrow(tbl), "vec_id", "embedding", nbits=9)
