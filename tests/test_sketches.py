@@ -593,3 +593,52 @@ def test_grouped_kll_quantiles_rank_error(ray_session):
     t2 = pa.table({"g": ["a", "a", "b"], "v": pa.array([1.0, None, None], type=pa.float64())})
     out2 = as_table(grouped_kll_quantiles(rd.from_arrow(t2), ["g"], "v", [0.5])).to_pandas()
     assert out2["g"].tolist() == ["a"] and out2["q50"].tolist() == [1.0]
+
+
+def test_countmin_guarantees_and_merge():
+    import numpy as np
+
+    from anomalydetection_ray.sketches.countmin import CountMin
+
+    rng = np.random.default_rng(3)
+    # zipf-ish key stream with known exact counts
+    keys = rng.zipf(1.5, 50_000) % 3000
+    uniq, true = np.unique(keys, return_counts=True)
+    sk = CountMin(width=4096, depth=5, seed=2)
+    # merge path: update in 7 chunks through separate sketches
+    parts = [CountMin(width=4096, depth=5, seed=2).update(c) for c in np.array_split(keys, 7)]
+    merged = CountMin.merge_many(iter(parts))
+    sk.update(keys)
+    assert np.array_equal(sk.table, merged.table) and sk.n == merged.n == len(keys)
+    est = sk.estimate(uniq)
+    assert (est >= true).all()  # never undercounts
+    # e*N/w bound holds for (at least) the overwhelming majority
+    assert (est - true <= sk.error_bound()).mean() >= 0.999
+    # roundtrip + param-mismatch guard
+    rt = CountMin.from_bytes(sk.to_bytes())
+    assert np.array_equal(rt.table, sk.table) and rt.n == sk.n
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sk.merge(CountMin(width=1024, depth=5, seed=2))
+
+
+def test_dataset_countmin_matches_exact_counts(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.sketches.countmin import CountMin, dataset_countmin
+
+    rng = np.random.default_rng(9)
+    vals = rng.choice([f"k{i}" for i in range(500)], size=20_000, p=None)
+    t = pa.table({"v": vals})
+    sk = dataset_countmin(rd.from_arrow(t).repartition(6), "v", width=8192, depth=4, seed=1)
+    assert sk.n == 20_000
+    uniq, true = np.unique(vals, return_counts=True)
+    est = sk.estimate_arrow(pa.array(uniq))
+    assert (est >= true).all()
+    assert (est - true <= sk.error_bound()).all()
+    # layout invariance: elementwise-add merge is order-independent
+    sk2 = dataset_countmin(rd.from_arrow(t).repartition(2), "v", width=8192, depth=4, seed=1)
+    assert np.array_equal(sk.table, sk2.table)
