@@ -11,6 +11,9 @@ main() :670-710``; ``prediction_pipeline.py main() :592-651``):
       [--sample-ratio R] [--max-lines N] [--min-template-count K]
       [--threshold-percentile P] [--threshold-mode exact|kll]
       [--template-mode mask|mined] [--feature-dim D] [--no-resume]
+  python -m anomalydetection_ray score PARQUET --out DIR
+      [--id-col C] [--vec-col C] [--method l2|mahalanobis|iforest]
+      [--threshold-percentile P]
   python -m anomalydetection_ray dedup PARQUET --out DIR
       --method exact|minhash|minhash-verified|simhash
       [--id-col C] [--text-col C] [--threshold J]
@@ -84,6 +87,14 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("table")
     m.add_argument("--out", required=True)
     m.add_argument("--text-col", default="text")
+
+    s = sub.add_parser("score", help="embedding parquet -> anomaly scores + verdicts")
+    s.add_argument("table")
+    s.add_argument("--out", required=True)
+    s.add_argument("--id-col", default="vec_id")
+    s.add_argument("--vec-col", default="embedding")
+    s.add_argument("--method", choices=["l2", "mahalanobis", "iforest"], default="l2")
+    s.add_argument("--threshold-percentile", type=float, default=95.0)
 
     p = sub.add_parser("predict", help="raw log file -> anomaly verdicts + metrics")
     p.add_argument("logfile")
@@ -182,6 +193,53 @@ def main(argv: list[str] | None = None) -> int:
             tbl = mine_templates(rd.read_parquet(args.table, columns=[args.text_col]), args.text_col)
             pq.write_table(tbl, args.out)
             print(json.dumps({"out": args.out, "templates": tbl.num_rows}))
+            return 0
+        if args.cmd == "score":
+            import os
+
+            import numpy as np
+            import pyarrow as paw
+            import pyarrow.compute as pcw
+            import ray.data as rd
+
+            ds = rd.read_parquet(args.table, columns=[args.id_col, args.vec_col])
+            if args.method == "l2":
+                from .functions.vector import l2_norm_batch
+
+                scored = ds.map_batches(
+                    lambda t: l2_norm_batch(t, vec_col=args.vec_col).drop_columns([args.vec_col]),
+                    batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+                )
+            elif args.method == "mahalanobis":
+                from .functions.anomaly import mahalanobis_scores
+
+                scored, _mu, _cov = mahalanobis_scores(
+                    ds, args.vec_col, out_col="anomaly_score", carry=[args.id_col]
+                )
+                scored = scored.select_columns([args.id_col, "anomaly_score"])
+            else:
+                from .functions.anomaly import isolation_forest_scores
+
+                scored, _f = isolation_forest_scores(
+                    ds, args.id_col, args.vec_col, out_col="anomaly_score", carry=[]
+                )
+                scored = scored.select_columns([args.id_col, "anomaly_score"])
+            scored = scored.materialize()
+            vals = scored.select_columns(["anomaly_score"]).to_pandas()["anomaly_score"].to_numpy()
+            thr = float(np.percentile(vals, args.threshold_percentile))
+
+            def verdict(tb: paw.Table) -> paw.Table:
+                return tb.append_column(
+                    "anomaly_prediction",
+                    pcw.cast(pcw.greater(tb["anomaly_score"], paw.scalar(thr)), paw.int32()),
+                )
+
+            os.makedirs(args.out, exist_ok=True)
+            out_ds = scored.map_batches(verdict, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+            out_ds.write_parquet(args.out)
+            n_anom = int((vals > thr).sum())
+            print(json.dumps({"out": args.out, "method": args.method, "rows": len(vals),
+                              "threshold": round(thr, 6), "anomalies": n_anom}))
             return 0
         if args.cmd == "predict":
             from .pipelines.predict import PredictConfig, end_to_end_predict

@@ -281,3 +281,39 @@ def test_cli_versioned_baseline(ray_session, tmp_path):
     assert main(["baseline", f"{d}/corpus", "--out", root, "--versioned"]) == 0
     assert main(["baseline", f"{d}/corpus", "--out", root, "--versioned"]) == 0
     assert sorted(os.listdir(root)) == ["baseline-0000.parquet", "baseline-0001.parquet"]
+
+
+def test_cli_score_all_methods(ray_session, tmp_path, capsys):
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.__main__ import main
+
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((300, 8))
+    x[:6] += 12.0  # planted outliers
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+                "embedding": pa.array([r.tolist() for r in x], type=pa.list_(pa.float64())),
+            }
+        ),
+        src,
+    )
+    for method in ("l2", "mahalanobis", "iforest"):
+        out = str(tmp_path / f"scored_{method}")
+        assert main(["score", src, "--out", out, "--method", method]) == 0
+        info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert info["rows"] == 300 and info["anomalies"] >= 6
+        import ray.data as rd
+
+        got = rd.read_parquet(out).to_pandas()
+        assert set(["vec_id", "anomaly_score", "anomaly_prediction"]) <= set(got.columns)
+        # the planted outliers must be flagged for the multivariate scorers
+        if method == "mahalanobis":
+            assert got.sort_values("vec_id")["anomaly_prediction"].to_numpy()[:6].all()
