@@ -530,3 +530,155 @@ def pq_topk_cosine(
         concurrency=sized_actor_concurrency(ds),
     )
     return _final_topk(partials, id_col, k)
+
+
+def ivfpq_encode(ds, id_col: str, vec_col: str, centroids: np.ndarray, codebooks: np.ndarray):
+    """ONE streaming pass emitting the full IVF-PQ index row per input
+    row: ``(id, cell uint16, pq_code fixed_size_list<uint8>[m])`` — the
+    working set a 100 TB ANN scan actually keeps (2 + m bytes/row;
+    neither centroids nor raw vectors persist). Cells use cosine argmax
+    against the normalized IVF centroids; codes quantize the normalized
+    vector itself (FAISS ``by_residual=False`` semantics — documented, so
+    the ADC tables below need no per-cell rebuild)."""
+    import ray
+
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    if len(cent) > 65_535:
+        raise ValueError("uint16 cell ids cap n_cells at 65,535")
+    cref, bref = ray.put(cent), ray.put(cb)
+    m, _k, dsub = cb.shape
+
+    def encode(batch: pa.Table) -> pa.Table:
+        c, b = ray.get(cref), ray.get(bref)
+        x = _normalize(list_column_to_matrix(batch[vec_col]))
+        cell = (x @ c.T).argmax(axis=1).astype(np.uint16)
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            xs = x[:, j * dsub : (j + 1) * dsub]
+            cj = b[j]
+            d2 = (xs * xs).sum(axis=1, keepdims=True) - 2.0 * (xs @ cj.T) + (cj * cj).sum(axis=1)
+            codes[:, j] = d2.argmin(axis=1)
+        lst = pa.FixedSizeListArray.from_arrays(pa.array(codes.reshape(-1), type=pa.uint8()), m)
+        return pa.table({id_col: batch[id_col], "cell": pa.array(cell), "pq_code": lst})
+
+    return _sel(ds, [id_col, vec_col]).map_batches(
+        encode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+class _IVFPQPartialTopK:
+    """Cell-pruned ADC: rows outside every query's probe set never score."""
+
+    def __init__(self, id_col: str, centroids_ref, codebooks_ref, queries_ref, k: int, n_probe: int):
+        import ray
+
+        self.id_col, self.k = id_col, k
+        cent = ray.get(centroids_ref)
+        cb = ray.get(codebooks_ref)
+        q = _normalize(ray.get(queries_ref).astype(np.float64))
+        n_probe = min(n_probe, len(cent))
+        self.probe = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]  # (Q, p)
+        m, K, dsub = cb.shape
+        self.m = m
+        self.luts = np.einsum("qjd,jkd->qjk", q.reshape(len(q), m, dsub), cb)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        codes = list_column_to_matrix(batch["pq_code"]).astype(np.int64)
+        cell = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        jj = np.arange(self.m)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(self.luts.shape[0]):
+            mask = np.isin(cell, self.probe[qi])
+            if not mask.any():
+                continue
+            sims = self.luts[qi][jj, codes[mask]].sum(axis=1)
+            sub_ids = ids[mask]
+            k = min(self.k, len(sims))
+            top = np.argpartition(-sims, k - 1)[:k]
+            out_q.append(np.full(k, qi, dtype=np.int64))
+            out_i.append(sub_ids[top])
+            out_s.append(sims[top])
+        if not out_q:
+            return pa.Table.from_pydict(
+                {"query_id": pa.array([], type=pa.int64()),
+                 self.id_col: pa.array([], type=pa.int64()),
+                 "score": pa.array([], type=pa.float64())}
+            )
+        return pa.Table.from_pydict(
+            {"query_id": pa.array(np.concatenate(out_q)),
+             self.id_col: pa.array(np.concatenate(out_i)),
+             "score": pa.array(np.concatenate(out_s))}
+        )
+
+
+def ivfpq_topk_cosine(
+    ds,
+    id_col: str,
+    vec_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    m: int = 8,
+    nbits: int = 8,
+    train_sample: int = 10_000,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """IVF-PQ — the composition the billion-scale indexes run (FAISS
+    IVFPQ, by_residual=False): IVF's cell pruning (only ``n_probe`` of
+    ``n_cells`` cells score per query) ON TOP OF PQ's byte codes (the
+    scan touches 2+m bytes/row, never raw vectors). Both models train on
+    the same deterministic sorted hash-rate sample; one streaming pass
+    builds the index rows; search is cell-filter + m table lookups per
+    surviving row. ``n_probe == n_cells`` degenerates to plain PQ."""
+    import polars as pl
+    import ray
+
+    from .shuffle import sized_actor_concurrency
+
+    n_total = ds.count()
+    rate = min(1.0, train_sample / max(n_total, 1))
+
+    def hash_sample(batch: pa.Table) -> pa.Table:
+        col = batch[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        u = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=seed).to_numpy() / 2.0**64
+        return batch.filter(pa.array(u < rate))
+
+    tabs = [
+        t
+        for t in _sel(ds, [id_col, vec_col])
+        .map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not tabs:
+        raise ValueError("ivfpq_topk_cosine: hash-rate sample came back empty")
+    sample_tbl = pa.concat_tables(tabs, promote_options="default").sort_by(id_col)
+    sample = list_column_to_matrix(sample_tbl[vec_col].combine_chunks())
+    xn = _normalize(sample)
+    d = xn.shape[1]
+    if d % m != 0:
+        raise ValueError(f"embedding dim {d} is not divisible by m={m}")
+    if nbits > 8:
+        raise ValueError("nbits > 8 would not fit uint8 codes")
+    cent = train_centroids(sample, n_cells, seed=seed)
+    dsub, K = d // m, 1 << nbits
+    cb = np.stack(
+        [_kmeans_euclid(xn[:, j * dsub : (j + 1) * dsub], K, seed=seed + j) for j in range(m)]
+    )
+    index = ivfpq_encode(ds, id_col, vec_col, cent, cb)
+    partials = index.map_batches(
+        _IVFPQPartialTopK,
+        fn_constructor_args=(
+            id_col, ray.put(cent), ray.put(cb),
+            ray.put(np.asarray(queries, dtype=np.float64)), k, n_probe,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=sized_actor_concurrency(ds),
+    )
+    return _final_topk(partials, id_col, k)

@@ -614,3 +614,57 @@ def test_pq_topk_recall_and_determinism(ray_session):
         pq_fit(rd.from_arrow(tbl), "vec_id", "embedding", m=5)  # 16 % 5 != 0
     with _pytest.raises(ValueError):
         pq_fit(rd.from_arrow(tbl), "vec_id", "embedding", nbits=9)
+
+
+def test_ivfpq_topk_recall_and_pruning(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.similarity import (
+        ivfpq_encode,
+        ivfpq_topk_cosine,
+        pq_topk_cosine,
+        topk_cosine,
+        train_centroids,
+    )
+
+    rng = np.random.default_rng(23)
+    queries = rng.standard_normal((3, 16)) * 4
+    planted = np.concatenate([queries[i] + rng.standard_normal((10, 16)) * 0.05 for i in range(3)])
+    background = rng.standard_normal((1470, 16)) * 4
+    x = np.concatenate([planted, background])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(x), dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in x], type=pa.list_(pa.float64())),
+        }
+    )
+    exact = topk_cosine(rd.from_arrow(tbl), "vec_id", "embedding", queries, k=10)
+    approx = ivfpq_topk_cosine(
+        rd.from_arrow(tbl).repartition(4), "vec_id", "embedding", queries,
+        k=10, n_cells=16, n_probe=4, m=4, nbits=6, seed=3,
+    )
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.7, recalls
+    # probing every cell degenerates to plain PQ (same scores, same docs)
+    full = ivfpq_topk_cosine(
+        rd.from_arrow(tbl), "vec_id", "embedding", queries,
+        k=10, n_cells=16, n_probe=16, m=4, nbits=6, seed=3,
+    )
+    pq = pq_topk_cosine(rd.from_arrow(tbl), "vec_id", "embedding", queries, k=10, m=4, nbits=6, seed=3)
+    pd.testing.assert_frame_equal(full.reset_index(drop=True), pq.reset_index(drop=True))
+    # index rows carry exactly (id, cell, m codes)
+    cent = train_centroids(x, 16, seed=3)
+    from anomalydetection_ray.functions.similarity import _kmeans_euclid, _normalize
+
+    xn = _normalize(x)
+    cb = np.stack([_kmeans_euclid(xn[:, j * 4 : (j + 1) * 4], 64, seed=3 + j) for j in range(4)])
+    idx = ivfpq_encode(rd.from_arrow(tbl), "vec_id", "embedding", cent, cb).to_pandas()
+    assert list(idx.columns) == ["vec_id", "cell", "pq_code"]
+    assert idx["cell"].between(0, 15).all() and len(idx) == len(x)
