@@ -702,3 +702,95 @@ def decontaminate(
         return tb.append_column(flag_col, pa.array(bad.astype(np.int32), type=pa.int32()))
 
     return ds.map_batches(scan, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def chunk_documents(
+    ds,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    out_col: str = "chunk",
+    chunk_id_col: str = "chunk_id",
+):
+    """Split every document into ~``max_tokens``-token pieces — the
+    context-window preparation stage an LLM training pipeline runs after
+    curation (chunking long docs instead of truncating them). Windows
+    advance by ``max_tokens − overlap`` whitespace tokens, so consecutive
+    chunks share ``overlap`` tokens of context.
+
+    Pure streaming map (no shuffle, no state), and the whole batch stays
+    in vectorized kernels: polars ``extract_all`` explodes tokens with
+    their row index, every token's window id is integer arithmetic on its
+    within-row position (one extra shifted assignment materializes the
+    overlap region), and chunks reassemble with ONE ``group_by(row,
+    window).agg(str.join)`` — no per-document Python. Output: one row per
+    chunk — ``(id_col, chunk_id_col, out_col, n_chunk_tokens)`` with
+    chunk_id 0-based in document order. Docs with no tokens (empty/null
+    text) emit no rows, SQL-unnest style; reconstruction invariant:
+    with overlap=0, ``str_join(chunks, ' ')`` == whitespace-normalized
+    input."""
+    import polars as pl
+
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens, got overlap={overlap}")
+    stride = max_tokens - overlap
+
+    def chunk(tb: pa.Table) -> pa.Table:
+        id_type = tb.schema.field(id_col).type
+        out_schema = pa.schema(
+            [
+                (id_col, id_type),
+                (chunk_id_col, pa.int64()),
+                (out_col, pa.string()),
+                ("n_chunk_tokens", pa.int64()),
+            ]
+        )
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
+        df = (
+            pl.DataFrame(
+                {
+                    "i": pl.from_arrow(tb[id_col].combine_chunks() if isinstance(tb[id_col], pa.ChunkedArray) else tb[id_col]),
+                    "t": pl.Series(tb[text_col].combine_chunks() if isinstance(tb[text_col], pa.ChunkedArray) else tb[text_col]).fill_null(""),
+                }
+            )
+            .with_columns(pl.col("t").str.extract_all(r"\S+"))
+            .explode("t")
+            .drop_nulls("t")
+            .with_columns(pos=pl.int_range(pl.len()).over("i"))
+        )
+        if df.height == 0:
+            return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
+        # window w holds tokens [w·stride, w·stride + max_tokens): a token
+        # belongs to up to ceil(max_tokens/stride) windows — one shifted
+        # assignment per lag r, each a pure vector expression
+        import math
+
+        parts = []
+        for r in range(math.ceil(max_tokens / stride)):
+            w = pl.col("pos") // stride - r
+            parts.append(
+                df.with_columns(w=w).filter(
+                    (pl.col("w") >= 0) & (pl.col("pos") - pl.col("w") * stride < max_tokens)
+                )
+            )
+        allt = pl.concat(parts)
+        g = (
+            allt.sort(["i", "w", "pos"])
+            .group_by(["i", "w"], maintain_order=True)
+            .agg(
+                chunk=pl.col("t").str.join(" "),
+                n=pl.col("t").len().cast(pl.Int64),
+            )
+        )
+        g = g.rename({"i": id_col, "w": chunk_id_col, "chunk": out_col, "n": "n_chunk_tokens"})
+        return g.to_arrow().cast(out_schema)
+
+    from .shuffle import select_if_needed
+
+    return select_if_needed(ds, [id_col, text_col]).map_batches(
+        chunk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

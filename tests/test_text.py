@@ -355,3 +355,57 @@ def test_decontaminate_matches_python_reference(ray_session):
     )
     assert got == want_clean
     assert 0 < len(got) < 200  # the test corpus genuinely splits
+
+
+def test_chunk_documents_matches_python_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import chunk_documents
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=int(n))) for n in rng.integers(1, 60, 50)]
+    texts += ["", None, "solo"]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts, type=pa.string())})
+
+    def ref(text, max_tokens, overlap):
+        toks = text.split() if text else []
+        stride = max_tokens - overlap
+        out = []
+        i = 0
+        while i < len(toks):
+            out.append(" ".join(toks[i : i + max_tokens]))
+            i += stride
+        return out
+
+    for max_tokens, overlap, parts in ((8, 0, 3), (8, 3, 1), (5, 4, 4)):
+        got = (
+            chunk_documents(
+                rd.from_arrow(t).repartition(parts), "doc_id", "text",
+                max_tokens=max_tokens, overlap=overlap,
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+        )
+        for did, text in zip(ids, texts):
+            want = ref(text, max_tokens, overlap)
+            sub = got[got["doc_id"] == did]
+            assert sub["chunk"].tolist() == want, (did, max_tokens, overlap)
+            assert sub["chunk_id"].tolist() == list(range(len(want)))
+            assert (sub["n_chunk_tokens"] == sub["chunk"].str.split().str.len()).all()
+        # reconstruction invariant at overlap=0
+        if overlap == 0:
+            rec = got.groupby("doc_id")["chunk"].apply(" ".join)
+            for did, text in zip(ids, texts):
+                if text and text.split():
+                    assert rec[did] == " ".join(text.split())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(rd.from_arrow(t), "doc_id", "text", max_tokens=0)
+    with _pytest.raises(ValueError):
+        chunk_documents(rd.from_arrow(t), "doc_id", "text", max_tokens=4, overlap=4)
