@@ -310,13 +310,43 @@ def freq_filter_docs(sf_dir: str):
           WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
     jt AS (SELECT SUM(c) n, SUM(c * LN(c)) jln FROM j),
     ma AS (SELECT SUM(s * LN(s)) aln FROM (SELECT SUM(c) s FROM j GROUP BY lang)),
-    mb AS (SELECT SUM(s * LN(s)) bln FROM (SELECT SUM(c) s FROM j GROUP BY source))
+    mb AS (SELECT SUM(s * LN(s)) bln FROM (SELECT SUM(c) s FROM j GROUP BY source)),
+    el AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM documents
+           WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    lex AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS line,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS idx
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    lkey AS (SELECT doc_id, idx, line, TRIM(line) AS k FROM lex),
+    lcommon AS (
+      SELECT k FROM lkey WHERE k <> '' GROUP BY k
+      HAVING COUNT(DISTINCT doc_id)
+             >= (SELECT GREATEST((4 * n + 4) // 5, 2) FROM el)
+    ),
+    lkept AS (SELECT doc_id, idx, line FROM lkey
+              WHERE k = '' OR k NOT IN (SELECT k FROM lcommon)),
+    ldrop AS (SELECT (SELECT COUNT(*) FROM lkey) - (SELECT COUNT(*) FROM lkept)
+                AS ld_dropped),
+    lchg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ld_docs_changed
+      FROM (SELECT doc_id, COUNT(*) c FROM lkey GROUP BY doc_id) t
+      LEFT JOIN (SELECT doc_id, COUNT(*) c FROM lkept GROUP BY doc_id) kk
+        USING (doc_id)
+      WHERE COALESCE(kk.c, 0) < t.c
+    ),
+    lchars AS (
+      SELECT CAST(COALESCE(SUM(len(t)), 0) AS BIGINT) AS ld_chars_after
+      FROM (SELECT string_agg(line, ' ' ORDER BY idx) t FROM lkept GROUP BY doc_id)
+    )
     SELECT tot.*,
            ROUND(LN(n) - aln / n, 6) AS h_lang,
            ROUND(LN(n) - bln / n, 6) AS h_source,
            ROUND((LN(n) - aln / n) + (LN(n) - bln / n) - (LN(n) - jln / n), 6)
-             AS mi_lang_source
-    FROM tot, jt, ma, mb
+             AS mi_lang_source,
+           ldrop.ld_dropped, lchg.ld_docs_changed, lchars.ld_chars_after
+    FROM tot, jt, ma, mb, ldrop, lchg, lchars
     """,
 )
 def corpus_totals_docs(sf_dir: str):
@@ -326,7 +356,12 @@ def corpus_totals_docs(sf_dir: str):
     - null-rate scan (M5, ``models/feature_extraction.py:79``);
     - PII-surface scan (training-data staple): per-doc email / URL / IPv4
       pattern counts (three RE2 kernels, functions/text.py) reduced to
-      corpus totals + flagged-doc count via per-block partials."""
+      corpus totals + flagged-doc count via per-block partials;
+    - round 4f: cross-document LINE-dedup totals (dedup/lines.py at
+      token granularity ``sep=" "`` — boilerplate tokens present in
+      >=80% of docs removed from every doc), reduced to three scalars
+      the composed DuckDB CTE re-derives exactly."""
+    from ..dedup.lines import line_dedup
     from ..functions.text import pii_pattern_counts_batch
 
     ds = read_table(sf_dir, "documents", columns=["text", "lang", "source"])
@@ -365,6 +400,59 @@ def corpus_totals_docs(sf_dir: str):
     out["h_lang"] = round(mi["h_a"], 6)
     out["h_source"] = round(mi["h_b"], 6)
     out["mi_lang_source"] = round(mi["mi"], 6)
+
+    # round 4f: corpus-frequency line dedup at token granularity. The
+    # boilerplate threshold (>=80% of eligible docs) needs the eligible
+    # count first — one narrow 2-column count pass; exact integer math
+    # (4n+4)//5 so the Ray and DuckDB thresholds can never diverge on
+    # float representation.
+    dds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_elig = int(
+        dds.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "c": [
+                        pc.sum(
+                            pc.cast(
+                                pc.and_(pc.is_valid(b["doc_id"]), pc.is_valid(b["text"])),
+                                pa.int64(),
+                            )
+                        ).as_py()
+                        or 0
+                    ]
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        ).sum("c")
+        or 0
+    )
+    ld = line_dedup(
+        dds, "doc_id", "text", sep=" ", mode="drop_common",
+        min_docs=max((4 * n_elig + 4) // 5, 2),
+    )
+
+    def ld_partial(b: pa.Table) -> pa.Table:
+        nl, nk = b["n_lines"], b["n_lines_kept"]
+        eligible = b.filter(pc.is_valid(nl))
+        return pa.Table.from_pydict(
+            {
+                "ld_dropped": [pc.sum(pc.subtract(nl, nk)).as_py() or 0],
+                "ld_docs_changed": [
+                    pc.sum(pc.cast(pc.less(nk, nl), pa.int64())).as_py() or 0
+                ],
+                "ld_chars_after": [
+                    pc.sum(pc.utf8_length(eligible["text"])).as_py() or 0
+                ],
+            }
+        )
+
+    lp = ld.map_batches(ld_partial, batch_format="pyarrow", batch_size=None)
+    ld_cols = ["ld_dropped", "ld_docs_changed", "ld_chars_after"]
+    ld_row = lp.aggregate(*[Sum(c, alias_name=c) for c in ld_cols])
+    for c in ld_cols:
+        out[c] = int(ld_row[c] or 0)
     return out
 
 
