@@ -1,9 +1,10 @@
 """Deduplication pipelines — exact, MinHash-LSH, SimHash, n-gram Jaccard,
-embedding-cosine. First-class engine features for training-data curation
+embedding-cosine, cross-document line/boilerplate. First-class engine features for training-data curation
 (the reference has no dedup at all, SURVEY.md §2.7)."""
 
 from .distributed import connected_components
 from .exact import exact_dedup
+from .lines import line_dedup, line_drop_pairs
 from .neardup import (
     embedding_cosine_dedup,
     embedding_neardup_pairs,
@@ -17,6 +18,8 @@ from .neardup import (
 __all__ = [
     "connected_components",
     "exact_dedup",
+    "line_dedup",
+    "line_drop_pairs",
     "minhash_lsh_dedup",
     "minhash_lsh_dedup_verified",
     "neardup_pairs",

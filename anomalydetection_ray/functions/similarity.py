@@ -682,3 +682,315 @@ def ivfpq_topk_cosine(
         concurrency=sized_actor_concurrency(ds),
     )
     return _final_topk(partials, id_col, k)
+
+
+# ---------------------------------------------------------------------------
+# kNN-distance outlier scoring
+# ---------------------------------------------------------------------------
+
+KNN_BROADCAST_MAX_BYTES = 256 << 20
+
+
+class _ExactKnnScorer:
+    """Actor-pool batch scorer: every batch matmuls against the ONE
+    broadcast corpus store and emits per-row kNN-distance scores."""
+
+    def __init__(self, id_col: str, vec_col: str, store_ref, k: int):
+        import ray
+
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+        self.ids, self.m = ray.get(store_ref)  # ids asc-sorted, (N, d) normalized
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    self.id_col: batch[self.id_col],
+                    "knn_dist": pa.array([], type=pa.float64()),
+                    "knn_mean_dist": pa.array([], type=pa.float64()),
+                }
+            )
+        q = _normalize(list_column_to_matrix(batch[self.vec_col]))
+        sims = q @ self.m.T  # (b, N)
+        # self-exclusion by id position; ids are unique by contract and a
+        # batch id absent from the store fails loudly (same guard as the
+        # neardup broadcast verifier, ADVICE round 3)
+        hi = max(len(self.ids) - 1, 0)
+        pos = np.clip(np.searchsorted(self.ids, ids), 0, hi)
+        if len(self.ids) == 0 or not bool(np.all(self.ids[pos] == ids)):
+            raise ValueError(
+                "knn_outlier_scores: batch ids missing from the broadcast "
+                "corpus store; the scored dataset must be the same dataset "
+                "the store was built from, with unique ids"
+            )
+        sims[np.arange(len(ids)), pos] = -np.inf
+        k = min(self.k, sims.shape[1] - 1)
+        top = -np.partition(-sims, k - 1, axis=1)[:, :k]  # (b, k) largest sims
+        return pa.Table.from_pydict(
+            {
+                self.id_col: pa.array(ids),
+                "knn_dist": pa.array(1.0 - top.min(axis=1)),
+                "knn_mean_dist": pa.array(1.0 - top.mean(axis=1)),
+            }
+        )
+
+
+def knn_outlier_scores(
+    ds,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    max_bytes: int = KNN_BROADCAST_MAX_BYTES,
+):
+    """EXACT kNN-distance outlier scores over an embedding column: per row,
+    cosine distance to its k-th nearest neighbor (``knn_dist``) and the
+    mean distance to its k nearest (``knn_mean_dist``) — the classic
+    distance-based anomaly signal (Ramaswamy et al. 2000), the
+    embedding-space dual of the reference's per-row deviation scores
+    (``end_to_end_prediction.py:444``). Returns a lazy Dataset of
+    ``(id, knn_dist, knn_mean_dist)``; output is corpus-sized and never
+    gathers.
+
+    Plan: the (id, vector) corpus is gathered ONCE under a running byte
+    cap, L2-normalized, sorted by id and broadcast via ``ray.put``; each
+    batch is one (batch x N) matmul with positional self-exclusion. Batch
+    size is solved from N so a sims panel stays ~64 MB regardless of
+    corpus size. Exact scoring is O(N^2) flops by definition — above the
+    broadcast budget this plan refuses loudly; use
+    :func:`knn_outlier_scores_ivf` (cell-pruned, fully distributed) at
+    scale. Ids must be unique (duplicate ids would self-exclude a true
+    neighbor)."""
+    import ray
+
+    from .shuffle import sized_actor_concurrency
+
+    gathered, tabs = 0, []
+    for blk in _sel(ds, [id_col, vec_col]).iter_batches(batch_format="pyarrow", batch_size=None):
+        if blk.num_rows == 0:
+            continue
+        gathered += blk.nbytes
+        if gathered > max_bytes:
+            raise ValueError(
+                f"knn_outlier_scores: corpus exceeds the {max_bytes >> 20} MB "
+                "broadcast budget; exact O(N^2) scoring is the small-corpus "
+                "plan — use knn_outlier_scores_ivf at scale"
+            )
+        tabs.append(blk)
+    if not tabs:
+        raise ValueError("knn_outlier_scores: empty dataset")
+    corpus = pa.concat_tables(tabs, promote_options="default").sort_by(id_col)
+    if corpus.num_rows < 2:
+        raise ValueError("knn_outlier_scores: need at least 2 rows")
+    ids = corpus[id_col].to_numpy(zero_copy_only=False)
+    if len(np.unique(ids)) != len(ids):
+        raise ValueError("knn_outlier_scores: id column must be unique")
+    m = _normalize(list_column_to_matrix(corpus[vec_col].combine_chunks()))
+    store = ray.put((ids, m))
+    # sims panel = batch x N float64; solve batch for ~64 MB
+    bs = int(max(32, min(4096, (64 << 20) // max(8 * corpus.num_rows, 1))))
+    return _sel(ds, [id_col, vec_col]).map_batches(
+        _ExactKnnScorer,
+        fn_constructor_args=(id_col, vec_col, store, k),
+        batch_format="pyarrow",
+        batch_size=bs,
+        zero_copy_batch=True,
+        concurrency=sized_actor_concurrency(ds),
+    )
+
+
+def train_centroids_from_dataset(
+    ds, id_col: str, vec_col: str, n_cells: int, train_sample: int = 10_000, seed: int = 42
+) -> np.ndarray:
+    """Deterministic hash-rate-sampled centroid training (the shared
+    discipline of ``ivf_topk_cosine``): sample by id hash (uniform at any
+    parallelism, never a prefix), sort the tiny driver-side sample by id
+    so k-means sees one canonical order, train seeded Lloyd."""
+    import polars as pl
+
+    n_total = ds.count()
+    rate = min(1.0, train_sample / max(n_total, 1))
+
+    def hash_sample(batch: pa.Table) -> pa.Table:
+        col = batch[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        u = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=seed).to_numpy() / 2.0**64
+        return batch.filter(pa.array(u < rate))
+
+    tabs = [
+        t
+        for t in _sel(ds, [id_col, vec_col])
+        .map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not tabs:
+        raise ValueError("empty dataset: no rows to train centroids on")
+    sample_tbl = pa.concat_tables(tabs, promote_options="default").sort_by(id_col)
+    sample = list_column_to_matrix(sample_tbl[vec_col].combine_chunks())
+    return train_centroids(sample, n_cells, seed=seed)
+
+
+class _KnnCellTagger:
+    """Batch map: replicate each row to its n_probe nearest cells as a
+    QUERY; the single argmax copy doubles as the CANDIDATE."""
+
+    def __init__(self, id_col: str, vec_col: str, centroids_ref, n_probe: int):
+        import ray
+
+        self.id_col, self.vec_col = id_col, vec_col
+        self.cent = ray.get(centroids_ref)
+        self.n_probe = min(n_probe, self.cent.shape[0])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.Table.from_pydict(
+                {
+                    "cell": pa.array([], type=pa.int64()),
+                    self.id_col: batch[self.id_col],
+                    self.vec_col: batch[self.vec_col],
+                    "is_cand": pa.array([], type=pa.int8()),
+                }
+            )
+        m = _normalize(list_column_to_matrix(batch[self.vec_col]))
+        sims = m @ self.cent.T  # (n, C)
+        probe = np.argsort(-sims, axis=1)[:, : self.n_probe]  # col 0 == argmax
+        rep = np.repeat(np.arange(n, dtype=np.int64), self.n_probe)
+        rows = batch.select([self.id_col, self.vec_col]).take(pa.array(rep))
+        is_cand = np.zeros(n * self.n_probe, dtype=np.int8)
+        is_cand[:: self.n_probe] = 1  # first (argmax) copy carries the candidate role
+        return pa.Table.from_pydict(
+            {
+                "cell": pa.array(probe.reshape(-1)),
+                self.id_col: rows[self.id_col],
+                self.vec_col: rows[self.vec_col],
+                "is_cand": pa.array(is_cand),
+            }
+        )
+
+
+def _knn_cell_block(id_col: str, vec_col: str, k: int):
+    """Per co-partitioned block (cells are whole): per cell, queries x
+    candidates matmul, id-equality self-mask, per-query top-k partials."""
+
+    def block(tb: pa.Table) -> pa.Table:
+        empty = pa.Table.from_pydict(
+            {
+                id_col: pa.array([], type=tb.schema.field(id_col).type),
+                "sim": pa.array([], type=pa.float64()),
+            }
+        )
+        if tb.num_rows == 0:
+            return empty
+        cells = tb["cell"].to_numpy(zero_copy_only=False)
+        ids = tb[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(list_column_to_matrix(tb[vec_col]))
+        cand = tb["is_cand"].to_numpy(zero_copy_only=False).astype(bool)
+        out_i, out_s = [], []
+        order = np.argsort(cells, kind="stable")
+        bounds = np.flatnonzero(np.diff(cells[order])) + 1
+        for grp in np.split(order, bounds):
+            c = grp[cand[grp]]
+            if len(c) == 0 or len(grp) == 0:
+                continue
+            sims = m[grp] @ m[c].T  # (q, cand)
+            sims[ids[grp][:, None] == ids[c][None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            s = np.take_along_axis(sims, top, axis=1).reshape(-1)
+            keep = np.isfinite(s)  # self-only cells emit nothing
+            out_i.append(np.repeat(ids[grp], kk)[keep])
+            out_s.append(s[keep])
+        if not out_i:
+            return empty
+        return pa.Table.from_pydict(
+            {id_col: pa.array(np.concatenate(out_i)), "sim": pa.array(np.concatenate(out_s))}
+        )
+
+    return block
+
+
+def _knn_reduce_block(id_col: str, k: int):
+    """Per id-co-partitioned block: merge a row's per-cell partials, keep
+    its global top-k sims, emit the two distance scores."""
+    import polars as pl
+
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    id_col: pa.array([], type=tb.schema.field(id_col).type),
+                    "knn_dist": pa.array([], type=pa.float64()),
+                    "knn_mean_dist": pa.array([], type=pa.float64()),
+                }
+            )
+        out = (
+            pl.from_arrow(tb)
+            .sort([id_col, "sim"], descending=[False, True])
+            .with_columns(pl.col("sim").cum_count().over(id_col).alias("__rn"))
+            .filter(pl.col("__rn") <= k)
+            .group_by(id_col, maintain_order=True)
+            .agg(
+                (1.0 - pl.col("sim").min()).alias("knn_dist"),
+                (1.0 - pl.col("sim").mean()).alias("knn_mean_dist"),
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    (id_col, tb.schema.field(id_col).type),
+                    ("knn_dist", pa.float64()),
+                    ("knn_mean_dist", pa.float64()),
+                ]
+            )
+        )
+
+    return block
+
+
+def knn_outlier_scores_ivf(
+    ds,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    train_sample: int = 10_000,
+    seed: int = 42,
+):
+    """APPROXIMATE kNN-distance outlier scores — the 100 TB plan: IVF
+    cell-blocked self-join instead of the O(N^2) broadcast matmul.
+
+    1. Train coarse centroids on a deterministic hash-rate sample.
+    2. ONE map pass replicates each row to its ``n_probe`` nearest cells
+       as a query (the argmax copy doubling as the cell's candidate), so
+       the exchange moves n_probe x the vector bytes and each (query,
+       candidate) pair meets in EXACTLY one block — the candidate lives
+       in one cell only, hence no cross-cell dedup is needed.
+    3. Cells co-partition (range-sort exchange); each block matmuls
+       queries x candidates per cell and emits per-query top-k partials
+       (<= n_probe * k rows per input row — bounded, never O(N)).
+    4. Partials co-partition by id; one vectorized polars pass keeps each
+       row's global top-k and emits the scores.
+
+    ``n_probe == n_cells`` degenerates to exact (every pair meets);
+    recall at the defaults is gated >= 0.9 in tests. Skewed cells
+    concentrate in single blocks — the documented range-partition
+    contract (``local_group_map``); raise ``n_cells`` if one cell holds
+    a corpus-scale cluster."""
+    import ray
+
+    from .shuffle import local_group_map, sized_actor_concurrency
+
+    cref = ray.put(train_centroids_from_dataset(ds, id_col, vec_col, n_cells, train_sample, seed))
+    tagged = _sel(ds, [id_col, vec_col]).map_batches(
+        _KnnCellTagger,
+        fn_constructor_args=(id_col, vec_col, cref, n_probe),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=sized_actor_concurrency(ds),
+    )
+    partials = local_group_map(tagged, ["cell"], _knn_cell_block(id_col, vec_col, k), keys_non_null=True)
+    return local_group_map(partials, [id_col], _knn_reduce_block(id_col, k), keys_non_null=True)

@@ -627,31 +627,44 @@ def revenue_by_priority(sf_dir: str):
 
 
 @register(
-    "dup_keys_lineitem",
+    "duplicate_key_violations",
     """
-    SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt
-    FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) >= 2
+    SELECT 'lineitem' AS tbl, CAST(l_orderkey AS VARCHAR) AS k1,
+           CAST(l_linenumber AS VARCHAR) AS k2, COUNT(*) AS cnt
+    FROM lineitem GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+    UNION ALL
+    SELECT 'events', CAST(user_id AS VARCHAR), event_type, COUNT(*)
+    FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
     """,
 )
-def dup_keys_lineitem(sf_dir: str):
+def duplicate_key_violations(sf_dir: str):
     """Uniqueness check (SURVEY.md §2.7 dual of A1): primary-key duplicate
-    detection via combiner + groupby-sum; empty result = constraint holds."""
-    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
-    return as_table(duplicate_keys(ds, ["l_orderkey", "l_linenumber"], min_count=2))
+    detection via combiner + groupby-sum. Two tables in one verdict —
+    lineitem's true PK (empty result = constraint holds) and the events
+    (user_id, event_type) key that IS duplicated, so both the holds and
+    violation paths run end-to-end. (Formerly two registry rows,
+    ``dup_keys_lineitem`` + ``dup_user_event_pairs``, merged to keep the
+    registry inside the driver's 50-row window.) Keys are stringified
+    with null-preserving Arrow casts into a shared (tbl, k1, k2, cnt)
+    schema."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
 
+    def fmt(t: pa.Table, tbl: str, kcols: list[str]) -> pa.Table:
+        return pa.table(
+            {
+                "tbl": pa.array([tbl] * t.num_rows, type=pa.string()),
+                "k1": pc.cast(t[kcols[0]], pa.string()),
+                "k2": pc.cast(t[kcols[1]], pa.string()),
+                "cnt": pc.cast(t["cnt"], pa.int64()),
+            }
+        )
 
-@register(
-    "dup_user_event_pairs",
-    """
-    SELECT user_id, event_type, COUNT(*) AS cnt
-    FROM events GROUP BY user_id, event_type HAVING COUNT(*) >= 2
-    """,
-)
-def dup_user_event_pairs(sf_dir: str):
-    """Same duplicate-key operator on a key that IS duplicated (non-empty
-    violation path exercised end-to-end)."""
-    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
-    return as_table(duplicate_keys(ds, ["user_id", "event_type"], min_count=2))
+    a = as_table(duplicate_keys(li, ["l_orderkey", "l_linenumber"], min_count=2))
+    b = as_table(duplicate_keys(ev, ["user_id", "event_type"], min_count=2))
+    return pa.concat_tables(
+        [fmt(a, "lineitem", ["l_orderkey", "l_linenumber"]), fmt(b, "events", ["user_id", "event_type"])]
+    )
 
 
 @register(
@@ -1307,6 +1320,43 @@ def ann_topk_cosine(sf_dir: str):
     recall = len(exact_pairs & ivf_pairs) / max(len(exact_pairs), 1)
     res["ivf_recall_ok"] = np.int64(1) if recall >= 0.9 else np.int64(0)
     return res
+
+
+@register(
+    "knn_outlier_embeddings",
+    """
+    WITH sims AS (
+      SELECT a.vec_id AS vec_id,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS s
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT vec_id, s,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC) AS rn
+      FROM sims)
+    SELECT vec_id,
+           ROUND(1 - MIN(s), 6) AS knn_dist,
+           ROUND(1 - AVG(s), 6) AS knn_mean_dist
+    FROM ranked WHERE rn <= 10 GROUP BY vec_id
+    """,
+)
+def knn_outlier_embeddings(sf_dir: str):
+    """EXACT kNN-distance outlier scores per embedding row (round 4g,
+    ``functions/similarity.py:knn_outlier_scores``): cosine distance to
+    the 10th nearest neighbor and mean distance to the 10 nearest — the
+    classic distance-based anomaly score (Ramaswamy et al. 2000), the
+    embedding-space dual of the reference's per-row deviation scores
+    (``end_to_end_prediction.py:444``). The corpus broadcasts ONCE via
+    ``ray.put``; each batch is one matmul panel sized to ~64 MB. The
+    oracle recomputes it brute-force (O(N^2) cross join + window rank).
+    The approximate IVF plan (``knn_outlier_scores_ivf``) is recall- and
+    equivalence-gated in tests/test_knn_outlier.py."""
+    from ..functions.similarity import knn_outlier_scores
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_outlier_scores(emb, "vec_id", "embedding", k=10).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    return _round_pd(out, {"knn_dist": 6, "knn_mean_dist": 6})
 
 
 @register("mlp_reconstruction_scores", None)
