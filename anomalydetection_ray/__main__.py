@@ -65,6 +65,15 @@ def main(argv: list[str] | None = None) -> int:
         metavar="METRIC[:MIN][:MAX][:COLUMN]",
         help="stat constraint, repeatable — e.g. 'null_rate::0.01' (max) or 'p95:10:5000:content'",
     )
+    v.add_argument(
+        "--expected-schema",
+        default=None,
+        metavar="NAME:DTYPE,NAME:DTYPE,...",
+        help="declared schema, e.g. 'repo:string,path:string,content:string' "
+        "(Arrow type strings; order = expected position)",
+    )
+    v.add_argument("--allow-added-columns", action="store_true")
+    v.add_argument("--check-column-order", action="store_true")
 
     b = sub.add_parser("baseline", help="write the drift baseline snapshot")
     b.add_argument("corpus")
@@ -129,7 +138,16 @@ def main(argv: list[str] | None = None) -> int:
                         column=col or None,
                     )
                 )
-            cfg = SuiteConfig(repos_dim_path=args.repos_dim, stat_tolerances=tuple(tols))
+            expected = None
+            if args.expected_schema:
+                expected = [tuple(p.split(":", 1)) for p in args.expected_schema.split(",")]
+            cfg = SuiteConfig(
+                repos_dim_path=args.repos_dim,
+                stat_tolerances=tuple(tols),
+                expected_schema=expected,
+                allow_added_columns=args.allow_added_columns,
+                check_column_order=args.check_column_order,
+            )
             runner = run_suite_sharded if args.sharded else run_suite
             kwargs = {"n_shards": args.n_shards} if args.sharded else {}
             res = runner(

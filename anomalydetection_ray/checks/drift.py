@@ -29,7 +29,9 @@ from ..sketches.histogram import FixedHistogram, ks_statistic, psi
 def write_snapshot(stats_df: pd.DataFrame, path: str) -> None:
     """Persist the merged stats table (checks/stats.py output, including
     sketch/hist bytes) as the immutable baseline artifact."""
-    cols = ["part", "column", "count", "nulls", "hll", "kll", "hist"]
+    # dtype rides along so schema drift can diff the live schema against
+    # the snapshot (checks/schema.py:spec_from_stats)
+    cols = ["part", "column", "dtype", "count", "nulls", "hll", "kll", "hist"]
     tbl = pa.Table.from_pandas(stats_df[cols], preserve_index=False)
     pq.write_table(tbl, path)
 

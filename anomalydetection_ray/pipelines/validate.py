@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass, field
+from typing import Any
 
 import numpy as np
 import pandas as pd
@@ -100,6 +101,15 @@ class SuiteConfig:
     # stats-table metric per (partition, column); evaluated driver-side
     # against the fused scan's output — adding one never adds a scan
     stat_tolerances: tuple = ()
+    # declared EXPECTED schema (checks/schema.py spec_from_any input:
+    # pa.Schema | spec frame | (name, dtype_str) pairs). None = skip the
+    # explicit schema check. Metadata-only — never adds a scan. When a
+    # baseline snapshot is given the suite ALSO diffs the live schema
+    # against the snapshot's recorded dtypes (check "schema_drift"),
+    # independent of this field.
+    expected_schema: Any = None
+    allow_added_columns: bool = False
+    check_column_order: bool = False
 
 
 @dataclass
@@ -526,6 +536,7 @@ def _finalize_suite(
     baseline_snapshot: str | None,
     viol_counts: dict[str, dict[str, int]] | None = None,
     violations_dir: str | None = None,
+    corpus_schema: pa.Schema | None = None,
 ) -> SuiteResult:
     """stats table + violation rows → per-(check, partition) verdicts,
     drift scoring, lineage, and the verdicts.parquet artifact.
@@ -533,9 +544,26 @@ def _finalize_suite(
     Spill mode (``viol_counts`` given): ``viol_all`` is schema-correct but
     EMPTY — verdict counts come from the distributed per-(kind, partition)
     aggregate and the exact rows stay under ``violations_dir``."""
+    from ..checks.schema import schema_verdicts, spec_from_stats
+
     part = cfg.partition_by
     verdict_rows: list[dict] = []
     violations: dict[str, pa.Table] = {}
+
+    # schema check (metadata-only, no scan): live schema vs the declared
+    # expectation — missing / added / type-changed / moved columns each
+    # become a verdict row (checks/schema.py)
+    if corpus_schema is not None and cfg.expected_schema is not None:
+        sv = schema_verdicts(
+            corpus_schema,
+            cfg.expected_schema,
+            allow_added=cfg.allow_added_columns,
+            check_order=cfg.check_column_order,
+        )
+        verdict_rows.extend(sv.to_dict("records"))
+        state.lineage_append(
+            {"unit": "schema", "metrics": {"failed": int((~sv["passed"]).sum())}}
+        )
 
     for _, r in stats_df.iterrows():
         issues = []
@@ -637,9 +665,24 @@ def _finalize_suite(
     if baseline_snapshot and os.path.isdir(baseline_snapshot):
         baseline_snapshot = find_latest_snapshot(baseline_snapshot)
     if baseline_snapshot:
+        base_df = pq.read_table(baseline_snapshot).to_pandas()
+        # schema DRIFT vs the snapshot's recorded per-column dtypes: a
+        # column that appeared, vanished or changed type since the
+        # baseline is an anomaly signal even when every value-level stat
+        # passes (the structural sibling of the PSI/KS check below)
+        if corpus_schema is not None and "dtype" in base_df.columns:
+            # (snapshots written before the dtype column existed simply
+            # skip the structural diff; value-level drift still runs)
+            sdv = schema_verdicts(
+                corpus_schema, spec_from_stats(base_df), check="schema_drift"
+            )
+            verdict_rows.extend(sdv.to_dict("records"))
+            state.lineage_append(
+                {"unit": "schema_drift", "metrics": {"failed": int((~sdv["passed"]).sum())}}
+            )
         drift = partition_drift(
             stats_df,
-            pq.read_table(baseline_snapshot).to_pandas(),
+            base_df,
             cfg.content_col,
             cfg.psi_threshold,
             cfg.ks_threshold,
@@ -861,9 +904,13 @@ def run_suite(
         result = _finalize_suite(
             state, out_dir, cfg, stats_df, empty_viol, baseline_snapshot,
             viol_counts=viol_counts, violations_dir=spill_final,
+            corpus_schema=corpus_schema,
         )
     else:
-        result = _finalize_suite(state, out_dir, cfg, stats_df, viol_all, baseline_snapshot)
+        result = _finalize_suite(
+            state, out_dir, cfg, stats_df, viol_all, baseline_snapshot,
+            corpus_schema=corpus_schema,
+        )
     _mark("drift_and_verdicts")
     if os.environ.get("ADRAY_TIMINGS"):
         print("suite timings:", _timings, flush=True)
@@ -963,7 +1010,8 @@ def run_suite_sharded(
     n_shards = max(1, min(n_shards, len(files)))
     bounds = np.linspace(0, len(files), n_shards + 1).astype(int)
     shards = [files[bounds[i]:bounds[i + 1]] for i in range(n_shards)]
-    all_cols = [f.name for f in _corpus_schema(corpus_path)]
+    corpus_schema = _corpus_schema(corpus_path)
+    all_cols = [f.name for f in corpus_schema]
 
     # ---------------- phase A: per-shard fused scan + key partials ------
     empty_refs = _prepare_rowpass_refs(cfg, np.array([], dtype=np.int64))
@@ -1041,7 +1089,9 @@ def run_suite_sharded(
     viol_all = pa.concat_tables(viol_tabs) if viol_tabs else pa.table({})
     viol_all = _sort_violations(_verify_dup_candidates(viol_all, key), empty_refs.out_cols)
     pq.write_table(viol_all, os.path.join(state.unit_dir("rowpass"), "violations.parquet"))
-    return _finalize_suite(state, out_dir, cfg, stats_df, viol_all, baseline_snapshot)
+    return _finalize_suite(
+        state, out_dir, cfg, stats_df, viol_all, baseline_snapshot, corpus_schema=corpus_schema
+    )
 
 
 def find_latest_snapshot(root_dir: str) -> str | None:
