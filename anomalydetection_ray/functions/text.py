@@ -794,3 +794,202 @@ def chunk_documents(
     return select_if_needed(ds, [id_col, text_col]).map_batches(
         chunk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Data Selection via Importance Resampling,
+# Xie et al. 2023): hashed n-gram bag-of-words LM ratio per document
+# ---------------------------------------------------------------------------
+
+
+def _token_gram_frame(texts: pa.Array | pa.ChunkedArray, sizes: tuple[int, ...]):
+    """polars frame (i, g): every whitespace-token n-gram (one row per
+    size in ``sizes``) of every text, '\\x1f'-joined — the same gram
+    construction as :func:`_token_ngram_hashes`, returned as STRINGS so
+    callers pick the hash (fast polars vs SQL-reproducible md5)."""
+    import polars as pl
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    base = (
+        pl.DataFrame(
+            {"i": np.arange(len(texts), dtype=np.int64), "t": pl.Series(texts).fill_null("")}
+        )
+        .with_columns(pl.col("t").str.extract_all(r"\S+"))
+        .explode("t")
+        .drop_nulls("t")
+    )
+    frames = []
+    for n in sorted(set(sizes)):
+        gram = pl.col("t")
+        for j in range(1, n):
+            gram = gram + "\x1f" + pl.col("t").shift(-j).over("i")
+        frames.append(base.with_columns(gram.alias("g")).drop_nulls("g").select("i", "g"))
+    return pl.concat(frames)
+
+
+def hashed_ngram_buckets(
+    texts: pa.Array | pa.ChunkedArray,
+    sizes: tuple[int, ...] = (1, 2),
+    n_buckets: int = 8192,
+    token_hash: str = "fast",
+    seed: int = 17,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, bucket) pairs for every token n-gram: the DSIR feature
+    map. ``token_hash="fast"`` uses the vectorized 64-bit polars hash;
+    ``"md5"`` matches DuckDB ``md5_number_lower(g) % n_buckets`` exactly
+    (each DISTINCT gram hashed once — vocabulary is zipf-bounded)."""
+    df = _token_gram_frame(texts, sizes)
+    if df.height == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    if token_hash == "md5":
+        from ..sketches.simhash import _md5_token_hash
+
+        uniq = df["g"].unique().to_list()
+        lut = {g: int(_md5_token_hash(g) % np.uint64(n_buckets)) for g in uniq}
+        b = np.fromiter((lut[g] for g in df["g"]), dtype=np.int64, count=df.height)
+    else:
+        b = (df["g"].hash(seed=seed).to_numpy() % np.uint64(n_buckets)).astype(np.int64)
+    return df["i"].to_numpy(), b
+
+
+def dsir_bucket_counts(
+    ds,
+    text_col: str = "text",
+    sizes: tuple[int, ...] = (1, 2),
+    n_buckets: int = 8192,
+    token_hash: str = "fast",
+    seed: int = 17,
+) -> np.ndarray:
+    """(n_buckets,) int64 hashed-n-gram counts of a corpus: per-block
+    ``np.bincount`` partials (one fixed 8·n_buckets-byte vector per block,
+    regardless of corpus size), n-ary driver sum — no shuffle, never
+    O(rows) on the driver."""
+    from .shuffle import select_if_needed
+
+    def partial(tb: pa.Table) -> pa.Table:
+        _, b = hashed_ngram_buckets(tb[text_col], sizes, n_buckets, token_hash, seed)
+        cnt = np.bincount(b, minlength=n_buckets).astype(np.int64)
+        return pa.Table.from_pydict({"c": [cnt.tobytes()]})
+
+    total = np.zeros(n_buckets, dtype=np.int64)
+    for blk in (
+        select_if_needed(ds, [text_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        for raw in blk["c"].to_pylist():
+            total += np.frombuffer(raw, dtype=np.int64)
+    return total
+
+
+def dsir_logratio_vector(
+    target_counts: np.ndarray, raw_counts: np.ndarray, alpha: float = 1.0
+) -> np.ndarray:
+    """Per-bucket ``ln p_target(b) − ln p_raw(b)`` under add-``alpha``
+    smoothed multinomials — the DSIR importance log-weight of one
+    feature occurrence."""
+    if target_counts.shape != raw_counts.shape:
+        raise ValueError("target and raw count vectors must share a bucket count")
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (unsmoothed ratios are undefined on empty buckets)")
+    B = len(raw_counts)
+    pt = (target_counts + alpha) / (target_counts.sum() + alpha * B)
+    pr = (raw_counts + alpha) / (raw_counts.sum() + alpha * B)
+    return np.log(pt) - np.log(pr)
+
+
+class _DsirScorer:
+    """Actor-pool batch scorer: the (n_buckets,) log-ratio vector ships
+    ONCE via ``ray.put``; each batch is one vectorized gram pass + one
+    weighted bincount."""
+
+    def __init__(self, text_col, lr_ref, sizes, n_buckets, token_hash, seed, out_col):
+        import ray
+
+        self.text_col, self.out_col = text_col, out_col
+        self.sizes, self.n_buckets, self.token_hash, self.seed = sizes, n_buckets, token_hash, seed
+        self.lr = ray.get(lr_ref)
+
+    def __call__(self, tb: pa.Table) -> pa.Table:
+        i, b = hashed_ngram_buckets(tb[self.text_col], self.sizes, self.n_buckets, self.token_hash, self.seed)
+        w = np.bincount(i, weights=self.lr[b], minlength=tb.num_rows)
+        return tb.append_column(self.out_col, pa.array(w, type=pa.float64()))
+
+
+def dsir_weights(
+    ds,
+    text_col: str,
+    target_ds,
+    target_text_col: str | None = None,
+    sizes: tuple[int, ...] = (1, 2),
+    n_buckets: int = 8192,
+    alpha: float = 1.0,
+    token_hash: str = "fast",
+    seed: int = 17,
+    out_col: str = "dsir_logratio",
+):
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    ``ln p_target(x) − ln p_raw(x)`` under hashed-n-gram bag-of-words
+    models of a TARGET corpus (the distribution you want more of) and the
+    RAW corpus itself. High scores = looks like the target. The published
+    recipe for domain-matched pretraining selection; resample
+    proportional-to-weight with :func:`dsir_resample`.
+
+    Plan: two fixed-size count passes (8·n_buckets B per block, driver
+    n-ary sum — the model, not the data, crosses the wire), one
+    ``ray.put`` of the (n_buckets,) log-ratio vector, then one streaming
+    actor-pool scoring pass appending ``out_col``. Nothing is ever
+    O(corpus) on the driver. ``token_hash="md5"`` makes every score
+    DuckDB-reproducible (oracle-checked in ``doc_scalar_functions``)."""
+    import ray
+
+    from .shuffle import sized_actor_concurrency
+
+    raw = dsir_bucket_counts(ds, text_col, sizes, n_buckets, token_hash, seed)
+    tgt = dsir_bucket_counts(
+        target_ds, target_text_col or text_col, sizes, n_buckets, token_hash, seed
+    )
+    lr_ref = ray.put(dsir_logratio_vector(tgt, raw, alpha))
+    return ds.map_batches(
+        _DsirScorer,
+        fn_constructor_args=(text_col, lr_ref, sizes, n_buckets, token_hash, seed, out_col),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+        concurrency=sized_actor_concurrency(ds),
+    )
+
+
+def dsir_resample(
+    ds,
+    id_col: str,
+    text_col: str,
+    target_ds,
+    n: int,
+    target_text_col: str | None = None,
+    seed: int = 42,
+    **weight_kwargs,
+):
+    """DSIR selection: sample exactly ``n`` documents WITHOUT replacement
+    with inclusion probability proportional to the importance weight
+    ``exp(dsir_logratio)`` (the paper's Gumbel-top-k step, here via the
+    deterministic Efraimidis–Spirakis sampler the engine already has —
+    the two are equivalent). Log-weights re-center by their global max
+    before exponentiation (selection is scale-invariant; re-centering
+    only prevents overflow on extreme corpora). Returns a pyarrow Table
+    of the selected rows (n is small by contract — it is a sample)."""
+    from .split import weighted_fixed_count_sample
+
+    scored = dsir_weights(ds, text_col, target_ds, target_text_col, **weight_kwargs).materialize()
+    out_col = weight_kwargs.get("out_col", "dsir_logratio")
+    mx = scored.max(out_col)
+
+    def to_w(tb: pa.Table) -> pa.Table:
+        lw = tb[out_col].to_numpy(zero_copy_only=False)
+        return tb.append_column("__dsir_w", pa.array(np.exp(lw - mx), type=pa.float64()))
+
+    weighted = scored.map_batches(to_w, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    picked = weighted_fixed_count_sample(weighted, id_col, "__dsir_w", n, seed=seed)
+    return picked.drop_columns(["__dsir_w"]) if picked is not None else None

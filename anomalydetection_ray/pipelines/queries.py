@@ -912,7 +912,24 @@ def anomaly_scores(sf_dir: str):
              CASE WHEN len(t) = 0 THEN 0
                   ELSE (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM unnest(t) AS u(tok) GROUP BY tok))
              END AS top
-      FROM (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS t FROM documents))
+      FROM (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS t FROM documents)),
+    dtoks AS (SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS t FROM documents),
+    dgrams AS (
+      SELECT doc_id, unnest(t) AS g FROM dtoks
+      UNION ALL
+      SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || chr(31) || t[i+1])) AS g
+      FROM dtoks),
+    dbuck AS (SELECT doc_id, CAST(md5_number_lower(g) % 8192 AS BIGINT) AS b FROM dgrams),
+    drawc AS (SELECT b, CAST(COUNT(*) AS DOUBLE) c FROM dbuck GROUP BY b),
+    dtgtc AS (SELECT b, CAST(COUNT(*) AS DOUBLE) c FROM dbuck WHERE doc_id % 64 = 0 GROUP BY b),
+    dtots AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM drawc) rn,
+                     (SELECT COALESCE(SUM(c), 0) FROM dtgtc) tn),
+    dlr AS (SELECT r.b,
+              LN((COALESCE(t.c, 0) + 1) / (dtots.tn + 8192))
+                - LN((r.c + 1) / (dtots.rn + 8192)) AS lr
+            FROM drawc r LEFT JOIN dtgtc t USING (b), dtots),
+    dsir AS (SELECT db.doc_id, COALESCE(SUM(dlr.lr), 0) AS s
+             FROM dbuck db JOIN dlr USING (b) GROUP BY db.doc_id)
     SELECT d.doc_id AS doc_id,
            CAST(length(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens,
            CAST(FLOOR(length(regexp_extract_all(d.text, '[!-/:-@\[-`{-~]')) * 1000000.0
@@ -924,8 +941,10 @@ def anomaly_scores(sf_dir: str):
            CAST(r.n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
            ROUND(CAST(r.n_distinct_tokens AS DOUBLE) / GREATEST(r.n_toks, 1), 6) AS distinct_ratio,
            ROUND(CAST(r.top AS DOUBLE) / GREATEST(r.n_toks, 1), 6) AS top_token_share,
-           ROUND(sc.lm, 6) AS lm_logprob
+           ROUND(sc.lm, 6) AS lm_logprob,
+           ROUND(COALESCE(ds.s, 0), 6) AS dsir_logratio
     FROM documents d JOIN rep r USING (doc_id)
+    LEFT JOIN dsir ds USING (doc_id)
     LEFT JOIN (
       WITH tg AS (
         SELECT d2.doc_id, substr(d2.text, CAST(i AS INTEGER), 3) AS t
@@ -956,13 +975,32 @@ def doc_scalar_functions(sf_dir: str):
       under the corpus unigram-of-trigrams model) — the model fits in ONE
       distributed packed-uint64 count pass, broadcasts once via ray.put,
       and each batch scores with two numpy lookups (functions/text.py:
-      CharTrigramLM); DuckDB recomputes it from a lateral substr unnest."""
+      CharTrigramLM); DuckDB recomputes it from a lateral substr unnest;
+    - round 4g: DSIR importance log-weight (Xie et al. 2023,
+      functions/text.py:dsir_weights, md5 hash variant): hashed
+      unigram+bigram bag-of-words ln p_target − ln p_raw with the
+      deterministic ``doc_id % 64 == 0`` slice standing in for the
+      target-domain sample (the same slice the decontamination stage
+      uses as its eval set); two fixed-8192-bucket count passes + one
+      broadcast log-ratio vector; DuckDB recomputes every bucket count,
+      the smoothed log ratios and the per-doc sums exactly."""
     import ray
 
-    from ..functions.text import bpe_token_count_batch, char_trigram_lm, lm_logprob_batch, repetition_batch
+    from ..functions.text import (
+        bpe_token_count_batch,
+        char_trigram_lm,
+        dsir_weights,
+        lm_logprob_batch,
+        repetition_batch,
+    )
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     model_ref = ray.put(char_trigram_lm(docs))
+    target = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 63), 0)),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    docs = dsir_weights(docs, "text", target, token_hash="md5")
 
     def scalars(tb: pa.Table) -> pa.Table:
         q = quality_batch(tb)
@@ -983,6 +1021,7 @@ def doc_scalar_functions(sf_dir: str):
                 "distinct_ratio": pc.round(r["distinct_ratio"], ndigits=6),
                 "top_token_share": pc.round(r["top_token_share"], ndigits=6),
                 "lm_logprob": pc.round(lm["lm_logprob"], ndigits=6),
+                "dsir_logratio": pc.round(tb["dsir_logratio"], ndigits=6),
             }
         )
 

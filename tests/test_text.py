@@ -409,3 +409,100 @@ def test_chunk_documents_matches_python_reference(ray_session):
         chunk_documents(rd.from_arrow(t), "doc_id", "text", max_tokens=0)
     with _pytest.raises(ValueError):
         chunk_documents(rd.from_arrow(t), "doc_id", "text", max_tokens=4, overlap=4)
+
+
+def test_dsir_weights_match_single_pass_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import (
+        dsir_bucket_counts,
+        dsir_logratio_vector,
+        dsir_weights,
+        hashed_ngram_buckets,
+    )
+
+    rng = np.random.default_rng(7)
+    sci = ["protein", "enzyme", "genome", "catalysis", "neuron"]
+    web = ["click", "buy", "sale", "free", "login", "page"]
+    texts = [" ".join(rng.choice(sci if i % 3 == 0 else web, size=12)) for i in range(90)]
+    texts += ["", None]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts, type=pa.string())})
+    raw = rd.from_arrow(t).repartition(5)
+    tgt_t = t.filter(pa.array([i % 3 == 0 for i in ids]))
+    tgt = rd.from_arrow(tgt_t).repartition(3)
+
+    n_buckets = 512
+    got = (
+        dsir_weights(raw, "text", tgt, n_buckets=n_buckets)
+        .to_pandas()
+        .sort_values("doc_id")["dsir_logratio"]
+        .to_numpy()
+    )
+
+    # single-pass reference: same feature map, whole corpus in one table
+    def counts(tab):
+        _, b = hashed_ngram_buckets(tab["text"], (1, 2), n_buckets)
+        return np.bincount(b, minlength=n_buckets).astype(np.int64)
+
+    lr = dsir_logratio_vector(counts(tgt_t), counts(t))
+    i, b = hashed_ngram_buckets(t["text"], (1, 2), n_buckets)
+    want = np.bincount(i, weights=lr[b], minlength=len(ids))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+
+    # distributed counts match the single-pass counts exactly
+    np.testing.assert_array_equal(dsir_bucket_counts(raw, n_buckets=n_buckets), counts(t))
+
+    # science-like docs (the target domain) must outscore web-like docs
+    sci_scores = [s for did, s in zip(ids, want) if did % 3 == 0 and texts[did]]
+    web_scores = [s for did, s in zip(ids, want) if did % 3 != 0 and texts[did]]
+    assert min(sci_scores) > max(web_scores)
+    # empty/null docs carry zero evidence
+    assert got[-1] == 0.0 and got[-2] == 0.0
+
+
+def test_dsir_logratio_vector_validation():
+    import numpy as np
+    import pytest as _pytest
+
+    from anomalydetection_ray.functions.text import dsir_logratio_vector
+
+    with _pytest.raises(ValueError):
+        dsir_logratio_vector(np.zeros(4, dtype=np.int64), np.zeros(8, dtype=np.int64))
+    with _pytest.raises(ValueError):
+        dsir_logratio_vector(np.zeros(4, dtype=np.int64), np.zeros(4, dtype=np.int64), alpha=0)
+    # all-empty corpora degrade to a uniform/uniform ratio: exactly zero
+    lr = dsir_logratio_vector(np.zeros(4, dtype=np.int64), np.zeros(4, dtype=np.int64))
+    assert (lr == 0).all()
+
+
+def test_dsir_resample_proportional_and_deterministic(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import dsir_resample
+
+    rng = np.random.default_rng(11)
+    sci = ["protein", "enzyme", "genome", "catalysis", "neuron"]
+    web = ["click", "buy", "sale", "free", "login", "page"]
+    texts = [" ".join(rng.choice(sci if i < 40 else web, size=10)) for i in range(200)]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts, type=pa.string())})
+    tgt = rd.from_arrow(t.slice(0, 40))  # pure science target
+
+    picked = dsir_resample(
+        rd.from_arrow(t).repartition(4), "doc_id", "text", tgt, n=30, n_buckets=256
+    )
+    picked_ids = sorted(picked["doc_id"].to_pylist())
+    assert len(picked_ids) == 30 and len(set(picked_ids)) == 30
+    # overwhelmingly science docs: their weights dwarf the web docs'
+    assert sum(1 for d in picked_ids if d < 40) >= 25
+    # deterministic across runs and block layouts
+    again = dsir_resample(
+        rd.from_arrow(t).repartition(9), "doc_id", "text", tgt, n=30, n_buckets=256
+    )
+    assert sorted(again["doc_id"].to_pylist()) == picked_ids
+    assert "__dsir_w" not in picked.column_names
