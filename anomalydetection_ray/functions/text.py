@@ -979,17 +979,43 @@ def dsir_resample(
     the two are equivalent). Log-weights re-center by their global max
     before exponentiation (selection is scale-invariant; re-centering
     only prevents overflow on extreme corpora). Returns a pyarrow Table
-    of the selected rows (n is small by contract — it is a sample)."""
+    of the selected rows (n is small by contract — it is a sample).
+
+    Scale shape: only the NARROW (id, log-weight) projection — 16 B/row
+    — is ever materialized (the scoring pass runs once and the wide text
+    column is dropped before the object store holds anything); the max,
+    the weighted sample and the final broadcast-id recovery of the n
+    picked rows all touch id-sized data."""
+    import polars as pl
+
+    from .relational import broadcast_value_filter
     from .split import weighted_fixed_count_sample
 
-    scored = dsir_weights(ds, text_col, target_ds, target_text_col, **weight_kwargs).materialize()
     out_col = weight_kwargs.get("out_col", "dsir_logratio")
-    mx = scored.max(out_col)
+    scored = dsir_weights(ds, text_col, target_ds, target_text_col, **weight_kwargs)
+    narrow = scored.select_columns([id_col, out_col]).materialize()
+    mx = narrow.max(out_col)
 
     def to_w(tb: pa.Table) -> pa.Table:
         lw = tb[out_col].to_numpy(zero_copy_only=False)
         return tb.append_column("__dsir_w", pa.array(np.exp(lw - mx), type=pa.float64()))
 
-    weighted = scored.map_batches(to_w, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    weighted = narrow.map_batches(to_w, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     picked = weighted_fixed_count_sample(weighted, id_col, "__dsir_w", n, seed=seed)
-    return picked.drop_columns(["__dsir_w"]) if picked is not None else None
+    if picked is None:
+        return None
+    # recover the n picked rows' full columns with a broadcast id filter
+    # over the ORIGINAL dataset, then stitch the score back on (n is
+    # small by contract — this join is driver-side over n rows)
+    ids = picked[id_col].combine_chunks()
+    rows_ds = broadcast_value_filter(ds, id_col, np.asarray(ids), keep=True)
+    rows = pa.concat_tables(
+        [t for t in rows_ds.iter_batches(batch_format="pyarrow", batch_size=None) if t.num_rows]
+    )
+    out = (
+        pl.from_arrow(rows)
+        .join(pl.from_arrow(picked.select([id_col, out_col])), on=id_col, how="inner")
+        .sort(id_col)
+        .to_arrow()
+    )
+    return out
