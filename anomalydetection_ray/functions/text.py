@@ -1019,3 +1019,96 @@ def dsir_resample(
         .to_arrow()
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: fill fixed token-budget training sequences
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    ds,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    sort_within_block: bool = False,
+    allow_oversize: bool = False,
+    seq_col: str = "seq_id",
+    pos_col: str = "seq_pos",
+    seq_tokens_col: str = "seq_tokens",
+):
+    """Pack rows (documents or :func:`chunk_documents` chunks) into
+    training sequences of at most ``budget`` tokens — the sample-packing
+    step an LLM pretraining pipeline runs between tokenization and
+    batching (Raffel et al. 2020 §2.2's "packing"; GPT-3 appendix B).
+
+    Packing is BLOCK-LOCAL, the same contract real shard-local packers
+    use: sequences never span input blocks, so the operator is one
+    embarrassingly-parallel ``map_batches`` with no shuffle and its
+    output depends on the block layout (like any packer's output depends
+    on its shard layout). Within a block the plan is next-fit in row
+    order (``sort_within_block=True`` first orders rows by descending
+    token count — sorted next-fit, tighter fill on skewed lengths):
+    ONE cumulative sum, then one ``np.searchsorted`` per emitted
+    sequence — O(sequences · log rows), never a Python loop over rows.
+
+    Appends three columns: ``seq_col`` — the sequence key, defined as
+    the FIRST member row's ``id_col`` value (rows partition into
+    disjoint bins, so first-member ids are globally unique across
+    blocks); ``pos_col`` — the row's 0-based position in its sequence;
+    ``seq_tokens_col`` — the sequence's total token count (= fill, for
+    efficiency audits). Rows with ``tokens_col`` null raise; a single
+    row exceeding ``budget`` raises unless ``allow_oversize=True``, in
+    which case it becomes its own (overflowing) sequence — chunk first
+    with :func:`chunk_documents` if that is not what you want."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1 token")
+
+    def pack(tb: pa.Table) -> pa.Table:
+        n = tb.num_rows
+        if n == 0:
+            return (
+                tb.append_column(seq_col, pa.array([], type=tb.schema.field(id_col).type))
+                .append_column(pos_col, pa.array([], type=pa.int64()))
+                .append_column(seq_tokens_col, pa.array([], type=pa.int64()))
+            )
+        col = tb[tokens_col]
+        if col.null_count:
+            raise ValueError(f"pack_sequences: {tokens_col!r} contains nulls")
+        toks = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+        if (toks < 0).any():
+            raise ValueError(f"pack_sequences: {tokens_col!r} contains negative counts")
+        if not allow_oversize and (toks > budget).any():
+            worst = int(toks.max())
+            raise ValueError(
+                f"pack_sequences: a row has {worst} tokens > budget {budget}; "
+                "chunk first (chunk_documents) or pass allow_oversize=True"
+            )
+        order = np.argsort(-toks, kind="stable") if sort_within_block else np.arange(n)
+        t = toks[order]
+        cs = np.cumsum(t)
+        ends, s, base = [], 0, 0
+        while s < n:
+            j = int(np.searchsorted(cs, base + budget, side="right"))
+            if j <= s:  # single oversize row (allow_oversize): own sequence
+                j = s + 1
+            ends.append(j)
+            base = int(cs[j - 1])
+            s = j
+        ends = np.asarray(ends, dtype=np.int64)
+        starts = np.concatenate(([0], ends[:-1]))
+        bin_of = np.searchsorted(ends, np.arange(n), side="right")
+        pos = np.arange(n) - starts[bin_of]
+        fills = np.add.reduceat(t, starts)
+        ids = tb[id_col].combine_chunks() if isinstance(tb[id_col], pa.ChunkedArray) else tb[id_col]
+        ids_ordered = ids.take(pa.array(order))
+        seq_key = ids_ordered.take(pa.array(starts[bin_of]))
+        packed = (
+            tb.take(pa.array(order))
+            .append_column(seq_col, seq_key)
+            .append_column(pos_col, pa.array(pos, type=pa.int64()))
+            .append_column(seq_tokens_col, pa.array(fills[bin_of], type=pa.int64()))
+        )
+        return packed
+
+    return ds.map_batches(pack, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -506,3 +506,102 @@ def test_dsir_resample_proportional_and_deterministic(ray_session):
     )
     assert sorted(again["doc_id"].to_pylist()) == picked_ids
     assert "__dsir_w" not in picked.column_names
+
+
+def test_pack_sequences_invariants(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import pack_sequences
+
+    rng = np.random.default_rng(5)
+    toks = rng.integers(1, 50, 300).astype("int64")
+    t = pa.table({"doc_id": pa.array(np.arange(300), type=pa.int64()), "n_tokens": pa.array(toks)})
+
+    for sort_flag, parts in ((False, 1), (False, 6), (True, 6)):
+        got = (
+            pack_sequences(
+                rd.from_arrow(t).repartition(parts), "doc_id", "n_tokens", budget=100,
+                sort_within_block=sort_flag,
+            )
+            .to_pandas()
+        )
+        # every input row appears exactly once
+        assert sorted(got["doc_id"]) == list(range(300))
+        g = got.groupby("seq_id")
+        # budget respected, seq_tokens is the true fill, positions 0..k-1
+        assert (g["n_tokens"].sum() <= 100).all()
+        assert (g["n_tokens"].sum() == g["seq_tokens"].first()).all()
+        assert (got["seq_tokens"] == got.groupby("seq_id")["seq_tokens"].transform("first")).all()
+        for _, sub in g:
+            assert sorted(sub["seq_pos"]) == list(range(len(sub)))
+        # seq key is the first member's id (pos 0 row)
+        first = got[got["seq_pos"] == 0]
+        assert (first["seq_id"] == first["doc_id"]).all()
+        # packing is tight: next-fit waste is < max item size per bin
+        fill = g["n_tokens"].sum().mean()
+        assert fill > 50  # mean item 25, so >=2 items/bin minimum
+
+    # single-block, unsorted: sequences are contiguous runs in row order
+    one = pack_sequences(rd.from_arrow(t), "doc_id", "n_tokens", budget=100).to_pandas()
+    changes = (one["seq_id"] != one["seq_id"].shift()).cumsum()
+    assert changes.is_monotonic_increasing
+    assert one.groupby("seq_id")["doc_id"].apply(
+        lambda s: (np.diff(np.sort(s)) == 1).all()
+    ).all()
+
+
+def test_pack_sequences_oversize_and_errors(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import pack_sequences
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "n_tokens": pa.array([10, 500, 10], type=pa.int64())})
+    with _pytest.raises(Exception, match="budget"):
+        pack_sequences(rd.from_arrow(t), "doc_id", "n_tokens", budget=100).materialize()
+    got = (
+        pack_sequences(rd.from_arrow(t), "doc_id", "n_tokens", budget=100, allow_oversize=True)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    over = got[got["doc_id"] == 2]
+    assert (over["seq_id"] == 2).all() and (over["seq_tokens"] == 500).all() and len(over) == 1
+
+    bad = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                    "n_tokens": pa.array([None], type=pa.int64())})
+    with _pytest.raises(Exception, match="null"):
+        pack_sequences(rd.from_arrow(bad), "doc_id", "n_tokens", budget=100).materialize()
+    with _pytest.raises(ValueError):
+        pack_sequences(rd.from_arrow(t), "doc_id", "n_tokens", budget=0)
+
+
+def test_pack_sequences_composes_with_chunking(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import chunk_documents, pack_sequences
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=int(k))) for k in rng.integers(5, 400, 40)]
+    t = pa.table({"doc_id": pa.array(np.arange(40), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    chunks = chunk_documents(rd.from_arrow(t).repartition(3), "doc_id", "text", max_tokens=64)
+
+    def key(tb):
+        import pyarrow.compute as pc
+        k = pc.binary_join_element_wise(
+            pc.cast(tb["doc_id"], pa.string()), pc.cast(tb["chunk_id"], pa.string()), ":"
+        )
+        return tb.append_column("chunk_key", k)
+
+    keyed = chunks.map_batches(key, batch_format="pyarrow", batch_size=None)
+    packed = pack_sequences(keyed, "chunk_key", "n_chunk_tokens", budget=256).to_pandas()
+    assert (packed.groupby("seq_id")["n_chunk_tokens"].sum() <= 256).all()
+    total_chunks = chunks.count()
+    assert len(packed) == total_chunks
