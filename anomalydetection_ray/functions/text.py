@@ -634,6 +634,8 @@ def decontaminate(
     flag_col: str | None = None,
     max_bench_ngrams: int = 50_000_000,
     seed: int = 17,
+    mode: str = "exact",
+    fp_rate: float = 1e-6,
 ):
     """Benchmark DECONTAMINATION: drop (or flag) every document sharing
     at least one whitespace-token ``n``-gram with an evaluation/benchmark
@@ -660,42 +662,102 @@ def decontaminate(
     ``flag_col='contaminated'`` keeps every row and appends an int32 0/1
     flag instead (for audits/reporting). Documents with fewer than ``n``
     tokens are clean by construction. False positives are limited to
-    64-bit hash collisions (~1e-19 per pair)."""
+    64-bit hash collisions (~1e-19 per pair).
+
+    ``mode="bloom"`` is the LARGE-bench scale path: instead of the exact
+    sorted hash array (8 B per distinct n-gram), the bench set is
+    summarized into ONE mergeable Bloom filter (sketches/bloom.py) sized
+    for ``fp_rate`` — ~ln(1/fp)/ln²2 bits per n-gram (≈ 3.6 B at the
+    1e-6 default, and the rate is tunable down to whatever broadcast
+    budget the cluster has). Per-block Bloom partials OR together on the
+    driver (fixed bytes per block, never O(bench) rows), and the
+    corpus scan probes the bit array vectorized. One-sided error in the
+    SAFE direction for eval integrity: every true overlap is still
+    caught (Blooms have no false negatives); a false positive drops a
+    clean doc with probability ≈ n-grams-per-doc × fp_rate —
+    over-quarantine, never leakage. ``max_bench_ngrams`` still bounds
+    the CAPACITY estimate so a corpus-sized "bench" set fails loudly."""
     import ray
 
     from .shuffle import select_if_needed
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if mode not in ("exact", "bloom"):
+        raise ValueError(f"mode must be 'exact' or 'bloom', got {mode!r}")
     bcol = bench_text_col or text_col
+    bench_proj = select_if_needed(bench_ds, [bcol])
 
     def bench_partial(tb: pa.Table) -> pa.Table:
         _, h = _token_ngram_hashes(tb[bcol], n, seed)
         return pa.table({"h": pa.array(np.unique(h), type=pa.uint64())})
 
-    parts = [
-        t["h"].to_numpy(zero_copy_only=False)
-        for t in select_if_needed(bench_ds, [bcol])
-        .map_batches(bench_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
-    bench = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.uint64)
-    if len(bench) > max_bench_ngrams:
-        raise ValueError(
-            f"benchmark set has {len(bench):,} distinct {n}-grams > max_bench_ngrams="
-            f"{max_bench_ngrams:,}; decontaminate() broadcasts the bench set — for a "
-            "corpus-sized quarantine set use the dedup/ shuffle paths instead"
-        )
-    bref = ray.put(bench)
+    if mode == "bloom":
+        from ..sketches.bloom import BloomFilter
+
+        # pass 1: capacity upper bound = Σ per-block distinct counts
+        # (over-sizing only lowers the realized fp rate)
+        cap = 0
+        for t in bench_proj.map_batches(
+            bench_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            cap += t.num_rows
+        if cap > max_bench_ngrams:
+            raise ValueError(
+                f"benchmark set has up to {cap:,} distinct {n}-grams > max_bench_ngrams="
+                f"{max_bench_ngrams:,}; for a corpus-sized quarantine set use the "
+                "dedup/ shuffle paths instead"
+            )
+        capacity = max(1, cap)
+
+        def bloom_partial(tb: pa.Table) -> pa.Table:
+            _, h = _token_ngram_hashes(tb[bcol], n, seed)
+            bf = BloomFilter(capacity, fp_rate).update(np.unique(h))
+            return pa.table({"b": pa.array([bf.to_bytes()], type=pa.binary())})
+
+        merged = BloomFilter(capacity, fp_rate)
+        for t in bench_proj.map_batches(
+            bloom_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            for raw in t["b"].to_pylist():
+                merged.merge(BloomFilter.from_bytes(raw))
+        bref = ray.put(merged.to_bytes())
+
+        def probe(h: np.ndarray, payload) -> np.ndarray:
+            # zero-copy view over the plasma-shared payload per batch
+            return BloomFilter.view_bytes(payload).contains(h)
+
+        empty_bench = cap == 0
+    else:
+        parts = [
+            t["h"].to_numpy(zero_copy_only=False)
+            for t in bench_proj.map_batches(
+                bench_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ]
+        bench = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.uint64)
+        if len(bench) > max_bench_ngrams:
+            raise ValueError(
+                f"benchmark set has {len(bench):,} distinct {n}-grams > max_bench_ngrams="
+                f"{max_bench_ngrams:,}; decontaminate() broadcasts the bench set — for a "
+                "corpus-sized quarantine set use the dedup/ shuffle paths instead"
+            )
+        bref = ray.put(bench)
+
+        def probe(h: np.ndarray, payload) -> np.ndarray:
+            if not len(payload):
+                return np.zeros(len(h), dtype=bool)
+            pos = np.searchsorted(payload, h)
+            return (pos < len(payload)) & (payload[np.minimum(pos, len(payload) - 1)] == h)
+
+        empty_bench = len(bench) == 0
 
     def scan(tb: pa.Table) -> pa.Table:
-        b = ray.get(bref)
         idx, h = _token_ngram_hashes(tb[text_col], n, seed)
         bad = np.zeros(tb.num_rows, dtype=bool)
-        if len(h) and len(b):
-            pos = np.searchsorted(b, h)
-            hit = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == h)
+        if len(h) and not empty_bench:
+            hit = probe(h, ray.get(bref))
             bad[np.unique(idx[hit])] = True
         if flag_col is None:
             return tb.filter(pa.array(~bad))

@@ -38,6 +38,8 @@ class BloomFilter:
         return pos
 
     def update(self, values) -> "BloomFilter":
+        if not self.bits.flags.writeable:
+            raise ValueError("read-only Bloom view (view_bytes): probe-only, cannot update")
         if len(values) == 0:
             return self
         pos = self._positions(values).ravel()
@@ -57,6 +59,8 @@ class BloomFilter:
         return hit.all(axis=1)
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if not self.bits.flags.writeable:
+            raise ValueError("read-only Bloom view (view_bytes): probe-only, cannot merge")
         if other.m != self.m or other.num_hashes != self.num_hashes:
             raise ValueError("incompatible Bloom filters")
         np.bitwise_or(self.bits, other.bits, out=self.bits)
@@ -72,4 +76,15 @@ class BloomFilter:
         sk = cls.__new__(cls)
         sk.m, sk.num_hashes = int(m), int(k)
         sk.bits = np.frombuffer(data[16:], dtype=np.uint64).copy()
+        return sk
+
+    @classmethod
+    def view_bytes(cls, data: bytes) -> "BloomFilter":
+        """Zero-copy READ-ONLY view over a serialized filter — the probe
+        path for a plasma-shared payload (``contains`` never mutates;
+        ``update``/``merge`` on a view raise on the read-only buffer)."""
+        m, k = np.frombuffer(data[:16], dtype=np.int64)
+        sk = cls.__new__(cls)
+        sk.m, sk.num_hashes = int(m), int(k)
+        sk.bits = np.frombuffer(data, dtype=np.uint64, offset=16)
         return sk

@@ -605,3 +605,71 @@ def test_pack_sequences_composes_with_chunking(ray_session):
     assert (packed.groupby("seq_id")["n_chunk_tokens"].sum() <= 256).all()
     total_chunks = chunks.count()
     assert len(packed) == total_chunks
+
+
+def test_decontaminate_bloom_mode_matches_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import decontaminate
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(120)]
+    corpus = pa.table({"doc_id": pa.array(np.arange(120), type=pa.int64()),
+                       "text": pa.array(texts, type=pa.string())})
+    # bench: 10 fresh prompts plus verbatim copies of 6 corpus docs
+    bench_texts = [" ".join(rng.choice(vocab, size=25)) for _ in range(10)]
+    bench_texts += [texts[i] for i in (3, 17, 40, 77, 90, 119)]
+    bench = pa.table({"text": pa.array(bench_texts, type=pa.string())})
+
+    for parts in (1, 4):
+        ds = rd.from_arrow(corpus).repartition(parts)
+        bds = rd.from_arrow(bench).repartition(parts)
+        exact = decontaminate(ds, "text", bds, n=8).to_pandas()["doc_id"].tolist()
+        bloom = decontaminate(ds, "text", bds, n=8, mode="bloom", fp_rate=1e-9).to_pandas()[
+            "doc_id"
+        ].tolist()
+        # no false negatives ever; at fp 1e-9 on this corpus no false
+        # positives either -> identical output
+        assert sorted(bloom) == sorted(exact)
+        for leaked in (3, 17, 40, 77, 90, 119):
+            assert leaked not in bloom
+    # flag variant agrees too
+    fe = decontaminate(rd.from_arrow(corpus), "text", rd.from_arrow(bench), n=8,
+                       flag_col="c").to_pandas().sort_values("doc_id")["c"].tolist()
+    fb = decontaminate(rd.from_arrow(corpus), "text", rd.from_arrow(bench), n=8,
+                       mode="bloom", fp_rate=1e-9, flag_col="c").to_pandas().sort_values("doc_id")["c"].tolist()
+    assert fe == fb
+    # capacity contract still enforced loudly in bloom mode
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bench_ngrams"):
+        decontaminate(rd.from_arrow(corpus), "text", rd.from_arrow(bench), n=2,
+                      mode="bloom", max_bench_ngrams=1).to_pandas()
+    with _pytest.raises(ValueError, match="mode"):
+        decontaminate(rd.from_arrow(corpus), "text", rd.from_arrow(bench), mode="nope")
+    # empty bench set: everything clean
+    empty = pa.table({"text": pa.array([], type=pa.string())})
+    out = decontaminate(rd.from_arrow(corpus), "text", rd.from_arrow(empty), n=8,
+                        mode="bloom").to_pandas()
+    assert len(out) == 120
+
+
+def test_bloom_view_bytes_zero_copy_probe():
+    import numpy as np
+
+    from anomalydetection_ray.sketches.bloom import BloomFilter
+
+    vals = np.arange(1000, dtype=np.uint64)
+    bf = BloomFilter(1000, 1e-6).update(vals)
+    raw = bf.to_bytes()
+    view = BloomFilter.view_bytes(raw)
+    assert view.contains(vals).all()
+    assert not view.contains(np.arange(10_000, 11_000, dtype=np.uint64)).any()
+    # the view is read-only: mutation must fail, not silently corrupt
+    import pytest as _pytest
+
+    with _pytest.raises((ValueError, TypeError)):
+        view.update(np.array([7], dtype=np.uint64))
