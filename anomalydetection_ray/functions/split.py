@@ -321,3 +321,150 @@ def weighted_fixed_count_sample(
         )[:n]
         cands = cands.take(order)
     return cands.drop_columns(["__k", "__t"]).sort_by([(on, "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture rebalancing (training-data mixture control)
+# ---------------------------------------------------------------------------
+
+
+def largest_remainder_allocation(
+    avail: dict, target: dict, total_n: int, redistribute: bool = True
+) -> dict:
+    """Integer per-group quotas for ``total_n`` rows matching ``target``
+    proportions as closely as integers allow (Hamilton's largest-
+    remainder method, deterministic tie-break on the group key's repr),
+    capped at each group's available row count. With
+    ``redistribute=True`` (default), capacity lost to capped groups is
+    re-allocated among groups with spare rows — water-filling, at most
+    ``len(target)`` rounds — so the sample reaches ``total_n`` whenever
+    Σ avail over target groups allows it."""
+    if total_n < 0:
+        raise ValueError("total_n must be >= 0")
+    weights = {k: float(v) for k, v in target.items() if float(v) > 0}
+    if not weights:
+        raise ValueError("target mixture needs at least one positive proportion")
+    if any(float(v) < 0 for v in target.values()):
+        raise ValueError("target proportions must be >= 0")
+
+    def apportion(groups: dict, n: int) -> dict:
+        tot = sum(groups.values())
+        ideal = {k: n * w / tot for k, w in groups.items()}
+        base = {k: int(np.floor(v)) for k, v in ideal.items()}
+        left = n - sum(base.values())
+        order = sorted(groups, key=lambda k: (-(ideal[k] - base[k]), repr(k)))
+        for k in order[:left]:
+            base[k] += 1
+        return base
+
+    alloc = {k: 0 for k in weights}
+    remaining, active = total_n, dict(weights)
+    for _ in range(len(weights)):
+        if remaining <= 0 or not active:
+            break
+        step = apportion(active, remaining)
+        capped = {}
+        for k, q in step.items():
+            room = int(avail.get(k, 0)) - alloc[k]
+            take = min(q, room)
+            alloc[k] += take
+            if take < q:
+                capped[k] = True
+        remaining = total_n - sum(alloc.values())
+        active = {k: w for k, w in active.items() if k not in capped and alloc[k] < int(avail.get(k, 0))}
+        if not redistribute:
+            break
+    return alloc
+
+
+def grouped_quota_sample(ds, key: str, on: str, quotas: dict, seed: int = 42, unit_fn=None):
+    """Deterministic per-group sample with a DIFFERENT quota per group —
+    the variable-n sibling of :func:`grouped_fixed_count_sample` (same
+    total-order hash cut, same combiner → one co-locating exchange →
+    exact per-group head; identical members at any block layout). The
+    quota table is group-count-sized (mixture keys are domains/languages
+    — small by contract) and ships inside the map closure. Rows whose
+    group is absent from ``quotas`` (or quota 0), or whose ``key``/``on``
+    is null, are dropped."""
+    import polars as pl
+
+    from .shuffle import local_group_map
+
+    if any(int(v) < 0 for v in quotas.values()):
+        raise ValueError("quotas must be >= 0")
+    fn = unit_fn or _hash_unit
+    out_names = [f.name for f in ds.schema().base_schema]
+    keys_l, qs_l = list(quotas.keys()), [int(v) for v in quotas.values()]
+
+    def topq(tb: pa.Table, keep_hash: bool) -> pa.Table:
+        if "__u" not in tb.column_names:
+            u = fn(tb, on, seed)
+            u2 = fn(tb, on, seed + 1)
+            tb = tb.append_column("__u", pa.array(u)).append_column("__u2", pa.array(u2))
+        if tb.num_rows:
+            kt = tb.schema.field(key).type
+            qf = pl.from_arrow(
+                pa.table({key: pa.array(keys_l, type=kt), "__q": pa.array(qs_l, type=pa.int64())})
+            )
+            tb = (
+                pl.from_arrow(tb)
+                .drop_nulls([key, on])
+                .join(qf, on=key, how="inner")
+                .sort([key, "__u", "__u2", on])
+                .with_columns(__r=pl.int_range(pl.len()).over(key))
+                .filter(pl.col("__r") < pl.col("__q"))
+                .select(tb.column_names)
+                .to_arrow()
+                .cast(tb.schema)
+            )
+        return tb if keep_hash else tb.drop_columns(["__u", "__u2"])
+
+    partial = ds.map_batches(
+        lambda tb: topq(tb, keep_hash=True),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    out = local_group_map(partial, [key], lambda tb: topq(tb, keep_hash=False))
+    return out.map_batches(
+        lambda tb: tb.select(out_names),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+
+
+def rebalance_mixture(
+    ds,
+    key: str,
+    on: str,
+    target: dict,
+    total_n: int,
+    seed: int = 42,
+    unit_fn=None,
+    redistribute: bool = True,
+):
+    """Resample a corpus to a TARGET DOMAIN MIXTURE: pick ``total_n``
+    rows whose per-``key`` (language/domain/source) composition matches
+    ``target`` proportions as closely as availability allows — the
+    mixture-control step of LLM pretraining data assembly (the knob
+    DoReMi / Pile-style recipes tune; here the deterministic
+    without-replacement version).
+
+    Plan: ONE small grouped count (per-block combiner, group-count-sized
+    result — mixture keys are low-cardinality by contract), a driver-side
+    largest-remainder quota allocation capped at availability (with
+    water-filling redistribution of capped surplus), then ONE
+    :func:`grouped_quota_sample` pass — corpus rows cross the exchange
+    at most once, nothing corpus-sized touches the driver. Returns
+    ``(dataset, quotas_dict)`` so callers can audit the realized
+    allocation."""
+    from ..checks.uniqueness import key_counts
+
+    counts_tb = pa.concat_tables(
+        [
+            t
+            for t in key_counts(ds, [key]).iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ]
+    )
+    avail = dict(zip(counts_tb[key].to_pylist(), counts_tb["cnt"].to_pylist()))
+    avail.pop(None, None)
+    alloc = largest_remainder_allocation(avail, target, total_n, redistribute=redistribute)
+    return grouped_quota_sample(ds, key, on, alloc, seed=seed, unit_fn=unit_fn), alloc

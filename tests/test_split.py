@@ -218,3 +218,93 @@ def test_weighted_fixed_count_sample_duckdb_parity(ray_session):
         """
     ).df()["doc_id"].tolist()
     assert got == want
+
+
+def test_largest_remainder_allocation_properties():
+    from anomalydetection_ray.functions.split import largest_remainder_allocation
+
+    avail = {"en": 1000, "de": 1000, "fr": 1000}
+    # exact proportions when nothing caps
+    a = largest_remainder_allocation(avail, {"en": 0.5, "de": 0.3, "fr": 0.2}, 100)
+    assert a == {"en": 50, "de": 30, "fr": 20}
+    # remainders apportioned: totals always hit total_n
+    a = largest_remainder_allocation(avail, {"en": 1, "de": 1, "fr": 1}, 100)
+    assert sum(a.values()) == 100 and max(a.values()) - min(a.values()) <= 1
+    # capped group redistributes to the others
+    a = largest_remainder_allocation({"en": 10, "de": 1000, "fr": 1000},
+                                     {"en": 0.5, "de": 0.25, "fr": 0.25}, 100)
+    assert a["en"] == 10 and sum(a.values()) == 100 and a["de"] == a["fr"] == 45
+    # no redistribution: capped surplus is simply lost
+    a = largest_remainder_allocation({"en": 10, "de": 1000, "fr": 1000},
+                                     {"en": 0.5, "de": 0.25, "fr": 0.25}, 100,
+                                     redistribute=False)
+    assert a["en"] == 10 and a["de"] == 25 and a["fr"] == 25
+    # infeasible total: everything available is taken
+    a = largest_remainder_allocation({"en": 3, "de": 4}, {"en": 0.5, "de": 0.5}, 100)
+    assert a == {"en": 3, "de": 4}
+    # groups absent from target get nothing; zero-weight dropped
+    a = largest_remainder_allocation({"en": 10, "xx": 10}, {"en": 1.0, "xx": 0.0}, 5)
+    assert a == {"en": 5}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        largest_remainder_allocation(avail, {}, 10)
+    with _pytest.raises(ValueError):
+        largest_remainder_allocation(avail, {"en": -0.1, "de": 1.1}, 10)
+
+
+def test_rebalance_mixture_end_to_end(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.split import rebalance_mixture
+
+    rng = np.random.default_rng(3)
+    langs = ["en"] * 600 + ["de"] * 300 + ["fr"] * 60 + ["es"] * 40
+    n = len(langs)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "lang": pa.array(langs, type=pa.string()),
+    })
+    target = {"en": 0.4, "de": 0.4, "fr": 0.15, "es": 0.05}
+    for parts in (1, 7):
+        ds = rd.from_arrow(t).repartition(parts)
+        out, alloc = rebalance_mixture(ds, "lang", "doc_id", target, total_n=200)
+        df = out.to_pandas()
+        got = df["lang"].value_counts().to_dict()
+        # feasible mixture -> quotas exactly proportional
+        assert alloc == {"en": 80, "de": 80, "fr": 30, "es": 10}
+        assert got == alloc
+        assert df["doc_id"].is_unique
+        if parts == 1:
+            first = sorted(df["doc_id"])
+        else:  # identical members at any block layout
+            assert sorted(df["doc_id"]) == first
+    # infeasible leg: fr+es exhausted, surplus water-fills into en/de
+    out, alloc = rebalance_mixture(
+        rd.from_arrow(t), "lang", "doc_id", {"en": 0.1, "de": 0.1, "fr": 0.4, "es": 0.4},
+        total_n=500,
+    )
+    assert alloc["fr"] == 60 and alloc["es"] == 40 and sum(alloc.values()) == 500
+    got = out.to_pandas()["lang"].value_counts().to_dict()
+    assert got == {k: v for k, v in alloc.items() if v}
+
+
+def test_grouped_quota_sample_null_and_missing_groups(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.split import grouped_quota_sample
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "lang": pa.array(["en", "en", None, "de", "zz", "en"], type=pa.string()),
+    })
+    out = grouped_quota_sample(rd.from_arrow(t), "lang", "doc_id", {"en": 2, "de": 5}).to_pandas()
+    vc = out["lang"].value_counts().to_dict()
+    assert vc == {"en": 2, "de": 1}  # null lang and unlisted 'zz' dropped, de capped by avail
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        grouped_quota_sample(rd.from_arrow(t), "lang", "doc_id", {"en": -1})
