@@ -5,6 +5,7 @@ embedding-cosine, cross-document line/boilerplate. First-class engine features f
 from .distributed import connected_components
 from .exact import exact_dedup
 from .lines import line_dedup, line_drop_pairs
+from .semantic import semdedup
 from .neardup import (
     embedding_cosine_dedup,
     embedding_neardup_pairs,
@@ -17,6 +18,7 @@ from .neardup import (
 
 __all__ = [
     "connected_components",
+    "semdedup",
     "exact_dedup",
     "line_dedup",
     "line_drop_pairs",

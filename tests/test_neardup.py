@@ -668,3 +668,134 @@ def test_ivfpq_topk_recall_and_pruning(ray_session):
     idx = ivfpq_encode(rd.from_arrow(tbl), "vec_id", "embedding", cent, cb).to_pandas()
     assert list(idx.columns) == ["vec_id", "cell", "pq_code"]
     assert idx["cell"].between(0, 15).all() and len(idx) == len(x)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-then-compare semantic dedup)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_fixture(seed=29, n_groups=12, dim=16):
+    """Well-separated anchor directions, each with a few near-duplicate
+    perturbations (cosine > 0.995) and one far rotation (cosine < 0.8)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    ids, vecs, want_groups = [], [], []
+    next_id = 0
+    anchors = rng.normal(size=(n_groups, dim))
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    for g in range(n_groups):
+        members = []
+        for _ in range(rng.integers(1, 4)):
+            v = anchors[g] + rng.normal(scale=0.01, size=dim)
+            ids.append(next_id); vecs.append(v); members.append(next_id); next_id += 1
+        want_groups.append(members)
+        # a non-duplicate that still lands nearest this anchor
+        v = anchors[g] + rng.normal(scale=0.45, size=dim)
+        ids.append(next_id); vecs.append(v); want_groups.append([next_id]); next_id += 1
+    return ids, vecs, want_groups
+
+
+def _brute_survivors(ids, vecs, threshold):
+    import numpy as np
+
+    x = np.asarray(vecs, dtype=np.float64)
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sim = u @ u.T
+    n = len(ids)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a in range(n):
+        for b in range(a + 1, n):
+            if sim[a, b] >= threshold:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(ids[i])
+    return sorted(min(m) for m in comp.values())
+
+
+def test_semdedup_single_cluster_equals_global_brute_force(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup import semdedup
+
+    ids, vecs, _ = _semdedup_fixture()
+    t = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        type=pa.list_(pa.float32()))})
+    want = _brute_survivors(ids, vecs, 0.98)
+    # k=1: one cluster -> SemDeDup degenerates to exact global dedup
+    got = (
+        semdedup(rd.from_arrow(t).repartition(4), "vec_id", "embedding", k=1, threshold=0.98)
+        .to_pandas()["vec_id"]
+        .sort_values()
+        .tolist()
+    )
+    assert got == want
+
+
+def test_semdedup_clustered_drops_planted_duplicates(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup import semdedup
+
+    ids, vecs, want_groups = _semdedup_fixture()
+    t = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        type=pa.list_(pa.float32()))})
+    want = sorted(min(m) for m in want_groups)
+    for parts in (1, 5):
+        got = (
+            semdedup(rd.from_arrow(t).repartition(parts), "vec_id", "embedding",
+                     k=12, threshold=0.98, iters=15, seed=7)
+            .to_pandas()
+        )
+        assert got["vec_id"].sort_values().tolist() == want
+        assert "cluster" in got.columns
+    # far_from_centroid keeps exactly one member per planted group too
+    got2 = semdedup(rd.from_arrow(t), "vec_id", "embedding", k=12, threshold=0.98,
+                    iters=15, seed=7, keep="far_from_centroid").to_pandas()
+    assert len(got2) == len(want)
+    by_group = {m: i for i, ms in enumerate(want_groups) for m in ms}
+    kept_groups = [by_group[v] for v in got2["vec_id"]]
+    assert sorted(kept_groups) == list(range(len(want_groups)))
+
+
+def test_semdedup_validation_and_precomputed_centers(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup import semdedup
+
+    ids, vecs, want_groups = _semdedup_fixture()
+    t = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        type=pa.list_(pa.float32()))})
+    with _pytest.raises(ValueError, match="keep"):
+        semdedup(rd.from_arrow(t), "vec_id", "embedding", keep="best")
+    with _pytest.raises(ValueError, match="threshold"):
+        semdedup(rd.from_arrow(t), "vec_id", "embedding", threshold=0.0)
+    # precomputed centers skip the fit and give the same survivors
+    from anomalydetection_ray.functions.similarity import kmeans_fit
+
+    centers, _, _ = kmeans_fit(rd.from_arrow(t), "vec_id", "embedding", k=12, iters=15, seed=7)
+    a = semdedup(rd.from_arrow(t), "vec_id", "embedding", k=12, threshold=0.98,
+                 iters=15, seed=7).to_pandas()["vec_id"].sort_values().tolist()
+    b = semdedup(rd.from_arrow(t), "vec_id", "embedding", threshold=0.98,
+                 centers=centers).to_pandas()["vec_id"].sort_values().tolist()
+    assert a == b
