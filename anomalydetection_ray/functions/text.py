@@ -1174,3 +1174,107 @@ def pack_sequences(
         return packed
 
     return ds.map_batches(pack, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+
+# ---------------------------------------------------------------------------
+# Text normalization / markup stripping / encoding-damage detection
+# ---------------------------------------------------------------------------
+
+# Common UTF-8-read-as-cp1252/latin-1 artifacts (mojibake). Keys are built
+# programmatically: encode the true char to UTF-8, decode it wrongly as
+# cp1252 AND as latin-1 - exactly the damage each wrong decode produces,
+# with no raw control bytes in this source file. Both families are fixed
+# (real corpora contain both; latin-1 artifacts carry C1 control chars).
+_MOJIBAKE_CHARS = (
+    "\u00e9\u00e8\u00e0\u00e2\u00ea\u00ee\u00f4\u00fb\u00e7\u00fc\u00f6\u00e4"
+    "\u00df\u00f1\u00ed\u00f3\u00fa\u00e1\u2019\u2018\u201c\u201d\u2013\u2014\u2026"
+)
+
+
+def _mojibake_fixes() -> list[tuple[str, str]]:
+    fixes = []
+    for c in _MOJIBAKE_CHARS:
+        raw = c.encode("utf-8")
+        for enc in ("cp1252", "latin-1"):
+            try:
+                k = raw.decode(enc)
+            except UnicodeDecodeError:
+                continue
+            if (k, c) not in fixes:
+                fixes.append((k, c))
+    return fixes
+
+
+_MOJIBAKE_FIXES = _mojibake_fixes()
+# detector: A-tilde / a-circumflex artifact prefixes plus U+FFFD itself
+_MOJIBAKE_RE = "\u00c3[\u0080-\u00ff]|\u00e2[\u0080-\u00bf\u20ac]|\ufffd"
+
+_HTML_TAG_RE = r"<[^>]*>"
+_HTML_ENTITIES = [
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+]
+_CONTROL_RE = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]"
+
+
+def strip_markup_batch(batch: pa.Table, text_col: str = "text", out_col: str = "text") -> pa.Table:
+    """Remove HTML/XML tags and decode the common named entities - the
+    boilerplate-stripping pre-pass of web-corpus curation. Pure RE2 +
+    literal-replace Arrow kernels; tags collapse to a single space so
+    token boundaries survive ``<br>``-style separators."""
+    t = pc.coalesce(batch[text_col], "")
+    t = pc.replace_substring_regex(t, _HTML_TAG_RE, " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = pc.replace_substring(t, ent, rep)
+    idx = batch.schema.get_field_index(out_col)
+    if idx >= 0:
+        return batch.set_column(idx, out_col, t)
+    return batch.append_column(out_col, t)
+
+
+def normalize_text_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    out_col: str = "text",
+    form: str = "NFC",
+    fix_mojibake: bool = True,
+    collapse_whitespace: bool = True,
+) -> pa.Table:
+    """Canonical text normalization: repair the common UTF-8-as-cp1252
+    mojibake artifacts (fixed literal-replace table), strip control
+    characters, Unicode-normalize (NFC default), and collapse whitespace
+    runs to single spaces with ends trimmed. Every step is a vectorized
+    kernel (Arrow replace/trim; polars for the normalization itself —
+    this pyarrow's ``utf8_normalize`` never COMPOSES, NFC comes back
+    decomposed); nulls pass through as empty strings."""
+    import polars as pl
+
+    t = pc.coalesce(batch[text_col], "")
+    if fix_mojibake:
+        for bad, good in _MOJIBAKE_FIXES:
+            t = pc.replace_substring(t, bad, good)
+    t = pc.replace_substring_regex(t, _CONTROL_RE, "")
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    t = pl.Series(t).str.normalize(form).to_arrow().cast(pa.string())
+    if collapse_whitespace:
+        t = pc.utf8_trim_whitespace(pc.replace_substring_regex(t, "\\s+", " "))
+    idx = batch.schema.get_field_index(out_col)
+    if idx >= 0:
+        return batch.set_column(idx, out_col, t)
+    return batch.append_column(out_col, t)
+
+
+def encoding_damage_batch(
+    batch: pa.Table, text_col: str = "text", out_col: str = "mojibake_ppm"
+) -> pa.Table:
+    """Per-doc encoding-damage score: suspicious-sequence hits (mojibake
+    artifact prefixes + U+FFFD replacement chars) per million chars -
+    the curation signal for dropping or re-decoding damaged documents.
+    One RE2 count + one division per batch."""
+    t = pc.coalesce(batch[text_col], "")
+    hits = pc.cast(pc.count_substring_regex(t, _MOJIBAKE_RE), pa.float64())
+    safe = pc.max_element_wise(pc.cast(pc.utf8_length(t), pa.float64()), 1.0)
+    ppm = pc.cast(pc.floor(pc.divide(pc.multiply(hits, 1e6), safe)), pa.int64())
+    return batch.append_column(out_col, ppm)

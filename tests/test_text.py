@@ -673,3 +673,65 @@ def test_bloom_view_bytes_zero_copy_probe():
 
     with _pytest.raises((ValueError, TypeError)):
         view.update(np.array([7], dtype=np.uint64))
+
+
+def test_normalize_and_strip_markup_and_encoding_damage():
+    import pyarrow as pa
+
+    from anomalydetection_ray.functions.text import (
+        encoding_damage_batch,
+        normalize_text_batch,
+        strip_markup_batch,
+    )
+
+    true = "caf" + chr(0xE9) + " said " + chr(0x201C) + "hello" + chr(0x201D) + " " + chr(0x2014) + " fine"
+
+    def damage(s, enc):
+        raw = s.encode("utf-8")
+        try:
+            return raw.decode(enc)
+        except UnicodeDecodeError:
+            return raw.decode("latin-1")
+
+    tb = pa.table({"text": [
+        damage(true, "cp1252"),   # latin-1 fallback (0x9D unmapped in cp1252)
+        damage("caf" + chr(0xE9) + " ok", "cp1252"),  # pure cp1252 artifact
+        "<p>Hi &amp; bye</p>\n\n  spaced\tout  ",
+        "e" + chr(0x301) + "tude",  # decomposed -> NFC composes
+        None,
+    ]})
+    out = normalize_text_batch(strip_markup_batch(tb))["text"].to_pylist()
+    assert out[0] == true
+    assert out[1] == "caf" + chr(0xE9) + " ok"
+    assert out[2] == "Hi & bye spaced out"
+    assert out[3] == chr(0xE9) + "tude"
+    assert out[4] == ""
+    # no-mojibake-fix variant leaves artifacts; NFD form supported
+    raw = normalize_text_batch(tb, fix_mojibake=False)["text"].to_pylist()
+    assert raw[1] != out[1]
+    nfd = normalize_text_batch(tb, form="NFD")["text"].to_pylist()
+    assert nfd[3] == "e" + chr(0x301) + "tude"
+
+    ppm = encoding_damage_batch(tb)["mojibake_ppm"].to_pylist()
+    assert ppm[0] > 0 and ppm[1] > 0 and ppm[2] == 0 and ppm[4] == 0
+    # replacement char counts as damage
+    rep = pa.table({"text": ["ok " + chr(0xFFFD) + " bad"]})
+    assert encoding_damage_batch(rep)["mojibake_ppm"].to_pylist()[0] > 0
+
+
+def test_normalize_text_batch_in_dataset(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import normalize_text_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array(["  a  b ", None], type=pa.string())})
+    got = (
+        rd.from_arrow(t)
+        .map_batches(normalize_text_batch, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("doc_id")["text"]
+        .tolist()
+    )
+    assert got == ["a b", ""]
