@@ -1,0 +1,115 @@
+"""Resumable partitioned Parquet sink (sources/writer.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _mk(n=1000, langs=("en", "de", "fr"), with_null=True):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    lang = [langs[i % len(langs)] for i in range(n)]
+    if with_null:
+        lang[5] = None
+    return pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "lang": pa.array(lang, type=pa.string()),
+        "val": pa.array(rng.normal(size=n)),
+    })
+
+
+def _read_all(out_dir):
+    import pandas as pd
+
+    frames = []
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                frames.append(pq.read_table(os.path.join(d, f)).to_pandas())
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+
+
+def test_write_partitioned_roundtrip_and_layout(ray_session, tmp_path):
+    import ray.data as rd
+
+    from anomalydetection_ray.sources.writer import write_partitioned
+
+    t = _mk()
+    out = str(tmp_path / "sink")
+    summary = write_partitioned(rd.from_arrow(t).repartition(4), out, "lang")
+    assert sorted(os.listdir(out)) == ["lang=__null__", "lang=de", "lang=en", "lang=fr"]
+    for d in os.listdir(out):
+        assert os.path.exists(os.path.join(out, d, "_DONE"))
+    back = _read_all(out).sort_values("doc_id").reset_index(drop=True)
+    assert len(back) == t.num_rows
+    assert back["doc_id"].tolist() == list(range(t.num_rows))
+    assert summary["skipped"].sum() == 0
+    assert summary["rows"].sum() == t.num_rows
+
+
+def test_write_partitioned_resume_skips_done(ray_session, tmp_path):
+    import ray.data as rd
+
+    from anomalydetection_ray.sources.writer import write_partitioned
+
+    t = _mk(with_null=False)
+    out = str(tmp_path / "sink")
+    write_partitioned(rd.from_arrow(t), out, "lang")
+    # simulate a crash on 'de': drop its marker and corrupt its shards
+    de = os.path.join(out, "lang=de")
+    os.remove(os.path.join(de, "_DONE"))
+    for f in os.listdir(de):
+        os.remove(os.path.join(de, f))
+    with open(os.path.join(de, "part-stale.parquet"), "w") as f:
+        f.write("junk")  # stale partial shard must be cleared, not kept
+
+    en_files = set(os.listdir(os.path.join(out, "lang=en")))
+    summary = write_partitioned(rd.from_arrow(t).repartition(3), out, "lang")
+    # done partitions reported skipped and untouched
+    sk = summary[summary["skipped"]]
+    assert sorted(sk["partition"]) == ["en", "fr"]
+    assert set(os.listdir(os.path.join(out, "lang=en"))) == en_files
+    # de rewritten completely, marker restored, no stale junk
+    assert os.path.exists(os.path.join(de, "_DONE"))
+    assert "part-stale.parquet" not in os.listdir(de)
+    back = _read_all(out).sort_values("doc_id").reset_index(drop=True)
+    assert len(back) == t.num_rows and back["doc_id"].is_unique
+
+
+def test_write_partitioned_idempotent_rerun(ray_session, tmp_path):
+    import ray.data as rd
+
+    from anomalydetection_ray.sources.writer import write_partitioned
+
+    t = _mk(n=300, with_null=False)
+    out = str(tmp_path / "sink")
+    write_partitioned(rd.from_arrow(t).repartition(2), out, "lang", resume=False)
+    files1 = {d: sorted(os.listdir(os.path.join(out, d))) for d in os.listdir(out)}
+    # resume=False rewrites everything; deterministic shard names -> same files
+    write_partitioned(rd.from_arrow(t).repartition(2), out, "lang", resume=False)
+    files2 = {d: sorted(os.listdir(os.path.join(out, d))) for d in os.listdir(out)}
+    assert files1 == files2
+    back = _read_all(out)
+    assert len(back) == 300 and back["doc_id"].is_unique
+
+
+def test_write_partitioned_max_rows_per_file(ray_session, tmp_path):
+    import ray.data as rd
+
+    from anomalydetection_ray.sources.writer import write_partitioned
+
+    t = _mk(n=90, langs=("en",), with_null=False)
+    out = str(tmp_path / "sink")
+    s = write_partitioned(rd.from_arrow(t), out, "lang", max_rows_per_file=25)
+    files = [f for f in os.listdir(os.path.join(out, "lang=en")) if f.endswith(".parquet")]
+    assert len(files) == 4  # 25+25+25+15
+    assert int(s.loc[s["partition"] == "en", "files"].iloc[0]) == 4
+    back = _read_all(out)
+    assert len(back) == 90 and back["doc_id"].is_unique
