@@ -19,6 +19,11 @@ main() :670-710``; ``prediction_pipeline.py main() :592-651``):
       [--id-col C] [--text-col C] [--threshold J]
   python -m anomalydetection_ray mine-templates PARQUET --out FILE
       [--text-col C]
+  python -m anomalydetection_ray curate PARQUET --out DIR
+      [--id-col C] [--text-col C] [--partition-col C | --no-partition]
+      [--no-normalize] [--min-tokens N] [--min-distinct-pct P]
+      [--bench PARQUET] [--decon-mode exact|bloom] [--decon-n N]
+      [--dedup none|exact|exact+simhash] [--no-resume]
 
 The CLI owns the Ray session (library code never calls ray.init — the
 driver-contract constraint); scripts guard with ``is_initialized``.
@@ -104,6 +109,22 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--vec-col", default="embedding")
     s.add_argument("--method", choices=["l2", "mahalanobis", "iforest"], default="l2")
     s.add_argument("--threshold-percentile", type=float, default=95.0)
+
+    c = sub.add_parser("curate", help="normalize -> gate -> decontaminate -> dedup -> partitioned write")
+    c.add_argument("table")
+    c.add_argument("--out", required=True)
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--partition-col", default="lang")
+    c.add_argument("--no-partition", action="store_true", help="write one unpartitioned dir")
+    c.add_argument("--no-normalize", action="store_true")
+    c.add_argument("--min-tokens", type=int, default=24)
+    c.add_argument("--min-distinct-pct", type=int, default=30)
+    c.add_argument("--bench", default=None, help="eval-set parquet for decontamination")
+    c.add_argument("--decon-mode", choices=["exact", "bloom"], default="exact")
+    c.add_argument("--decon-n", type=int, default=13)
+    c.add_argument("--dedup", choices=["none", "exact", "exact+simhash"], default="exact+simhash")
+    c.add_argument("--no-resume", action="store_true")
 
     p = sub.add_parser("predict", help="raw log file -> anomaly verdicts + metrics")
     p.add_argument("logfile")
@@ -258,6 +279,21 @@ def main(argv: list[str] | None = None) -> int:
             n_anom = int((vals > thr).sum())
             print(json.dumps({"out": args.out, "method": args.method, "rows": len(vals),
                               "threshold": round(thr, 6), "anomalies": n_anom}))
+            return 0
+        if args.cmd == "curate":
+            from .pipelines.curate import curate_corpus
+
+            summary = curate_corpus(
+                args.table, args.out,
+                id_col=args.id_col, text_col=args.text_col,
+                partition_col=None if args.no_partition else args.partition_col,
+                normalize=not args.no_normalize,
+                min_tokens=args.min_tokens,
+                min_distinct_ratio_pct=args.min_distinct_pct,
+                bench_path=args.bench, decon_mode=args.decon_mode, decon_n=args.decon_n,
+                dedup=args.dedup, resume=not args.no_resume,
+            )
+            print(json.dumps(summary))
             return 0
         if args.cmd == "predict":
             from .pipelines.predict import PredictConfig, end_to_end_predict

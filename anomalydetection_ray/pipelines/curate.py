@@ -1,0 +1,119 @@
+"""End-to-end corpus curation: the assembled training-data pipeline.
+
+One lazy Ray Data chain — normalize → quality/PII/repetition gate →
+benchmark decontamination → dedup → resumable partitioned write — built
+ONLY from the engine's streaming operators (each documented at its
+definition site). This is the consumer-facing composition of what
+`pipelines/queries.curation_pipeline_docs` oracle-checks stage by
+stage, plus the round-4g normalization pre-pass and the resumable sink
+(the reference's analog is the step1→7 chain of
+``end_to_end_prediction.py:657-664``, recast over curation operators).
+
+Nothing materializes corpus-sized data on the driver: normalization and
+the gate are per-batch Arrow kernels, decontamination broadcasts a
+bench summary (exact hash array or fixed-size Bloom), both dedup
+stages run their cost-gated plan ladders, and the sink streams blocks
+to per-partition shards with `_DONE` completion markers.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def curate_corpus(
+    table_path: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_col: str | None = "lang",
+    normalize: bool = True,
+    min_tokens: int = 24,
+    min_distinct_ratio_pct: int = 30,
+    bench_path: str | None = None,
+    decon_mode: str = "exact",
+    decon_n: int = 13,
+    dedup: str = "exact+simhash",
+    resume: bool = True,
+) -> dict:
+    """Run the full curation chain over a parquet table; returns a JSON-
+    able summary (input rows, surviving rows, per-partition file counts).
+    ``dedup`` ∈ {"none", "exact", "exact+simhash"}; ``partition_col=None``
+    writes unpartitioned parquet (no resume granularity)."""
+    import ray.data as rd
+
+    from ..functions.text import (
+        decontaminate,
+        normalize_text_batch,
+        pii_pattern_counts_batch,
+        repetition_batch,
+        strip_markup_batch,
+        token_count_batch,
+    )
+
+    if dedup not in ("none", "exact", "exact+simhash"):
+        raise ValueError(f"dedup must be none|exact|exact+simhash, got {dedup!r}")
+
+    cols = [id_col, text_col] + ([partition_col] if partition_col else [])
+    ds = rd.read_parquet(table_path, columns=sorted(set(cols)))
+    n_in = ds.count()
+
+    if normalize:
+        def norm(tb: pa.Table) -> pa.Table:
+            return normalize_text_batch(strip_markup_batch(tb, text_col), text_col)
+
+        ds = ds.map_batches(norm, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+    def gate(tb: pa.Table) -> pa.Table:
+        b = token_count_batch(tb, text_col, out_col="__nt")
+        b = repetition_batch(b, text_col)
+        b = pii_pattern_counts_batch(b, text_col)
+        n_pii = pc.add(pc.add(b["n_emails"], b["n_urls"]), b["n_ips"])
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(b["__nt"], min_tokens),
+                pc.greater_equal(
+                    pc.multiply(b["n_distinct_tokens"], 100),
+                    pc.multiply(b["n_tokens_r"], min_distinct_ratio_pct),
+                ),
+            ),
+            pc.equal(n_pii, 0),
+        )
+        return tb.filter(pc.coalesce(mask, False))
+
+    ds = ds.map_batches(gate, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+    if bench_path is not None:
+        bench = rd.read_parquet(bench_path, columns=[text_col])
+        ds = decontaminate(ds, text_col, bench, n=decon_n, mode=decon_mode)
+
+    if dedup in ("exact", "exact+simhash"):
+        from ..dedup import exact_dedup
+
+        ds = exact_dedup(ds, id_col, text_col)
+    if dedup == "exact+simhash":
+        from ..dedup import simhash_dedup
+
+        ds = simhash_dedup(ds, id_col, text_col)
+
+    summary: dict = {"rows_in": int(n_in)}
+    if partition_col:
+        from ..sources.writer import write_partitioned
+
+        report = write_partitioned(ds, out_dir, partition_col, resume=resume)
+        written = report[~report["skipped"]]
+        summary["rows_out"] = int(written["rows"].fillna(0).sum())
+        summary["partitions"] = {
+            str(r["partition"]): {"rows": None if r["skipped"] else int(r["rows"]), "skipped": bool(r["skipped"])}
+            for _, r in report.iterrows()
+        }
+    else:
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        ds = ds.materialize()
+        summary["rows_out"] = int(ds.count())
+        ds.write_parquet(out_dir)
+    summary["out"] = out_dir
+    return summary

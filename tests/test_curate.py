@@ -1,0 +1,110 @@
+"""End-to-end curation pipeline (pipelines/curate.py) + CLI subcommand."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _plant_corpus(path):
+    clean = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"word{i}" for i in range(40))
+    bench_text = " ".join(f"bench{i}" for i in range(30))
+    leak = " ".join(f"bench{i}" for i in range(5, 20)) + " " + " ".join(f"x{i}" for i in range(12))
+    # mojibake: the cp1252-damaged form of a clean accented sentence
+    # (tokens distinct so the repetition gate keeps it)
+    true_acc = " ".join(f"caf{chr(0xE9)}{i}" for i in range(30))
+    damaged = true_acc.encode("utf-8").decode("cp1252")
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+            "text": [
+                clean,                                   # kept
+                clean,                                   # exact dup -> dropped
+                other,                                   # kept (second lang)
+                clean + " me@example.com",               # PII -> dropped
+                "dup " * 40,                             # repetition -> dropped
+                "too short",                             # < min_tokens -> dropped
+                leak,                                    # bench leak -> dropped
+                damaged,                                 # kept, normalized
+            ],
+            "lang": ["en", "en", "de", "en", "en", "en", "en", "fr"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(rows), os.path.join(path, "documents.parquet"))
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"text": [bench_text]})),
+        os.path.join(path, "bench.parquet"),
+    )
+    return true_acc
+
+
+def test_curate_corpus_end_to_end(ray_session, tmp_path):
+    from anomalydetection_ray.pipelines.curate import curate_corpus
+
+    true_acc = _plant_corpus(str(tmp_path))
+    out = str(tmp_path / "curated")
+    summary = curate_corpus(
+        os.path.join(str(tmp_path), "documents.parquet"), out,
+        bench_path=os.path.join(str(tmp_path), "bench.parquet"),
+    )
+    assert summary["rows_in"] == 8
+    assert summary["rows_out"] == 3
+    assert sorted(summary["partitions"]) == ["de", "en", "fr"]
+    import ray.data as rd
+
+    back = rd.read_parquet(out).to_pandas().sort_values("doc_id")
+    assert back["doc_id"].tolist() == [1, 3, 8]
+    # mojibake repaired + whitespace collapsed in the written output
+    fr = back.loc[back["doc_id"] == 8, "text"].iloc[0]
+    assert fr == true_acc.strip()
+    # resume run: everything skipped, files untouched
+    before = {d: sorted(os.listdir(os.path.join(out, d))) for d in os.listdir(out)}
+    summary2 = curate_corpus(
+        os.path.join(str(tmp_path), "documents.parquet"), out,
+        bench_path=os.path.join(str(tmp_path), "bench.parquet"),
+    )
+    assert all(p["skipped"] for p in summary2["partitions"].values())
+    after = {d: sorted(os.listdir(os.path.join(out, d))) for d in os.listdir(out)}
+    assert before == after
+
+
+def test_curate_unpartitioned_and_bloom(ray_session, tmp_path):
+    from anomalydetection_ray.pipelines.curate import curate_corpus
+
+    _plant_corpus(str(tmp_path))
+    out = str(tmp_path / "flat")
+    summary = curate_corpus(
+        os.path.join(str(tmp_path), "documents.parquet"), out,
+        partition_col=None,
+        bench_path=os.path.join(str(tmp_path), "bench.parquet"),
+        decon_mode="bloom",
+    )
+    assert summary["rows_out"] == 3
+    import ray.data as rd
+
+    assert rd.read_parquet(out).count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dedup"):
+        curate_corpus(os.path.join(str(tmp_path), "documents.parquet"), out, dedup="fuzzy")
+
+
+def test_curate_cli(ray_session, tmp_path, capsys):
+    from anomalydetection_ray.__main__ import main
+
+    _plant_corpus(str(tmp_path))
+    out = str(tmp_path / "cli_out")
+    rc = main([
+        "curate", os.path.join(str(tmp_path), "documents.parquet"),
+        "--out", out,
+        "--bench", os.path.join(str(tmp_path), "bench.parquet"),
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows_out"] == 3 and summary["rows_in"] == 8
+    assert os.path.exists(os.path.join(out, "lang=en", "_DONE"))
