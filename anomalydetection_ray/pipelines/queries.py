@@ -2709,6 +2709,24 @@ def template_params_docs(sf_dir: str):
           / GREATEST(n_chars, 1),
         md5_number_lower(CAST(doc_id AS VARCHAR))) AS rn
       FROM documents) t WHERE rn <= 50
+    UNION ALL
+    SELECT 'mixture' AS op, doc_id, lang FROM (
+      WITH mixt(lang, w) AS (
+        VALUES ('en', 0.35), ('de', 0.20), ('fr', 0.20), ('es', 0.15), ('zh', 0.10)),
+      q0 AS (SELECT lang, 100 * w / (SELECT SUM(w) FROM mixt) AS ideal FROM mixt),
+      q1 AS (SELECT lang, CAST(FLOOR(ideal) AS BIGINT) AS base,
+                    ROW_NUMBER() OVER (ORDER BY ideal - FLOOR(ideal) DESC, lang) AS rr
+             FROM q0),
+      quota AS (SELECT lang,
+                       base + CASE WHEN rr <= 100 - (SELECT SUM(base) FROM q1)
+                              THEN 1 ELSE 0 END AS q
+                FROM q1),
+      ranked AS (SELECT doc_id, lang, ROW_NUMBER() OVER (
+          PARTITION BY lang
+          ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+      SELECT r.doc_id, r.lang FROM ranked r JOIN quota USING (lang) WHERE r.rn <= quota.q
+    ) m
     """,
 )
 def sampled_docs(sf_dir: str):
@@ -2724,7 +2742,12 @@ def sampled_docs(sf_dir: str):
     (DuckDB ``md5_number_lower`` parity) so sample MEMBERSHIP is
     oracle-checked row-exactly; the shuffle (P4) still runs in-pipeline
     — the driver compare is order-insensitive, which is the correct
-    check for a shuffle (same multiset)."""
+    check for a shuffle (same multiset). Round 4g adds the
+    DOMAIN-MIXTURE arm: ``rebalance_mixture`` picks 100 docs at a fixed
+    35/20/20/15/10 lang mixture; the oracle recomputes the
+    largest-remainder quota allocation with window functions and the
+    selected rows with the same md5 ROW_NUMBER cut — allocation AND
+    membership both row-exact."""
     from ..functions.split import grouped_fixed_count_sample, md5_order_hash
     from ..sketches.simhash import _md5_token_hash
 
@@ -2774,4 +2797,20 @@ def sampled_docs(sf_dir: str):
     weighted_ds = rd.from_arrow(weighted).map_batches(
         tag("weighted"), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    return as_table(sampled.union(grouped).union(weighted_ds))
+
+    # round 4g: DOMAIN-MIXTURE rebalancing (functions/split.py:
+    # rebalance_mixture) — 100 docs at a fixed 35/20/20/15/10 lang
+    # mixture; quotas from the driver's largest-remainder allocation
+    # (recomputed in SQL with window functions), row membership from the
+    # grouped quota sampler's md5 ROW_NUMBER cut — both oracle-exact.
+    from ..functions.split import rebalance_mixture
+
+    mix_ds, _alloc = rebalance_mixture(
+        docs, "lang", "doc_id",
+        {"en": 0.35, "de": 0.20, "fr": 0.20, "es": 0.15, "zh": 0.10},
+        total_n=100, unit_fn=md5_order_hash,
+    )
+    mixture = mix_ds.map_batches(
+        tag("mixture"), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return as_table(sampled.union(grouped).union(weighted_ds).union(mixture))
