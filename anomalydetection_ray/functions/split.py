@@ -457,14 +457,16 @@ def rebalance_mixture(
     allocation."""
     from ..checks.uniqueness import key_counts
 
-    counts_tb = pa.concat_tables(
-        [
-            t
-            for t in key_counts(ds, [key]).iter_batches(batch_format="pyarrow", batch_size=None)
-            if t.num_rows
-        ]
-    )
-    avail = dict(zip(counts_tb[key].to_pylist(), counts_tb["cnt"].to_pylist()))
-    avail.pop(None, None)
+    count_parts = [
+        t
+        for t in key_counts(ds, [key]).iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if count_parts:
+        counts_tb = pa.concat_tables(count_parts)
+        avail = dict(zip(counts_tb[key].to_pylist(), counts_tb["cnt"].to_pylist()))
+        avail.pop(None, None)
+    else:  # empty corpus: every quota caps at zero availability
+        avail = {}
     alloc = largest_remainder_allocation(avail, target, total_n, redistribute=redistribute)
     return grouped_quota_sample(ds, key, on, alloc, seed=seed, unit_fn=unit_fn), alloc

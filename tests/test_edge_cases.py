@@ -510,3 +510,80 @@ def test_round4f_ops_empty_and_degenerate_inputs(ray_session):
         mahalanobis_scores(empty_vec, "embedding")
     with _pytest.raises(ValueError):
         isolation_forest_scores(empty_vec, "vec_id", "embedding")
+
+
+def test_round4g_ops_empty_and_degenerate_inputs(ray_session, tmp_path):
+    """Round-4g operators on empty/degenerate inputs: streaming ops emit
+    empty results; allocation math degrades cleanly; the sink writes a
+    valid empty layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup import semdedup
+    from anomalydetection_ray.functions.split import (
+        grouped_quota_sample,
+        rebalance_mixture,
+    )
+    from anomalydetection_ray.functions.text import (
+        dsir_weights,
+        encoding_damage_batch,
+        normalize_text_batch,
+        pack_sequences,
+    )
+    from anomalydetection_ray.sources.writer import write_partitioned
+
+    empty_docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], type=pa.int64()), "text": pa.array([], type=pa.string())})
+    )
+    one_doc = rd.from_arrow(pa.table({"doc_id": pa.array([1], type=pa.int64()), "text": ["a b c"]}))
+
+    # DSIR with an empty TARGET: the target model is uniform (smoothing)
+    # while raw has mass on the doc's buckets, so the score is a finite
+    # negative log-ratio — no crash, no nan
+    out = dsir_weights(one_doc, "text", empty_docs, n_buckets=64).to_pandas()
+    assert len(out) == 1 and np.isfinite(out["dsir_logratio"].iloc[0])
+    assert out["dsir_logratio"].iloc[0] < 0
+    assert len(dsir_weights(empty_docs, "text", one_doc, n_buckets=64).to_pandas()) == 0
+
+    # packing an empty dataset / zero-token rows
+    empty_tok = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())})
+    )
+    assert len(pack_sequences(empty_tok, "doc_id", "n", budget=10).to_pandas()) == 0
+    zeros = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                                    "n": pa.array([0, 0], type=pa.int64())}))
+    z = pack_sequences(zeros, "doc_id", "n", budget=10).to_pandas()
+    assert len(z) == 2 and z["seq_id"].nunique() == 1  # zero-cost rows share one bin
+
+    # normalization kernels on empty tables
+    et = pa.table({"text": pa.array([], type=pa.string())})
+    assert normalize_text_batch(et).num_rows == 0
+    assert encoding_damage_batch(et).num_rows == 0
+
+    # quota sampling: empty input, empty quotas
+    empty_kv = rd.from_arrow(
+        pa.table({"lang": pa.array([], type=pa.string()), "doc_id": pa.array([], type=pa.int64())})
+    )
+    assert len(grouped_quota_sample(empty_kv, "lang", "doc_id", {"en": 3}).to_pandas()) == 0
+    one_kv = rd.from_arrow(pa.table({"lang": ["en"], "doc_id": pa.array([1], type=pa.int64())}))
+    assert len(grouped_quota_sample(one_kv, "lang", "doc_id", {}).to_pandas()) == 0
+    # mixture over an empty corpus: quotas all zero (availability is zero)
+    _, alloc = rebalance_mixture(empty_kv, "lang", "doc_id", {"en": 1.0}, total_n=5)
+    assert alloc == {"en": 0}
+
+    # semdedup on empty embeddings
+    empty_vec = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float64())),
+    }))
+    centers = np.eye(2)
+    assert len(semdedup(empty_vec, "vec_id", "embedding", centers=centers).to_pandas()) == 0
+
+    # partitioned sink over an empty dataset: no partitions, empty summary
+    out_dir = str(tmp_path / "empty_sink")
+    s = write_partitioned(empty_kv, out_dir, "lang")
+    assert len(s) == 0
+    import os
+
+    assert os.path.isdir(out_dir) and not any(os.path.isdir(os.path.join(out_dir, d)) for d in os.listdir(out_dir))
