@@ -79,6 +79,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     v.add_argument("--allow-added-columns", action="store_true")
     v.add_argument("--check-column-order", action="store_true")
+    v.add_argument(
+        "--fd",
+        action="append",
+        default=[],
+        metavar="DET[,DET...]->DEP",
+        help="functional dependency, repeatable — e.g. 'path->lang' or 'repo,path->commit'",
+    )
 
     b = sub.add_parser("baseline", help="write the drift baseline snapshot")
     b.add_argument("corpus")
@@ -162,12 +169,19 @@ def main(argv: list[str] | None = None) -> int:
             expected = None
             if args.expected_schema:
                 expected = [tuple(p.split(":", 1)) for p in args.expected_schema.split(",")]
+            fds = []
+            for spec in args.fd:
+                det, _, dep = spec.partition("->")
+                if not det or not dep:
+                    ap.error(f"--fd {spec!r}: expected 'det[,det...]->dep'")
+                fds.append((tuple(c.strip() for c in det.split(",")), dep.strip()))
             cfg = SuiteConfig(
                 repos_dim_path=args.repos_dim,
                 stat_tolerances=tuple(tols),
                 expected_schema=expected,
                 allow_added_columns=args.allow_added_columns,
                 check_column_order=args.check_column_order,
+                fd_checks=tuple(fds),
             )
             runner = run_suite_sharded if args.sharded else run_suite
             kwargs = {"n_shards": args.n_shards} if args.sharded else {}

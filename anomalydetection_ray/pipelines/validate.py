@@ -110,6 +110,12 @@ class SuiteConfig:
     expected_schema: Any = None
     allow_added_columns: bool = False
     check_column_order: bool = False
+    # functional dependencies ((determinant cols...), dependent col): each
+    # runs as its own column-pruned pass (checks/dependency.py — the
+    # 24-bytes/row pair exchange, never the content column unless named),
+    # checkpointed per FD, one global verdict row per FD + exact violating
+    # bindings in the violations dict
+    fd_checks: tuple = ()
 
 
 @dataclass
@@ -527,6 +533,42 @@ def _sort_violations(viol_all: pa.Table, out_cols: list[str]) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 
+def _fd_unit_name(det: list[str], dep: str) -> str:
+    return "fd-" + "-".join(det) + "--" + dep
+
+
+def _run_fd_checks(
+    state: RunState, cfg: SuiteConfig, corpus_path: str, resume: bool
+) -> dict[str, pa.Table]:
+    """One column-pruned :func:`fd_violations` pass per configured FD,
+    checkpointed per FD (unit ``fd-<det>--<dep>``). Returns unit name →
+    exact violating bindings (determinant..., dependent, n_rows)."""
+    from ..checks.dependency import fd_violations
+    from ..functions.shuffle import default_num_blocks
+    from .queries import as_table
+
+    out: dict[str, pa.Table] = {}
+    for det, dep in cfg.fd_checks:
+        det = [det] if isinstance(det, str) else list(det)
+        unit = _fd_unit_name(det, dep)
+        vp = os.path.join(state.unit_dir(unit), "violations.parquet")
+        if resume and state.is_done_compat(unit, files=("violations.parquet",)):
+            out[unit] = pq.read_table(vp)
+            continue
+        cols = det + [dep]
+        vt = as_table(
+            fd_violations(
+                rd.read_parquet(corpus_path, columns=cols, override_num_blocks=default_num_blocks()),
+                det,
+                dep,
+            )
+        )
+        pq.write_table(vt, vp)
+        state.mark_done(unit, {"violating_bindings": vt.num_rows})
+        out[unit] = vt
+    return out
+
+
 def _finalize_suite(
     state: RunState,
     out_dir: str,
@@ -537,6 +579,7 @@ def _finalize_suite(
     viol_counts: dict[str, dict[str, int]] | None = None,
     violations_dir: str | None = None,
     corpus_schema: pa.Schema | None = None,
+    fd_results: dict[str, pa.Table] | None = None,
 ) -> SuiteResult:
     """stats table + violation rows → per-(check, partition) verdicts,
     drift scoring, lineage, and the verdicts.parquet artifact.
@@ -658,6 +701,24 @@ def _finalize_suite(
             verdict_rows.append(
                 {"check": "referential", "partition": p, "column": "", "passed": False, "metric": float(c), "detail": f"{c} orphan rows"}
             )
+
+    # functional dependencies: GLOBAL verdicts (a determinant's bindings
+    # may span partitions, so per-partition pass/fail would be misleading)
+    for unit, vt in (fd_results or {}).items():
+        violations[unit] = vt
+        n_bad_det = (
+            vt.group_by(vt.column_names[:-2]).aggregate([]).num_rows if vt.num_rows else 0
+        )
+        verdict_rows.append(
+            {
+                "check": unit,
+                "partition": "",
+                "column": vt.column_names[-2],
+                "passed": vt.num_rows == 0,
+                "metric": float(n_bad_det),
+                "detail": "" if vt.num_rows == 0 else f"{n_bad_det} determinants with conflicting bindings ({vt.num_rows} bindings)",
+            }
+        )
 
     # ---------------- drift vs baseline snapshot ----------------
     # a DIRECTORY means "the latest snapshot under this root" (S7
@@ -898,18 +959,21 @@ def run_suite(
         )
 
     _mark("fused_scan")
+    fd_results = _run_fd_checks(state, cfg, corpus_path, resume) if cfg.fd_checks else None
+    if cfg.fd_checks:
+        _mark("fd_checks")
     if viol_all is None:
         viol_counts = _spill_violation_counts(rd.read_parquet(spill_final), part)
         empty_viol = pa.Table.from_pydict({f.name: [] for f in viol_schema}, schema=viol_schema)
         result = _finalize_suite(
             state, out_dir, cfg, stats_df, empty_viol, baseline_snapshot,
             viol_counts=viol_counts, violations_dir=spill_final,
-            corpus_schema=corpus_schema,
+            corpus_schema=corpus_schema, fd_results=fd_results,
         )
     else:
         result = _finalize_suite(
             state, out_dir, cfg, stats_df, viol_all, baseline_snapshot,
-            corpus_schema=corpus_schema,
+            corpus_schema=corpus_schema, fd_results=fd_results,
         )
     _mark("drift_and_verdicts")
     if os.environ.get("ADRAY_TIMINGS"):
@@ -1089,8 +1153,10 @@ def run_suite_sharded(
     viol_all = pa.concat_tables(viol_tabs) if viol_tabs else pa.table({})
     viol_all = _sort_violations(_verify_dup_candidates(viol_all, key), empty_refs.out_cols)
     pq.write_table(viol_all, os.path.join(state.unit_dir("rowpass"), "violations.parquet"))
+    fd_results = _run_fd_checks(state, cfg, corpus_path, resume) if cfg.fd_checks else None
     return _finalize_suite(
-        state, out_dir, cfg, stats_df, viol_all, baseline_snapshot, corpus_schema=corpus_schema
+        state, out_dir, cfg, stats_df, viol_all, baseline_snapshot,
+        corpus_schema=corpus_schema, fd_results=fd_results,
     )
 
 
