@@ -6,6 +6,7 @@ from .distributed import connected_components
 from .exact import exact_dedup
 from .lines import line_dedup, line_drop_pairs
 from .semantic import semdedup
+from .substrings import dup_span_stats, duplicated_gram_hashes, strip_dup_spans
 from .neardup import (
     embedding_cosine_dedup,
     embedding_neardup_pairs,
@@ -29,4 +30,7 @@ __all__ = [
     "simhash_fingerprints",
     "embedding_cosine_dedup",
     "embedding_neardup_pairs",
+    "duplicated_gram_hashes",
+    "dup_span_stats",
+    "strip_dup_spans",
 ]

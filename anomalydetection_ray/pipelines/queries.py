@@ -929,7 +929,25 @@ def anomaly_scores(sf_dir: str):
                 - LN((r.c + 1) / (dtots.rn + 8192)) AS lr
             FROM drawc r LEFT JOIN dtgtc t USING (b), dtots),
     dsir AS (SELECT db.doc_id, COALESCE(SUM(dlr.lr), 0) AS s
-             FROM dbuck db JOIN dlr USING (b) GROUP BY db.doc_id)
+             FROM dbuck db JOIN dlr USING (b) GROUP BY db.doc_id),
+    sg AS (
+      SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 24) AS g
+      FROM documents,
+           LATERAL (SELECT UNNEST(generate_series(1, GREATEST(length(text) - 23, 0))) AS i) z
+      WHERE length(text) >= 24),
+    sdup AS (SELECT g FROM sg GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    smark AS (
+      SELECT doc_id, i,
+             CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) <= 24
+                  THEN 0 ELSE 1 END AS brk
+      FROM sg WHERE g IN (SELECT g FROM sdup)),
+    sisl AS (SELECT doc_id, i, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isl
+             FROM smark),
+    sspan AS (SELECT doc_id, isl, MIN(i) AS s, MAX(i) + 24 AS e
+              FROM sisl GROUP BY doc_id, isl),
+    sgc AS (SELECT doc_id, COUNT(*) AS gc FROM smark GROUP BY doc_id),
+    ssc AS (SELECT doc_id, COUNT(*) AS sc, SUM(e - s) AS sb
+            FROM sspan GROUP BY doc_id)
     SELECT d.doc_id AS doc_id,
            CAST(length(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens,
            CAST(FLOOR(length(regexp_extract_all(d.text, '[!-/:-@\[-`{-~]')) * 1000000.0
@@ -942,9 +960,14 @@ def anomaly_scores(sf_dir: str):
            ROUND(CAST(r.n_distinct_tokens AS DOUBLE) / GREATEST(r.n_toks, 1), 6) AS distinct_ratio,
            ROUND(CAST(r.top AS DOUBLE) / GREATEST(r.n_toks, 1), 6) AS top_token_share,
            ROUND(sc.lm, 6) AS lm_logprob,
-           ROUND(COALESCE(ds.s, 0), 6) AS dsir_logratio
+           ROUND(COALESCE(ds.s, 0), 6) AS dsir_logratio,
+           CAST(COALESCE(sgc.gc, 0) AS BIGINT) AS dup_gram_count,
+           CAST(COALESCE(ssc.sc, 0) AS BIGINT) AS dup_span_count,
+           CAST(COALESCE(ssc.sb, 0) AS BIGINT) AS dup_span_bytes
     FROM documents d JOIN rep r USING (doc_id)
     LEFT JOIN dsir ds USING (doc_id)
+    LEFT JOIN sgc USING (doc_id)
+    LEFT JOIN ssc USING (doc_id)
     LEFT JOIN (
       WITH tg AS (
         SELECT d2.doc_id, substr(d2.text, CAST(i AS INTEGER), 3) AS t
@@ -1026,7 +1049,31 @@ def doc_scalar_functions(sf_dir: str):
         )
 
     out = docs.map_batches(scalars, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    return as_table(out).sort_by([("doc_id", "ascending")])
+
+    # round 4h: duplicated-substring span stats (ExactSubstr analog,
+    # dedup/substrings.py — k=24 BYTES; byte == char on this ASCII corpus,
+    # which is what the oracle's substr arithmetic assumes). The stats
+    # dataset is itself a per-doc query result; the polars join below
+    # merges two already-driver-bound RESULT tables (this query's contract
+    # returns a per-doc table), it is not a pipeline stage — the
+    # distributed join-back rung lives in dedup/substrings.strip_dup_spans.
+    from ..dedup.substrings import dup_span_stats
+
+    span_ds = dup_span_stats(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]), k=24
+    ).map_batches(
+        lambda t: t.drop_columns(["text"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    import polars as pl
+
+    merged = (
+        pl.from_arrow(as_table(out))
+        .join(pl.from_arrow(as_table(span_ds)), on="doc_id", how="inner")
+        .sort("doc_id")
+        .to_arrow()
+    )
+    return merged
 
 
 @register(
