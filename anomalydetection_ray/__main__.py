@@ -131,6 +131,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--decon-mode", choices=["exact", "bloom"], default="exact")
     c.add_argument("--decon-n", type=int, default=13)
     c.add_argument("--dedup", choices=["none", "exact", "exact+simhash"], default="exact+simhash")
+    c.add_argument("--strip-substr", type=int, default=0, metavar="K",
+                   help="cut cross-document duplicated spans at k-gram size K (0 = off)")
+    c.add_argument("--strip-min-remaining", type=int, default=200,
+                   help="drop docs under this many bytes after span cutting")
     c.add_argument("--no-resume", action="store_true")
 
     p = sub.add_parser("predict", help="raw log file -> anomaly verdicts + metrics")
@@ -305,7 +309,9 @@ def main(argv: list[str] | None = None) -> int:
                 min_tokens=args.min_tokens,
                 min_distinct_ratio_pct=args.min_distinct_pct,
                 bench_path=args.bench, decon_mode=args.decon_mode, decon_n=args.decon_n,
-                dedup=args.dedup, resume=not args.no_resume,
+                dedup=args.dedup, strip_substr_k=args.strip_substr,
+                strip_min_remaining=args.strip_min_remaining,
+                resume=not args.no_resume,
             )
             print(json.dumps(summary))
             return 0

@@ -1,7 +1,8 @@
 """End-to-end corpus curation: the assembled training-data pipeline.
 
 One lazy Ray Data chain — normalize → quality/PII/repetition gate →
-benchmark decontamination → dedup → resumable partitioned write — built
+benchmark decontamination → dedup → optional ExactSubstr span cutting →
+resumable partitioned write — built
 ONLY from the engine's streaming operators (each documented at its
 definition site). This is the consumer-facing composition of what
 `pipelines/queries.curation_pipeline_docs` oracle-checks stage by
@@ -35,12 +36,18 @@ def curate_corpus(
     decon_mode: str = "exact",
     decon_n: int = 13,
     dedup: str = "exact+simhash",
+    strip_substr_k: int = 0,
+    strip_min_remaining: int = 200,
     resume: bool = True,
 ) -> dict:
     """Run the full curation chain over a parquet table; returns a JSON-
     able summary (input rows, surviving rows, per-partition file counts).
-    ``dedup`` ∈ {"none", "exact", "exact+simhash"}; ``partition_col=None``
-    writes unpartitioned parquet (no resume granularity)."""
+    ``dedup`` ∈ {"none", "exact", "exact+simhash"}; ``strip_substr_k > 0``
+    adds the ExactSubstr stage after whole-document dedup (cut every
+    byte span whose k-gram content recurs across documents,
+    dedup/substrings.py; docs falling under ``strip_min_remaining``
+    bytes are dropped); ``partition_col=None`` writes unpartitioned
+    parquet (no resume granularity)."""
     import ray.data as rd
 
     from ..functions.text import (
@@ -96,6 +103,21 @@ def curate_corpus(
         from ..dedup import simhash_dedup
 
         ds = simhash_dedup(ds, id_col, text_col)
+
+    if strip_substr_k > 0:
+        from ..dedup import strip_dup_spans
+
+        ds = strip_dup_spans(
+            ds, id_col, text_col, k=strip_substr_k,
+            min_remaining_bytes=strip_min_remaining,
+        )
+        # the cut descriptors are stage diagnostics, not output schema
+        from ..dedup.substrings import STAT_COLS
+
+        ds = ds.map_batches(
+            lambda t: t.drop_columns(list(STAT_COLS)),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
 
     summary: dict = {"rows_in": int(n_in)}
     if partition_col:

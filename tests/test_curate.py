@@ -108,3 +108,33 @@ def test_curate_cli(ray_session, tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["rows_out"] == 3 and summary["rows_in"] == 8
     assert os.path.exists(os.path.join(out, "lang=en", "_DONE"))
+
+
+def test_curate_strip_substrings_stage(ray_session, tmp_path):
+    """ExactSubstr stage: a shared banner spanning two otherwise-distinct
+    kept docs is cut from BOTH; short remainders drop."""
+    from anomalydetection_ray.pipelines.curate import curate_corpus
+
+    banner = "=== COMMON GENERATED BANNER DO NOT EDIT === "
+    a = banner + " ".join(f"alpha{i}" for i in range(40))
+    b = banner + " ".join(f"beta{i}" for i in range(40))
+    c = " ".join(f"gamma{i}" for i in range(40))
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [a, b, c],
+        "lang": ["en", "en", "en"],
+    })
+    pq.write_table(pa.Table.from_pandas(rows), os.path.join(str(tmp_path), "d.parquet"))
+    out = str(tmp_path / "stripped")
+    summary = curate_corpus(
+        os.path.join(str(tmp_path), "d.parquet"), out,
+        dedup="exact", strip_substr_k=16, strip_min_remaining=50,
+    )
+    assert summary["rows_out"] == 3
+    import ray.data as rd
+
+    back = rd.read_parquet(out).to_pandas().sort_values("doc_id")
+    assert list(back.columns.sort_values()) == ["doc_id", "lang", "text"]
+    for t in back["text"]:
+        assert "COMMON GENERATED BANNER" not in t
+    assert back.loc[back["doc_id"] == 3, "text"].iloc[0].startswith("gamma0")
