@@ -207,3 +207,37 @@ def test_verified_dedup_plans_agree_on_random_corpora(ray_session, docs, n_clone
         if want is None:
             want = got
         assert got == want, kw
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(), st.text(alphabet="abc ", min_size=0, max_size=40)),
+             min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=8),
+)
+def test_substring_mark_kernel_matches_byte_reference(texts, k):
+    """The broadcast-rung marking kernel (hash membership + span merge)
+    equals the byte-level reference (ACTUAL substrings, not hashes) on
+    arbitrary corpora — pins hash-kernel, offsets, and island merging."""
+    from test_substrings import ref_stats
+
+    from anomalydetection_ray.dedup.substrings import _mark_batch
+    from anomalydetection_ray.functions.text import kgram_hashes
+
+    per_doc = []
+    for t in texts:
+        if t is None:
+            per_doc.append(np.empty(0, dtype=np.uint64))
+        else:
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            per_doc.append(np.unique(kgram_hashes(b, k)))
+    flat = np.concatenate(per_doc) if per_doc else np.empty(0, dtype=np.uint64)
+    vals, cnt = np.unique(flat, return_counts=True)
+    dup_sorted = vals[cnt >= 2]
+
+    tb = pa.table({"text": pa.array(texts, type=pa.string())})
+    out = _mark_batch(tb, "text", k, dup_sorted, emit_spans=False)
+    got = list(zip(out["dup_gram_count"].to_pylist(),
+                   out["dup_span_count"].to_pylist(),
+                   out["dup_span_bytes"].to_pylist()))
+    assert got == ref_stats(texts, k)
