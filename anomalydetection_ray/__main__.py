@@ -135,6 +135,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="cut cross-document duplicated spans at k-gram size K (0 = off)")
     c.add_argument("--strip-min-remaining", type=int, default=200,
                    help="drop docs under this many bytes after span cutting")
+    c.add_argument("--snapshot", default=None, metavar="DIR",
+                   help="prior curated corpus: drop docs it already kept (refresh runs)")
     c.add_argument("--no-resume", action="store_true")
 
     p = sub.add_parser("predict", help="raw log file -> anomaly verdicts + metrics")
@@ -311,6 +313,7 @@ def main(argv: list[str] | None = None) -> int:
                 bench_path=args.bench, decon_mode=args.decon_mode, decon_n=args.decon_n,
                 dedup=args.dedup, strip_substr_k=args.strip_substr,
                 strip_min_remaining=args.strip_min_remaining,
+                snapshot_path=args.snapshot,
                 resume=not args.no_resume,
             )
             print(json.dumps(summary))

@@ -3,7 +3,7 @@ embedding-cosine, cross-document line/boilerplate. First-class engine features f
 (the reference has no dedup at all, SURVEY.md §2.7)."""
 
 from .distributed import connected_components
-from .exact import exact_dedup
+from .exact import dedup_against_snapshot, exact_dedup
 from .lines import line_dedup, line_drop_pairs
 from .semantic import semdedup
 from .substrings import dup_span_stats, duplicated_gram_hashes, strip_dup_spans
@@ -21,6 +21,7 @@ __all__ = [
     "connected_components",
     "semdedup",
     "exact_dedup",
+    "dedup_against_snapshot",
     "line_dedup",
     "line_drop_pairs",
     "minhash_lsh_dedup",

@@ -94,3 +94,117 @@ def exact_dedup(
 
     drop_ids = local_group_map(pairs, ["h1", "h2"], _drop_ids_block(id_col), keys_non_null=True)
     return shuffle_anti_join(ds, id_col, drop_ids)
+
+
+def dedup_against_snapshot(
+    ds,
+    id_col: str,
+    text_col: str,
+    snapshot_ds,
+    snapshot_text_col: str | None = None,
+    driver_merge_max_bytes: int = 1 << 30,
+    snapshot_size_hint_bytes: int | None = None,
+):
+    """INCREMENTAL exact dedup: drop rows of ``ds`` whose exact content
+    already exists in a previously-curated corpus ``snapshot_ds`` — the
+    refresh-run primitive (curate a delta without re-admitting documents
+    an earlier run already kept). Only the snapshot-vs-new overlap is
+    removed; duplicates WITHIN ``ds`` are exact_dedup's job (compose:
+    ``exact_dedup(dedup_against_snapshot(...), ...)``).
+
+    Both sides reduce to the same 128-bit content fingerprints as
+    exact_dedup (16 B/row; text never moves), then the standard two-rung
+    tail keyed on the SNAPSHOT's size estimate:
+
+    - snapshot fingerprints under ``driver_merge_max_bytes`` gather once,
+      ``ray.put`` once as a two-column polars frame, and every new batch
+      drops matches with one vectorized anti-join — the corpus never
+      shuffles;
+    - above the budget, both fingerprint sets co-partition by (h1, h2)
+      in a tagged union (``local_group_map``); groups containing a
+      snapshot marker emit their new-side ids as DROP ids, removed with
+      ``shuffle_anti_join`` — nothing O(snapshot) on the driver.
+
+    ``snapshot_size_hint_bytes`` plays size_hint_bytes' role for
+    transformed snapshots; pass 0 to force the distributed rung
+    (plan-equivalence tests). 128-bit hashing makes a false drop a
+    ~2^-64-per-pair event, the same contract exact_dedup documents."""
+    scol = snapshot_text_col or text_col
+    fp_new = ds.map_batches(
+        lambda t: content_hash128_batch(t, text_col),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    fp_snap = snapshot_ds.map_batches(
+        lambda t: content_hash128_batch(t, scol).select(["h1", "h2"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    if snapshot_size_hint_bytes is not None and snapshot_size_hint_bytes <= 0:
+        est = None  # forced distributed rung (plan-equivalence tests)
+    elif snapshot_size_hint_bytes is not None:
+        est = snapshot_size_hint_bytes
+    else:
+        est = metadata_size_estimate(snapshot_ds)
+    if est is not None and est <= driver_merge_max_bytes:
+        import polars as pl
+        import ray
+
+        tabs = [t for t in fp_snap.iter_batches(batch_format="pyarrow", batch_size=None)
+                if t.num_rows]
+        snap = (pl.from_arrow(pa.concat_tables(tabs, promote_options="default")).unique()
+                if tabs else pl.DataFrame({"h1": [], "h2": []},
+                                          schema={"h1": pl.Int64, "h2": pl.Int64}))
+        ref = ray.put(snap)
+
+        def anti(tb: pa.Table) -> pa.Table:
+            out = pl.from_arrow(tb).join(ray.get(ref), on=["h1", "h2"], how="anti")
+            return out.to_arrow().drop_columns(["h1", "h2"]).cast(
+                pa.schema([f for f in tb.schema if f.name not in ("h1", "h2")])
+            )
+
+        return fp_new.map_batches(anti, batch_format="pyarrow", batch_size=None,
+                                  zero_copy_batch=True)
+
+    from .distributed import shuffle_anti_join
+
+    from ..functions.shuffle import arrow_schema
+
+    marker = "__snap"
+    id_t = arrow_schema(ds).field(id_col).type
+    union_schema = pa.schema([("h1", pa.int64()), ("h2", pa.int64()),
+                              (id_col, id_t), (marker, pa.int8())])
+
+    def tag_new(tb: pa.Table) -> pa.Table:
+        return pa.table({
+            "h1": tb["h1"], "h2": tb["h2"], id_col: tb[id_col],
+            marker: pa.nulls(tb.num_rows, pa.int8()).fill_null(0),
+        }, schema=union_schema)
+
+    def tag_snap(tb: pa.Table) -> pa.Table:
+        return pa.table({
+            "h1": tb["h1"], "h2": tb["h2"],
+            id_col: pa.nulls(tb.num_rows, id_t),
+            marker: pa.nulls(tb.num_rows, pa.int8()).fill_null(1),
+        }, schema=union_schema)
+
+    tagged = fp_new.select_columns(["h1", "h2", id_col]).map_batches(
+        tag_new, batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    ).union(fp_snap.map_batches(
+        tag_snap, batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    ))
+
+    def drops(tb: pa.Table) -> pa.Table:
+        import polars as pl
+
+        schema = pa.schema([("id", id_t)])
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({"id": []}, schema=schema)
+        out = (
+            pl.from_arrow(tb)
+            .filter(pl.col(marker).max().over(["h1", "h2"]) == 1)
+            .filter(pl.col(marker) == 0)
+            .select(pl.col(id_col).alias("id"))
+        )
+        return out.to_arrow().cast(schema)
+
+    drop_ids = local_group_map(tagged, ["h1", "h2"], drops, keys_non_null=True)
+    return shuffle_anti_join(ds, id_col, drop_ids)

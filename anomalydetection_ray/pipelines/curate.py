@@ -38,6 +38,7 @@ def curate_corpus(
     dedup: str = "exact+simhash",
     strip_substr_k: int = 0,
     strip_min_remaining: int = 200,
+    snapshot_path: str | None = None,
     resume: bool = True,
 ) -> dict:
     """Run the full curation chain over a parquet table; returns a JSON-
@@ -46,8 +47,12 @@ def curate_corpus(
     adds the ExactSubstr stage after whole-document dedup (cut every
     byte span whose k-gram content recurs across documents,
     dedup/substrings.py; docs falling under ``strip_min_remaining``
-    bytes are dropped); ``partition_col=None`` writes unpartitioned
-    parquet (no resume granularity)."""
+    bytes are dropped); ``snapshot_path`` points at a PRIOR curated
+    corpus (parquet dir) and drops any doc whose exact content that run
+    already kept (dedup/exact.py:dedup_against_snapshot — the
+    refresh-run primitive, applied after the gate so only candidate
+    rows hash); ``partition_col=None`` writes unpartitioned parquet (no
+    resume granularity)."""
     import ray.data as rd
 
     from ..functions.text import (
@@ -94,6 +99,12 @@ def curate_corpus(
     if bench_path is not None:
         bench = rd.read_parquet(bench_path, columns=[text_col])
         ds = decontaminate(ds, text_col, bench, n=decon_n, mode=decon_mode)
+
+    if snapshot_path is not None:
+        from ..dedup import dedup_against_snapshot
+
+        snap = rd.read_parquet(snapshot_path, columns=[text_col])
+        ds = dedup_against_snapshot(ds, id_col, text_col, snap)
 
     if dedup in ("exact", "exact+simhash"):
         from ..dedup import exact_dedup

@@ -138,3 +138,34 @@ def test_curate_strip_substrings_stage(ray_session, tmp_path):
     for t in back["text"]:
         assert "COMMON GENERATED BANNER" not in t
     assert back.loc[back["doc_id"] == 3, "text"].iloc[0].startswith("gamma0")
+
+
+def test_curate_refresh_with_snapshot(ray_session, tmp_path):
+    """Refresh run: docs the first run already kept are not re-admitted;
+    genuinely new docs flow through."""
+    from anomalydetection_ray.pipelines.curate import curate_corpus
+
+    _plant_corpus(str(tmp_path))
+    first_out = str(tmp_path / "run1")
+    curate_corpus(
+        os.path.join(str(tmp_path), "documents.parquet"), first_out,
+        bench_path=os.path.join(str(tmp_path), "bench.parquet"),
+    )
+    # delta input: one doc run1 kept (same content, new id) + one new doc
+    delta = pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": [" ".join(f"tok{i}" for i in range(30)),     # run1 kept this content
+                 " ".join(f"novel{i}" for i in range(30))],  # new
+        "lang": ["en", "en"],
+    })
+    pq.write_table(pa.Table.from_pandas(delta), os.path.join(str(tmp_path), "delta.parquet"))
+    out2 = str(tmp_path / "run2")
+    summary = curate_corpus(
+        os.path.join(str(tmp_path), "delta.parquet"), out2,
+        snapshot_path=first_out,
+    )
+    assert summary["rows_out"] == 1
+    import ray.data as rd
+
+    back = rd.read_parquet(out2).to_pandas()
+    assert back["doc_id"].tolist() == [101]
