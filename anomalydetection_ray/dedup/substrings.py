@@ -104,6 +104,8 @@ def duplicated_gram_hashes(
     (plan-equivalence tests)."""
     from ..checks.uniqueness import key_counts
 
+    if k < 1:
+        raise ValueError("k must be >= 1 (gram size in UTF-8 bytes)")
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (a gram is duplicated across docs)")
     from ..functions.shuffle import select_if_needed
