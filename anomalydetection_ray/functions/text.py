@@ -508,6 +508,179 @@ def tfidf_top_terms(
 
 
 # ---------------------------------------------------------------------------
+# BM25 relevance scoring / retrieval (Robertson et al., Okapi TREC-3 1994)
+# ---------------------------------------------------------------------------
+
+
+def bm25_corpus_stats(docs_ds, query_terms: list[str], text_col: str = "text"):
+    """Corpus statistics BM25 needs for a fixed term query, in ONE
+    streaming pass: ``(n_docs, avgdl, {term: df})``. Per block the
+    partial is just ``len(query) + 2`` numbers (doc count, token-count
+    sum, per-query-term distinct-doc counts — the same each-doc-lives-in-
+    one-row trick as :func:`term_doc_stats`), so the reduce is
+    driver-free-tier regardless of corpus size."""
+    import polars as pl
+
+    from .shuffle import select_if_needed
+
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+
+    def partial(tb: pa.Table) -> pa.Table:
+        col = tb[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dl = pc.count_substring_regex(pc.coalesce(col, ""), _TOKEN_RE)
+        n = len(col)
+        toks = (
+            pl.DataFrame({"i": np.arange(n, dtype=np.int64), "t": pl.Series(col).fill_null("")})
+            .with_columns(pl.col("t").str.extract_all(_TOKEN_RE))
+            .explode("t")
+            .filter(pl.col("t").is_in(terms))
+            .unique(["i", "t"])
+            .group_by("t")
+            .agg(pl.len().alias("df"))
+        )
+        dfm = dict(zip(toks["t"].to_list(), toks["df"].to_list()))
+        return pa.Table.from_pydict(
+            {
+                "n_docs": pa.array([n], type=pa.int64()),
+                "sum_dl": pa.array([int(pc.sum(dl).as_py() or 0)], type=pa.int64()),
+                **{f"df__{t}": pa.array([int(dfm.get(t, 0))], type=pa.int64()) for t in terms},
+            }
+        )
+
+    rows = select_if_needed(docs_ds, [text_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    agg = pa.concat_tables(
+        list(rows.iter_batches(batch_format="pyarrow", batch_size=None)),
+        promote_options="default",
+    )
+    n_docs = int(pc.sum(agg["n_docs"]).as_py() or 0)
+    sum_dl = int(pc.sum(agg["sum_dl"]).as_py() or 0)
+    df = {t: int(pc.sum(agg[f"df__{t}"]).as_py() or 0) for t in terms}
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+    return n_docs, avgdl, df
+
+
+def bm25_score_batch(
+    batch: pa.Table,
+    idf: dict[str, float],
+    avgdl: float,
+    text_col: str = "text",
+    out_col: str = "bm25",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pa.Table:
+    """Append the Okapi BM25 score of each row against the fixed query:
+    ``sum_t idf_t * tf_t*(k1+1) / (tf_t + k1*(1-b+b*dl/avgdl))``. Pure
+    polars/Arrow kernels: one tokenize + is_in filter + grouped count per
+    batch; rows containing no query term score exactly 0."""
+    import polars as pl
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    dl = pc.cast(pc.count_substring_regex(pc.coalesce(col, ""), _TOKEN_RE), pa.float64()).to_numpy(
+        zero_copy_only=False
+    )
+    scores = np.zeros(n, dtype=np.float64)
+    if n:
+        tf = (
+            pl.DataFrame({"i": np.arange(n, dtype=np.int64), "t": pl.Series(col).fill_null("")})
+            .with_columns(pl.col("t").str.extract_all(_TOKEN_RE))
+            .explode("t")
+            .filter(pl.col("t").is_in(list(idf)))
+            .group_by(["i", "t"])
+            .agg(pl.len().alias("tf"))
+        )
+        if tf.height:
+            i = tf["i"].to_numpy()
+            tfv = tf["tf"].to_numpy().astype(np.float64)
+            idfv = np.array([idf[t] for t in tf["t"].to_list()], dtype=np.float64)
+            denom = tfv + k1 * (1.0 - b + (b * dl[i] / avgdl if avgdl > 0 else 0.0))
+            np.add.at(scores, i, idfv * tfv * (k1 + 1.0) / denom)
+    return batch.append_column(out_col, pa.array(scores, type=pa.float64()))
+
+
+def bm25_scores(
+    docs_ds,
+    query_terms: list[str],
+    text_col: str = "text",
+    out_col: str = "bm25",
+    k1: float = 1.2,
+    b: float = 0.75,
+    corpus_stats: tuple[int, float, dict[str, int]] | None = None,
+):
+    """Okapi BM25 relevance of every document to a fixed term query, as a
+    streaming column append (the retrieval scorer LLM-data pipelines use
+    for quality-by-query filtering and search-index parity checks; the
+    reference's nearest analog is the frequency semi-join
+    ``models/preprocessing.py:7-10`` — term-frequency as signal).
+
+    Plan: ONE cheap stats pass (:func:`bm25_corpus_stats` — constant-size
+    partials, no shuffle) unless ``corpus_stats`` is passed, then ONE
+    scoring scan. idf is the Lucene/Robertson variant
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — non-negative for all df."""
+    terms = list(dict.fromkeys(query_terms))
+    n_docs, avgdl, df = corpus_stats or bm25_corpus_stats(docs_ds, terms, text_col)
+    idf = {
+        t: float(np.log(1.0 + (n_docs - df.get(t, 0) + 0.5) / (df.get(t, 0) + 0.5))) for t in terms
+    }
+    return docs_ds.map_batches(
+        lambda tb: bm25_score_batch(tb, idf, avgdl, text_col, out_col, k1, b),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+
+
+def bm25_topk(
+    docs_ds,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pa.Table:
+    """Top-k BM25 retrieval: score every document (:func:`bm25_scores`),
+    then a lossless per-block partial top-k — only ``blocks x k`` (id,
+    score) rows reach the driver, never the corpus. Scores round to 6
+    digits BEFORE ranking (same discipline as :func:`tfidf_top_terms`) so
+    ordering matches a SQL oracle ranking the rounded alias; (score desc,
+    id asc) tie-break is deterministic."""
+    import polars as pl
+
+    from .shuffle import select_if_needed
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    scored = bm25_scores(
+        select_if_needed(docs_ds, [id_col, text_col]), query_terms, text_col, "bm25", k1, b
+    )
+    out_schema = pa.schema([(id_col, pa.int64()), ("bm25", pa.float64())])
+
+    def topk_block(tb: pa.Table) -> pa.Table:
+        d = pl.from_arrow(tb.select([id_col, "bm25"])).with_columns(pl.col("bm25").round(6))
+        return d.sort(["bm25", id_col], descending=[True, False]).head(k).to_arrow().cast(out_schema)
+
+    parts = [
+        t
+        for t in scored.map_batches(
+            topk_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    merged = pa.concat_tables(parts or [out_schema.empty_table()], promote_options="default")
+    top = pl.from_arrow(merged).sort(["bm25", id_col], descending=[True, False]).head(k)
+    return top.to_arrow().cast(out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Character-trigram language model (CCNet-style LM quality scoring)
 # ---------------------------------------------------------------------------
 

@@ -947,7 +947,20 @@ def anomaly_scores(sf_dir: str):
               FROM sisl GROUP BY doc_id, isl),
     sgc AS (SELECT doc_id, COUNT(*) AS gc FROM smark GROUP BY doc_id),
     ssc AS (SELECT doc_id, COUNT(*) AS sc, SUM(e - s) AS sb
-            FROM sspan GROUP BY doc_id)
+            FROM sspan GROUP BY doc_id),
+    btoks AS (SELECT doc_id, unnest(regexp_extract_all(COALESCE(text,''), '\S+')) AS t
+              FROM documents),
+    bdls AS (SELECT doc_id, CAST(len(regexp_extract_all(COALESCE(text,''), '\S+')) AS DOUBLE) AS dl
+             FROM documents),
+    bstats AS (SELECT (SELECT COUNT(*) FROM documents) AS n, (SELECT AVG(dl) FROM bdls) AS avgdl),
+    bqtf AS (SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) tf FROM btoks
+             WHERE t IN ('hash','join','fast','scan') GROUP BY 1,2),
+    bqdf AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) df FROM btoks
+             WHERE t IN ('hash','join','fast','scan') GROUP BY 1),
+    bm AS (SELECT bqtf.doc_id,
+             SUM( LN(1.0 + (bstats.n - bqdf.df + 0.5)/(bqdf.df + 0.5)) * bqtf.tf * (1.2+1.0)
+                  / (bqtf.tf + 1.2*(1.0 - 0.75 + 0.75 * bdls.dl / bstats.avgdl)) ) AS s
+           FROM bqtf JOIN bqdf USING (t) JOIN bdls USING (doc_id), bstats GROUP BY 1)
     SELECT d.doc_id AS doc_id,
            CAST(length(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens,
            CAST(FLOOR(length(regexp_extract_all(d.text, '[!-/:-@\[-`{-~]')) * 1000000.0
@@ -961,11 +974,13 @@ def anomaly_scores(sf_dir: str):
            ROUND(CAST(r.top AS DOUBLE) / GREATEST(r.n_toks, 1), 6) AS top_token_share,
            ROUND(sc.lm, 6) AS lm_logprob,
            ROUND(COALESCE(ds.s, 0), 6) AS dsir_logratio,
+           ROUND(COALESCE(bm.s, 0), 6) AS bm25_query,
            CAST(COALESCE(sgc.gc, 0) AS BIGINT) AS dup_gram_count,
            CAST(COALESCE(ssc.sc, 0) AS BIGINT) AS dup_span_count,
            CAST(COALESCE(ssc.sb, 0) AS BIGINT) AS dup_span_bytes
     FROM documents d JOIN rep r USING (doc_id)
     LEFT JOIN dsir ds USING (doc_id)
+    LEFT JOIN bm USING (doc_id)
     LEFT JOIN sgc USING (doc_id)
     LEFT JOIN ssc USING (doc_id)
     LEFT JOIN (
@@ -1006,10 +1021,17 @@ def doc_scalar_functions(sf_dir: str):
       target-domain sample (the same slice the decontamination stage
       uses as its eval set); two fixed-8192-bucket count passes + one
       broadcast log-ratio vector; DuckDB recomputes every bucket count,
-      the smoothed log ratios and the per-doc sums exactly."""
+      the smoothed log ratios and the per-doc sums exactly;
+    - round 4i: Okapi BM25 relevance to a fixed 4-term query
+      (functions/text.py:bm25_score_batch — Lucene/Robertson idf): corpus
+      stats come from ONE constant-size-partial pass, scoring rides the
+      same fused scan; DuckDB recomputes tf/df/avgdl and the full formula
+      exactly (round-6 on both sides)."""
     import ray
 
     from ..functions.text import (
+        bm25_corpus_stats,
+        bm25_score_batch,
         bpe_token_count_batch,
         char_trigram_lm,
         dsir_weights,
@@ -1018,6 +1040,11 @@ def doc_scalar_functions(sf_dir: str):
     )
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bm25_q = ["hash", "join", "fast", "scan"]
+    n_docs, avgdl, bm25_df = bm25_corpus_stats(docs, bm25_q)
+    bm25_idf = {
+        t: float(np.log(1.0 + (n_docs - bm25_df[t] + 0.5) / (bm25_df[t] + 0.5))) for t in bm25_q
+    }
     model_ref = ray.put(char_trigram_lm(docs))
     target = docs.map_batches(
         lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 63), 0)),
@@ -1030,6 +1057,7 @@ def doc_scalar_functions(sf_dir: str):
         b = bpe_token_count_batch(tb)
         r = repetition_batch(tb)
         lm = lm_logprob_batch(ray.get(model_ref), tb)
+        bm = bm25_score_batch(tb, bm25_idf, avgdl)
         safe = pc.max_element_wise(pc.cast(q["n_chars_q"], pa.float64()), 1.0)
         punct_ppm = pc.floor(pc.divide(pc.multiply(pc.cast(q["n_punct"], pa.float64()), 1e6), safe))
         upper_ppm = pc.floor(pc.divide(pc.multiply(pc.cast(q["n_upper"], pa.float64()), 1e6), safe))
@@ -1045,6 +1073,7 @@ def doc_scalar_functions(sf_dir: str):
                 "top_token_share": pc.round(r["top_token_share"], ndigits=6),
                 "lm_logprob": pc.round(lm["lm_logprob"], ndigits=6),
                 "dsir_logratio": pc.round(tb["dsir_logratio"], ndigits=6),
+                "bm25_query": pc.round(bm["bm25"], ndigits=6),
             }
         )
 

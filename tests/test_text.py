@@ -238,6 +238,81 @@ def test_term_doc_stats_and_tfidf_topk(ray_session):
         tfidf_top_terms(rd.from_arrow(docs), n_docs=8, order="df")
 
 
+def test_bm25_scores_match_python_reference(ray_session):
+    """BM25 (Okapi, Lucene idf): exact parity with a per-doc Python
+    reference at any block layout; zero score for docs with no query
+    term; top-k equals the scores sort; corpus-stats reuse; guards."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import (
+        bm25_corpus_stats,
+        bm25_scores,
+        bm25_topk,
+    )
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    texts = [
+        "hash join fast",
+        "join join join slow",
+        None,
+        "",
+        "scan scan hash scan table",
+        "the quick brown fox",
+        "fast fast",
+    ]
+    docs = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+    q = ["hash", "join", "scan", "fast"]
+    k1, b = 1.2, 0.75
+
+    # Python reference
+    toklists = [(t or "").split() for t in texts]
+    N = len(texts)
+    dls = [len(t) for t in toklists]
+    avgdl_ref = sum(dls) / N
+    df_ref = {t: sum(1 for toks in toklists if t in toks) for t in q}
+    idf = {t: math.log(1.0 + (N - df_ref[t] + 0.5) / (df_ref[t] + 0.5)) for t in q}
+
+    def ref_score(toks):
+        dl = len(toks)
+        s = 0.0
+        for t in q:
+            tf = toks.count(t)
+            if tf:
+                s += idf[t] * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl_ref))
+        return s
+
+    want = [ref_score(t) for t in toklists]
+
+    for parts in (1, 4):
+        ds = rd.from_arrow(docs).repartition(parts)
+        n_docs, avgdl, df = bm25_corpus_stats(ds, q)
+        assert (n_docs, df) == (N, df_ref) and abs(avgdl - avgdl_ref) < 1e-12
+        got = (
+            as_table(bm25_scores(ds, q)).to_pandas().sort_values("doc_id")["bm25"].to_numpy()
+        )
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+    # docs with no query term score exactly 0 (None, "", "the quick...")
+    assert want[2] == want[3] == want[5] == 0.0 and got[2] == got[3] == got[5] == 0.0
+
+    # top-k == scores sort (rounded-6, id tie-break), stats reusable
+    top = bm25_topk(rd.from_arrow(docs).repartition(3), q, k=3)
+    order = sorted(range(N), key=lambda i: (-round(want[i], 6), i))[:3]
+    assert top["doc_id"].to_pylist() == order
+    reused = as_table(
+        bm25_scores(rd.from_arrow(docs), q, corpus_stats=(N, avgdl_ref, df_ref))
+    ).to_pandas().sort_values("doc_id")["bm25"].to_numpy()
+    np.testing.assert_allclose(reused, want, rtol=0, atol=1e-12)
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_corpus_stats(rd.from_arrow(docs), [])
+    with pytest.raises(ValueError, match="positive"):
+        bm25_topk(rd.from_arrow(docs), q, k=0)
+
+
 def test_char_trigram_lm_fit_score_unseen_and_layout(ray_session):
     """CharTrigramLM: layout-invariant fit, exact hand-checked probabilities,
     unseen-trigram floor (never -inf), <3-char texts -> null, unicode safe."""
