@@ -342,8 +342,18 @@ def strip_dup_spans(
             b = t.encode("utf-8", "surrogatepass")
             keep, prev = [], 0
             for s, e in zip(s_list, e_list):
-                keep.append(b[prev:s])
-                prev = e
+                # spans are byte offsets from the gram kernel and can land
+                # mid-codepoint (a gram may start on a UTF-8 continuation
+                # byte); snap the cut OUTWARD to codepoint boundaries so
+                # the kept text re-decodes — widening removes at most 3
+                # extra bytes per edge (the straddling character, which is
+                # part duplicated anyway)
+                while s > prev and s < len(b) and (b[s] & 0xC0) == 0x80:
+                    s -= 1
+                while e < len(b) and (b[e] & 0xC0) == 0x80:
+                    e += 1
+                keep.append(b[prev:max(s, prev)])
+                prev = max(e, prev)
             keep.append(b[prev:])
             out.append(b"".join(keep).decode("utf-8", "surrogatepass"))
         tb = tb.drop_columns(["__span_s", "__span_e"])

@@ -9,11 +9,18 @@ the GENERIC dataset-level sink any pipeline can end with.
 
 Design:
 
-- Hive-style layout ``out_dir/<col>=<value>/part-<hash>.parquet``.
-- Shard names are DETERMINISTIC content hashes, so an at-least-once
-  retried task OVERWRITES its own shard instead of duplicating rows
-  (the same idempotency rule the suite's violation spill uses after the
-  round-3 ADVICE fix).
+- Hive-style layout ``out_dir/<col>=<value>/part-<tag>.parquet``.
+- Partition VALUES are canonicalized through Arrow's cast-to-string on
+  BOTH the write and the resume side, so bool/float/timestamp partition
+  columns round-trip (``str(True)`` = "True" vs Arrow's "true" was a
+  silent resume mismatch that re-wrote done partitions).
+- Shard names combine the writing task's retry-stable ``task_idx`` (a
+  lineage re-execution of the same task reuses it) with a content hash:
+  an at-least-once retried task OVERWRITES its own shard instead of
+  duplicating rows, while two DIFFERENT tasks holding byte-identical
+  blocks (duplicate-heavy corpora) keep distinct names instead of
+  silently collapsing to one file. This needs the ``Datasink`` API —
+  plain ``map_batches`` UDFs can't see a stable task identity.
 - A partition is COMPLETE when its dir holds an atomic ``_DONE`` marker
   (tmp + rename) recording the row count; markers are written by the
   driver only after the full pass succeeds, so a crash mid-run leaves
@@ -22,9 +29,9 @@ Design:
   (broadcast membership filter on the partition value — partition count
   is small by contract, it is a directory fan-out).
 - No co-location shuffle: any block may hold rows of any partition;
-  each batch partitions locally (one polars ``partition_by``) and
+  each task partitions locally (one polars ``partition_by``) and
   appends its shards. Completion is tracked per partition, not per
-  shard, so correctness never depends on which block wrote what.
+  shard, so correctness never depends on which task wrote what.
 """
 
 from __future__ import annotations
@@ -33,17 +40,25 @@ import hashlib
 import os
 import urllib.parse
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from ray.data import Datasink
+
 _DONE = "_DONE"
 
 
-def _part_dirname(col: str, value) -> str:
-    sval = "__null__" if value is None else urllib.parse.quote(str(value), safe="")
-    return f"{col}={sval}"
+def _canon_value_strings(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """Arrow-canonical string form of partition values (nulls preserved).
+    This ONE canonicalization is used for dirnames, the resume filter,
+    and local partitioning, so the three can never disagree."""
+    return pc.cast(col, pa.string())
+
+
+def _part_dirname(col: str, sval: str | None) -> str:
+    enc = "__null__" if sval is None else urllib.parse.quote(sval, safe="")
+    return f"{col}={enc}"
 
 
 def _decode_part_dirname(name: str, col: str):
@@ -55,7 +70,8 @@ def _decode_part_dirname(name: str, col: str):
 
 
 def list_done_partitions(out_dir: str, partition_col: str) -> list:
-    """Partition VALUES (decoded) whose directory holds a ``_DONE``."""
+    """Partition values (Arrow-canonical strings; None for the null
+    partition) whose directory holds a ``_DONE`` marker."""
     if not os.path.isdir(out_dir):
         return []
     done = []
@@ -68,6 +84,64 @@ def list_done_partitions(out_dir: str, partition_col: str) -> list:
     return done
 
 
+class _PartitionedParquetSink(Datasink):
+    """Per-task Hive-partitioned shard writer. ``write`` returns the
+    (part_dirname, rows, files) triples the driver aggregates in
+    ``on_write_complete``."""
+
+    def __init__(self, out_dir: str, partition_col: str, max_rows_per_file: int):
+        self.out_dir = out_dir
+        self.partition_col = partition_col
+        self.max_rows_per_file = max_rows_per_file
+        self.results: list[dict] = []
+
+    def write(self, blocks, ctx) -> list[dict]:
+        import polars as pl
+
+        out_rows: list[dict] = []
+        for bi, tb in enumerate(blocks):
+            if not isinstance(tb, pa.Table):
+                tb = pa.Table.from_pandas(tb)
+            if tb.num_rows == 0:
+                continue
+            part_str = _canon_value_strings(tb[self.partition_col])
+            work = tb.append_column("__part_str", part_str)
+            # polars groups nulls together and maintain_order keeps the
+            # split deterministic for a given block — shard names must be
+            # reproducible for the retry-overwrite contract
+            for sub in pl.from_arrow(work).partition_by("__part_str", maintain_order=True):
+                sval = sub["__part_str"][0]
+                d = os.path.join(self.out_dir, _part_dirname(self.partition_col, sval))
+                os.makedirs(d, exist_ok=True)
+                t = sub.drop("__part_str").to_arrow().cast(tb.schema)
+                n_files = 0
+                for s in range(0, t.num_rows, self.max_rows_per_file):
+                    piece = t.slice(s, self.max_rows_per_file)
+                    # content hash of the piece's IPC serialization
+                    # (slices share parent buffers, so hashing raw buffers
+                    # would collide across pieces); task_idx + block/piece
+                    # ordinals keep byte-identical pieces written by
+                    # DIFFERENT tasks from colliding on one filename
+                    sink = pa.BufferOutputStream()
+                    with pa.ipc.new_stream(sink, piece.schema) as w:
+                        w.write_table(piece)
+                    h = hashlib.sha256(sink.getvalue()).hexdigest()[:16]
+                    name = f"part-t{ctx.task_idx:05d}-b{bi:03d}-{n_files:04d}-{h}.parquet"
+                    tmp = os.path.join(d, f".{name}.tmp{os.getpid()}")
+                    pq.write_table(piece, tmp)
+                    os.replace(tmp, os.path.join(d, name))
+                    n_files += 1
+                out_rows.append({
+                    "part": _part_dirname(self.partition_col, sval),
+                    "rows": t.num_rows,
+                    "files": n_files,
+                })
+        return out_rows
+
+    def on_write_complete(self, write_result) -> None:
+        self.results = [r for rs in write_result.write_returns for r in rs]
+
+
 def write_partitioned(
     ds,
     out_dir: str,
@@ -78,11 +152,12 @@ def write_partitioned(
     """Write ``ds`` as Hive-partitioned Parquet under ``out_dir`` with
     per-partition ``_DONE`` completion markers. Returns a pandas
     DataFrame ``(partition value, rows, files, skipped)`` — one row per
-    partition seen in this run plus previously-done ones.
+    partition seen in this run plus previously-done ones. Partition
+    values are reported in Arrow-canonical string form.
 
     Re-running after a crash skips completed partitions at the READ
     (their rows never scan again) and rewrites incomplete ones in place
-    (deterministic shard names make the rewrite idempotent). Rows with a
+    (retry-stable shard names make the rewrite idempotent). Rows with a
     null partition value go to ``<col>=__null__``."""
     import pandas as pd
     import polars as pl
@@ -104,60 +179,28 @@ def write_partitioned(
     if done_before:
         non_null = [v for v in done_before if v is not None]
         drop_null = any(v is None for v in done_before)
+        done_set = pa.array(non_null, type=pa.string())
 
         def drop_done(tb: pa.Table) -> pa.Table:
             col = tb[partition_col]
-            keep = pc.invert(pc.coalesce(pc.is_in(pc.cast(col, pa.string()),
-                                                  value_set=pa.array([str(v) for v in non_null])), False))
+            # the SAME canonicalization the writer used for dirnames, so
+            # bool/float/timestamp partitions compare correctly
+            keep = pc.invert(
+                pc.coalesce(pc.is_in(_canon_value_strings(col), value_set=done_set), False)
+            )
             if drop_null:
                 keep = pc.and_(keep, pc.is_valid(col))
             return tb.filter(keep)
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
-    count_schema = pa.schema([("part", pa.string()), ("rows", pa.int64()), ("files", pa.int64())])
+    sink = _PartitionedParquetSink(out_dir, partition_col, max_rows_per_file)
+    ds.write_datasink(sink)
 
-    def write_block(tb: pa.Table) -> pa.Table:
-        if tb.num_rows == 0:
-            return pa.Table.from_pydict({f.name: [] for f in count_schema}, schema=count_schema)
-        out_rows = []
-        for sub in pl.from_arrow(tb).partition_by(partition_col):
-            val = sub[partition_col][0]
-            d = os.path.join(out_dir, _part_dirname(partition_col, val))
-            os.makedirs(d, exist_ok=True)
-            t = sub.to_arrow().cast(tb.schema)
-            n_files = 0
-            for s in range(0, t.num_rows, max_rows_per_file):
-                piece = t.slice(s, max_rows_per_file)
-                # deterministic shard name: content hash of the piece's
-                # IPC serialization (slices share parent buffers, so
-                # hashing raw buffers would collide across pieces) — a
-                # retried task overwrites, never duplicates
-                sink = pa.BufferOutputStream()
-                with pa.ipc.new_stream(sink, piece.schema) as w:
-                    w.write_table(piece)
-                h = hashlib.sha256(sink.getvalue())
-                name = f"part-{h.hexdigest()[:20]}.parquet"
-                tmp = os.path.join(d, f".{name}.tmp{os.getpid()}")
-                pq.write_table(piece, tmp)
-                os.replace(tmp, os.path.join(d, name))
-                n_files += 1
-            out_rows.append(
-                {"part": _part_dirname(partition_col, val), "rows": t.num_rows, "files": n_files}
-            )
-        return pa.Table.from_pylist(out_rows, schema=count_schema)
-
-    parts = [
-        t
-        for t in ds.map_batches(
-            write_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
     summary: dict[str, dict] = {}
-    if parts:
+    if sink.results:
         agg = (
-            pl.from_arrow(pa.concat_tables(parts))
+            pl.from_dicts(sink.results)
             .group_by("part")
             .agg(pl.col("rows").sum(), pl.col("files").sum())
         )
@@ -170,8 +213,6 @@ def write_partitioned(
         with open(tmp, "w") as f:
             f.write(f"{info['rows']}\n")
         os.replace(tmp, os.path.join(d, _DONE))
-
-    import pandas as pd  # noqa: F811
 
     rows = [
         {

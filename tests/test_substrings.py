@@ -64,8 +64,14 @@ def ref_strip(texts, k, min_docs=2):
         b = t.encode("utf-8", "surrogatepass")
         keep, prev = [], 0
         for s, e in ref_spans(pos, k):
-            keep.append(b[prev:s])
-            prev = e
+            # same codepoint snapping as the implementation: widen cuts
+            # that land mid-UTF-8-character so kept text re-decodes
+            while s > prev and s < len(b) and (b[s] & 0xC0) == 0x80:
+                s -= 1
+            while e < len(b) and (b[e] & 0xC0) == 0x80:
+                e += 1
+            keep.append(b[prev:max(s, prev)])
+            prev = max(e, prev)
         keep.append(b[prev:])
         out.append(b"".join(keep).decode("utf-8", "surrogatepass"))
     return out
@@ -159,6 +165,25 @@ def test_non_ascii_byte_semantics(ray_session):
     got = _sorted_stats(dup_span_stats(_ds(texts), k=10))
     assert got == ref_stats(texts, 10)
     assert got[0][2] > 0 and got[0] == got[1]
+
+
+def test_strip_span_starting_mid_codepoint(ray_session):
+    # a duplicated byte-run that starts on a UTF-8 continuation byte
+    # (shared suffix behind different multi-byte leads) used to crash the
+    # cut with UnicodeDecodeError; the cut must snap to codepoint
+    # boundaries and the output must stay valid, reference-identical text
+    shared = "0123456789abcdefghijklmnopqrstuv"  # >= k ASCII bytes
+    texts = ["é" + shared, "ĩ" + shared, "unrelated filler text zzzz"]
+    res = strip_dup_spans(_ds(texts), k=8)
+    t = pa.concat_tables(
+        [b for b in res.iter_batches(batch_format="pyarrow", batch_size=None)],
+        promote_options="default",
+    ).sort_by([("doc_id", "ascending")])
+    got = t["text"].to_pylist()
+    assert got == ref_strip(texts, 8)
+    for cleaned in got:
+        assert shared not in cleaned
+        cleaned.encode("utf-8")  # valid text, no dangling bytes
 
 
 def test_within_doc_repeat_not_marked(ray_session):

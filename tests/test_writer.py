@@ -100,6 +100,50 @@ def test_write_partitioned_idempotent_rerun(ray_session, tmp_path):
     assert len(back) == 300 and back["doc_id"].is_unique
 
 
+def test_write_partitioned_bool_partition_resume(ray_session, tmp_path):
+    # non-string partition columns: Python str(True)="True" vs Arrow's
+    # "true" used to desynchronize dirnames from the resume filter, so
+    # done partitions were silently re-written (rows duplicated)
+    import numpy as np
+    import ray.data as rd
+
+    from anomalydetection_ray.sources.writer import write_partitioned
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(200), type=pa.int64()),
+        "flag": pa.array([i % 2 == 0 for i in range(200)], type=pa.bool_()),
+    })
+    out = str(tmp_path / "sink")
+    write_partitioned(rd.from_arrow(t), out, "flag")
+    dirs = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d)))
+    assert dirs == ["flag=false", "flag=true"]  # Arrow-canonical values
+    # full resume: every partition done -> everything skipped, no new rows
+    summary = write_partitioned(rd.from_arrow(t), out, "flag")
+    assert summary["skipped"].all()
+    back = _read_all(out)
+    assert len(back) == 200 and back["doc_id"].is_unique
+
+
+def test_write_partitioned_identical_blocks_not_collapsed(ray_session, tmp_path):
+    # two blocks with byte-identical content must BOTH persist (pure
+    # content-hash shard names used to collapse them into one file,
+    # silently losing rows while the summary counted both)
+    import ray.data as rd
+
+    from anomalydetection_ray.sources.writer import write_partitioned
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "lang": pa.array(["en", "en"], type=pa.string()),
+    })
+    dup = rd.from_arrow(t).union(rd.from_arrow(t))  # twin blocks
+    out = str(tmp_path / "sink")
+    summary = write_partitioned(dup, out, "lang")
+    back = _read_all(out)
+    assert len(back) == 4
+    assert int(summary["rows"].sum()) == 4
+
+
 def test_write_partitioned_max_rows_per_file(ray_session, tmp_path):
     import ray.data as rd
 
