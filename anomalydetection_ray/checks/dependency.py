@@ -91,11 +91,12 @@ def fd_candidate_hashes(
         batch_size=batch_size,
         zero_copy_batch=True,
     )
-    est = None
-    try:
-        est = ds.size_bytes()
-    except Exception:
-        pass
+    # metadata-only estimate: ds.size_bytes() on a transformed lazy plan
+    # can execute the entire upstream pipeline just to learn the size
+    # (the hazard metadata_size_estimate exists for); None -> shuffle plan
+    from ..functions.shuffle import metadata_size_estimate
+
+    est = metadata_size_estimate(ds)
     cand_schema = pa.schema([("hx", pa.int64())])
     if est is not None and est <= driver_merge_max_bytes:
         tabs = [

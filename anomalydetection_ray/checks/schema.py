@@ -95,7 +95,9 @@ def schema_verdicts(
     Columns: (check, partition, column, passed, metric, detail) — metric
     is the column's actual position (-1 when missing) so verdict tables
     stay numeric-stable."""
-    act = actual if isinstance(actual, pd.DataFrame) else schema_spec(actual)
+    # BOTH sides normalize through spec_from_any: a position-less actual
+    # frame previously hit float(ar.position) with AttributeError
+    act = spec_from_any(actual) if not isinstance(actual, pa.Schema) else schema_spec(actual)
     exp = spec_from_any(expected)
     dup = exp["column"][exp["column"].duplicated()]
     if len(dup):

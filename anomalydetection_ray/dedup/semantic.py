@@ -41,7 +41,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 _PANEL_BYTES = 64 << 20
 
@@ -134,7 +133,10 @@ def semdedup(
             raise ValueError("semdedup: null ids or embeddings")
         c = ray.get(cref)
         cl = tb[cluster_col].to_numpy(zero_copy_only=False)
-        ids = pc.cast(tb[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        # ids are only an ordering key for the survivor policy — keep
+        # their native type (string/UUID ids are first-class across the
+        # dedup family; a hard int64 cast crashed deep inside execution)
+        ids = tb[id_col].to_numpy(zero_copy_only=False)
         x = list_column_to_matrix(tb[vec_col])
         keep_mask = np.ones(tb.num_rows, dtype=bool)
         order = np.argsort(cl, kind="stable")

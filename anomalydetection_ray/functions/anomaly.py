@@ -94,9 +94,13 @@ class IsolationForest:
 
 def _c(m: float) -> float:
     """Average unsuccessful-search path length of a BST with m points
-    (Liu et al. 2008, eq. 1)."""
+    (Liu et al. 2008, eq. 1). The ln-approximation of H(m-1) only holds
+    for m > 2; H(1) = 1 exactly, so c(2) = 1 (the sklearn convention) —
+    the approximation gave 0.154 and inflated scores for 2-point leaves."""
     if m <= 1.0:
         return 0.0
+    if m <= 2.0:
+        return 1.0
     return 2.0 * (np.log(m - 1.0) + _EULER) - 2.0 * (m - 1.0) / m
 
 

@@ -73,6 +73,8 @@ def _learn_merges(words: list[str], counts: list[int], n_merges: int) -> list[tu
     syms: list[list[str]] = [list(w[:-1]) + [w[-1] + _EOW] for w in words if w]
     freqs = [c for w, c in zip(words, counts) if w]
 
+    import heapq
+
     pair_counts: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
     for wi, (s, f) in enumerate(zip(syms, freqs)):
@@ -81,23 +83,29 @@ def _learn_merges(words: list[str], counts: list[int], n_merges: int) -> list[tu
             pair_counts[p] = pair_counts.get(p, 0) + f
             pair_words.setdefault(p, set()).add(wi)
 
+    # max-heap with lazy invalidation: (-count, pair) pops the highest
+    # count with the lexicographically-smallest pair on ties (the same
+    # deterministic rule as a full scan). A full-dict argmax per merge is
+    # O(n_merges × distinct_pairs) — hours at a 2M-word vocabulary; the
+    # heap makes each selection O(log P) with one push per touched pair.
+    heap: list[tuple[int, tuple[str, str]]] = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        best = None
-        best_cnt = 0
-        for p, c in pair_counts.items():
-            if c > best_cnt or (c == best_cnt and best is not None and p < best):
-                best, best_cnt = p, c
-        if best is None or best_cnt <= 0:
-            break
+    while len(merges) < n_merges and heap:
+        neg, best = heapq.heappop(heap)
+        if pair_counts.get(best) != -neg:
+            continue  # stale entry: the pair's count changed since push
         merges.append(best)
         joined = best[0] + best[1]
+        touched: set[tuple[str, str]] = set()
         for wi in list(pair_words.get(best, ())):
             s, f = syms[wi], freqs[wi]
             # remove this word's old pair contributions
             for a, b in zip(s, s[1:]):
                 p = (a, b)
                 pair_counts[p] -= f
+                touched.add(p)
                 if pair_counts[p] <= 0:
                     del pair_counts[p]
                     pair_words.pop(p, None)
@@ -120,7 +128,14 @@ def _learn_merges(words: list[str], counts: list[int], n_merges: int) -> list[tu
             for a, b in zip(ns, ns[1:]):
                 p = (a, b)
                 pair_counts[p] = pair_counts.get(p, 0) + f
+                touched.add(p)
                 pair_words.setdefault(p, set()).add(wi)
+        # ONE fresh heap entry per net-changed pair per merge (not per
+        # intermediate decrement) keeps heap growth bounded by touched work
+        for p in touched:
+            c = pair_counts.get(p)
+            if c is not None and c > 0:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 
@@ -138,19 +153,24 @@ def bpe_train(
     ``max_words`` — the driver gather is bounded by contract."""
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
-    wc = word_counts(docs_ds, text_col)
+    # materialize FIRST and read the distinct-word count from block
+    # metadata, so an unbounded vocabulary (random blobs) fails the guard
+    # before any (word, cnt) rows are gathered onto the driver — gating
+    # after the gather would OOM exactly where the guard claims to protect
+    wc = word_counts(docs_ds, text_col).materialize()
+    n_words = wc.count()
+    if n_words > max_words:
+        raise ValueError(
+            f"distinct-word table has {n_words} rows > max_words={max_words}; "
+            "the driver-side merge loop is vocabulary-bounded by contract — raise "
+            "max_words only if the vocabulary is genuinely this large"
+        )
     parts = list(wc.iter_batches(batch_format="pyarrow", batch_size=None))
     tb = pa.concat_tables(
         [p for p in parts if p.num_rows]
         or [pa.schema([("word", pa.string()), ("cnt", pa.int64())]).empty_table()],
         promote_options="default",
     )
-    if tb.num_rows > max_words:
-        raise ValueError(
-            f"distinct-word table has {tb.num_rows} rows > max_words={max_words}; "
-            "the driver-side merge loop is vocabulary-bounded by contract — raise "
-            "max_words only if the vocabulary is genuinely this large"
-        )
     # deterministic learning regardless of shuffle arrival order
     order = pa.compute.sort_indices(
         tb, sort_keys=[("cnt", "descending"), ("word", "ascending")]

@@ -37,30 +37,9 @@ def _cast_block(tb: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays([c.combine_chunks() for c in cols], schema=schema)
 
 
-def read_csv_table(
-    paths,
-    schema: pa.Schema,
-    on_malformed: str = "error",
-    delimiter: str = ",",
-    header: bool = True,
-    newlines_in_values: bool = True,
-    **ray_args,
-):
-    """``ray.data.read_csv`` with the schema enforced AT THE PARSE.
-
-    ``schema`` drives pyarrow's ``ConvertOptions.column_types`` — no type
-    inference, so a commit hash column of digits stays ``string``.
-    ``on_malformed="skip"`` installs pyarrow's ``invalid_row_handler`` (rows
-    with the wrong column count are dropped inside the C++ parser);
-    ``"error"`` keeps the default abort. ``newlines_in_values`` is on by
-    default because code/document content embeds newlines (quoted CSV).
-    Headerless files (``header=False``) take column names from ``schema``.
-    """
+def _csv_options(schema: pa.Schema, on_malformed: str, delimiter: str,
+                 header: bool, newlines_in_values: bool, all_string: bool):
     from pyarrow import csv as pacsv
-    import ray.data as rd
-
-    if on_malformed not in ("error", "skip"):
-        raise ValueError("on_malformed must be 'error' or 'skip'")
 
     parse_options = pacsv.ParseOptions(
         delimiter=delimiter,
@@ -71,7 +50,9 @@ def read_csv_table(
         column_names=None if header else [f.name for f in schema],
     )
     convert_options = pacsv.ConvertOptions(
-        column_types={f.name: f.type for f in schema},
+        column_types={
+            f.name: (pa.string() if all_string else f.type) for f in schema
+        },
         include_columns=[f.name for f in schema],
         # a fully-absent column (short header) materializes as nulls
         include_missing_columns=True,
@@ -81,20 +62,141 @@ def read_csv_table(
         strings_can_be_null=True,
         quoted_strings_can_be_null=False,
     )
-    ds = rd.read_csv(
-        paths,
-        parse_options=parse_options,
-        read_options=read_options,
-        convert_options=convert_options,
-        **ray_args,
+    return parse_options, read_options, convert_options
+
+
+def _lossy_cast(col: pa.ChunkedArray, typ: pa.DataType) -> pa.Array:
+    """String column → ``typ`` with null (never an exception) on values
+    that don't convert. Mirrors Arrow CSV conversion conventions for the
+    common types; exotic types take a per-value fallback (rare by
+    contract — this only runs on files that already failed the fast
+    typed parse)."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return col.cast(typ)
+    if pa.types.is_boolean(typ):
+        low = pc.utf8_lower(col)
+        true = pc.is_in(low, value_set=pa.array(["1", "true"]))
+        false = pc.is_in(low, value_set=pa.array(["0", "false"]))
+        return pc.if_else(true, True, pc.if_else(false, False, pa.scalar(None, pa.bool_()))).cast(typ)
+    s = pl.Series("v", col)
+    try:
+        if pa.types.is_timestamp(typ):
+            out = s.str.to_datetime(strict=False, time_unit=typ.unit or "us")
+        elif pa.types.is_date(typ):
+            out = s.str.to_date(strict=False)
+        else:
+            # arrow type → polars dtype via an empty typed series (polars
+            # has no public from_arrow dtype constructor at this version)
+            out = s.cast(pl.Series(pa.array([], type=typ)).dtype, strict=False)
+        return out.to_arrow().cast(typ)
+    except (pl.exceptions.PolarsError, pa.ArrowInvalid, TypeError, ValueError):
+        vals = []
+        for v in col.to_pylist():
+            if v is None:
+                vals.append(None)
+                continue
+            try:
+                vals.append(pa.scalar(v, pa.string()).cast(typ).as_py())
+            except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError):
+                vals.append(None)
+        return pa.array(vals, type=typ)
+
+
+def read_csv_table(
+    paths,
+    schema: pa.Schema,
+    on_malformed: str = "error",
+    delimiter: str = ",",
+    header: bool = True,
+    newlines_in_values: bool = True,
+    **ray_args,
+):
+    """CSV → Dataset with the schema enforced AT THE PARSE.
+
+    ``schema`` drives pyarrow's ``ConvertOptions.column_types`` — no type
+    inference, so a commit hash column of digits stays ``string``.
+    ``newlines_in_values`` is on by default because code/document content
+    embeds newlines (quoted CSV). Headerless files (``header=False``)
+    take column names from ``schema``.
+
+    ``on_malformed="error"`` is ``ray.data.read_csv`` with the typed
+    convert options — any malformed row or value aborts loudly.
+    ``on_malformed="skip"`` must survive BOTH malformation shapes without
+    aborting the scan: rows with the wrong column count (pyarrow's
+    ``invalid_row_handler`` drops them inside the C++ parser) AND rows
+    whose value fails type conversion ('abc' in an int64 column — the
+    C++ parser can only abort on these). So skip mode parses each file
+    with the typed fast path first, and only a file that fails
+    conversion re-parses all-string + per-column lossy cast, dropping
+    exactly the rows where a present value failed its cast. Files are
+    the parallelism unit in both modes (CSV with quoted newlines is not
+    sub-file splittable)."""
+    from pyarrow import csv as pacsv
+    import ray.data as rd
+
+    if on_malformed not in ("error", "skip"):
+        raise ValueError("on_malformed must be 'error' or 'skip'")
+
+    parse_options, read_options, convert_options = _csv_options(
+        schema, on_malformed, delimiter, header, newlines_in_values, all_string=False
     )
-    # pyarrow already typed every column; one zero-copy pass pins the
-    # column ORDER so downstream schema checks see the exact target schema
-    return ds.map_batches(
-        lambda tb: _cast_block(tb, schema),
-        batch_format="pyarrow",
-        batch_size=None,
-        zero_copy_batch=True,
+    if on_malformed == "error":
+        ds = rd.read_csv(
+            paths,
+            parse_options=parse_options,
+            read_options=read_options,
+            convert_options=convert_options,
+            **ray_args,
+        )
+        # pyarrow already typed every column; one zero-copy pass pins the
+        # column ORDER so downstream schema checks see the target schema
+        return ds.map_batches(
+            lambda tb: _cast_block(tb, schema),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
+
+    _, _, convert_all_string = _csv_options(
+        schema, on_malformed, delimiter, header, newlines_in_values, all_string=True
+    )
+
+    def parse_file(batch: pa.Table) -> pa.Table:
+        out = []
+        for blob in batch["bytes"]:
+            buf = pa.py_buffer(blob.as_py())
+            try:
+                tb = pacsv.read_csv(buf, read_options=read_options,
+                                    parse_options=parse_options,
+                                    convert_options=convert_options)
+                out.append(_cast_block(tb, schema))
+                continue
+            except pa.ArrowInvalid:
+                pass  # a value failed typed conversion: lossy re-parse
+            raw = pacsv.read_csv(buf, read_options=read_options,
+                                 parse_options=parse_options,
+                                 convert_options=convert_all_string)
+            cols, fail = [], None
+            for f in schema:
+                rc = raw[f.name] if f.name in raw.column_names \
+                    else pa.nulls(raw.num_rows, pa.string())
+                typed = _lossy_cast(rc, f.type)
+                cols.append(typed)
+                # failed = value present in the file but cast to null
+                import pyarrow.compute as pc
+                bad = pc.and_(pc.is_valid(rc), pc.is_null(typed))
+                fail = bad if fail is None else pc.or_(fail, bad)
+            tb = pa.Table.from_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                                       for c in cols], schema=schema)
+            out.append(tb.filter(pa.compute.invert(fail)) if fail is not None else tb)
+        return pa.concat_tables(out or [schema.empty_table()], promote_options="none")
+
+    return rd.read_binary_files(paths, **ray_args).map_batches(
+        parse_file, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
 

@@ -89,6 +89,21 @@ def test_isolation_forest_scores_and_invariance(ray_session):
     assert s[:n_out].mean() > s[n_out:].mean() + 0.1
 
 
+def test_iforest_c_normalizer_exact_small_values():
+    # c(2) = 1 exactly (H(1) = 1, sklearn's convention); the ln
+    # approximation gave 0.154 and inflated 2-point-leaf scores
+    from anomalydetection_ray.functions.anomaly import _c
+
+    assert _c(1) == 0.0
+    assert _c(2) == 1.0
+    # c is monotonically increasing past 2 and matches the published
+    # closed form where the approximation is valid
+    import numpy as np
+
+    assert _c(3) == 2.0 * (np.log(2.0) + 0.5772156649015329) - 4.0 / 3.0
+    assert _c(2) < _c(3) < _c(4) < _c(256)
+
+
 def test_isolation_forest_fit_shapes():
     from anomalydetection_ray.functions.anomaly import (
         isolation_forest_fit,

@@ -97,6 +97,29 @@ def test_csv_malformed_policies(ray_session, tmp_path):
         read_csv_table(str(p), sch, on_malformed="error").materialize()
 
 
+def test_csv_type_invalid_values_skip(ray_session, tmp_path):
+    """A value failing TYPE conversion (not just column count) must not
+    abort the scan in skip mode — only its row drops; empty fields stay
+    legitimate typed nulls."""
+    p = tmp_path / "badval.csv"
+    p.write_text("a,b,f,when\n1,x,1.5,2021-01-02T00:00:00\nabc,y,2.5,2021-01-03T00:00:00\n"
+                 "3,z,notafloat,2021-01-04T00:00:00\n4,w,4.5,notatime\n5,,5.5,2021-01-05T00:00:00\n")
+    sch = pa.schema([("a", pa.int64()), ("b", pa.string()),
+                     ("f", pa.float64()), ("when", pa.timestamp("us"))])
+    got = _as_sorted_table(read_csv_table(str(p), sch, on_malformed="skip"), "a")
+    assert got["a"].to_pylist() == [1, 5]
+    assert got["b"].to_pylist() == ["x", None]  # unquoted empty -> null kept
+    assert got.schema == sch
+    with pytest.raises(Exception):
+        read_csv_table(str(p), sch, on_malformed="error").materialize()
+    # a file mixing BOTH malformation shapes survives skip mode too
+    p2 = tmp_path / "both.csv"
+    p2.write_text("a,b\n1,x\n2,y,EXTRA\nnotanint,z\n4,ok\n")
+    sch2 = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    got2 = _as_sorted_table(read_csv_table(str(p2), sch2, on_malformed="skip"), "a")
+    assert got2["a"].to_pylist() == [1, 4]
+
+
 def test_csv_headerless_and_missing_column(ray_session, tmp_path):
     p = tmp_path / "nohdr.csv"
     p.write_text("r0,python\nr1,go\n")

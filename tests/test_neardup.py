@@ -774,6 +774,29 @@ def test_semdedup_clustered_drops_planted_duplicates(ray_session):
     assert sorted(kept_groups) == list(range(len(want_groups)))
 
 
+def test_semdedup_string_ids(ray_session):
+    # UUID/hash string ids are first-class across the dedup family; a
+    # hard int64 cast used to crash deep inside execution
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup import semdedup
+
+    ids, vecs, _ = _semdedup_fixture()
+    sids = [f"doc-{i:04d}" for i in ids]
+    t = pa.table({"vec_id": pa.array(sids, type=pa.string()),
+                  "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                        type=pa.list_(pa.float32()))})
+    want = [f"doc-{i:04d}" for i in _brute_survivors(ids, vecs, 0.98)]
+    got = (
+        semdedup(rd.from_arrow(t).repartition(3), "vec_id", "embedding", k=1, threshold=0.98)
+        .to_pandas()["vec_id"]
+        .sort_values()
+        .tolist()
+    )
+    assert got == want  # min-string-id survivor == min-int-id survivor here
+
+
 def test_semdedup_validation_and_precomputed_centers(ray_session):
     import numpy as np
     import pyarrow as pa

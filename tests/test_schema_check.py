@@ -51,6 +51,17 @@ def test_statuses():
     assert (v["check"] == "schema").all()
 
 
+def test_actual_side_frame_without_position():
+    # an actual-side spec FRAME lacking 'position' must normalize like
+    # the expected side does (used to AttributeError on float(ar.position))
+    import pandas as pd
+
+    act = pd.DataFrame({"column": ["repo", "lang"], "dtype": ["string", "string"]})
+    v = schema_verdicts(act, [("repo", "string"), ("lang", "string")]).set_index("column")
+    assert v["passed"].all()
+    assert v.loc["repo", "metric"] == 0.0 and v.loc["lang", "metric"] == 1.0
+
+
 def test_added_columns_and_order():
     base = [("repo", "string"), ("path", "string"), ("commit", "string"), ("lang", "string")]
     v = schema_verdicts(ACTUAL, base).set_index("column")
