@@ -200,6 +200,9 @@ def _apply_drops(id_col: str, text_col: str, sep: str):
                 how="left",
             )
             .with_columns(pl.col("__drop").fill_null(False))
+            # polars leaves join row order unspecified; kept lines must
+            # re-join in ORIGINAL line order or documents get scrambled
+            .sort("__row", "__idxs")
         )
         kept = ex.group_by("__row", maintain_order=False).agg(
             pl.len().alias("n_lines"),

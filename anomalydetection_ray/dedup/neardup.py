@@ -1570,6 +1570,12 @@ class HyperplaneLSHStage:
         self.rows = n_bits // bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # matmul guard for empty blocks
+            return pa.Table.from_pydict({
+                "id": pa.array([], type=batch.schema.field(self.id_col).type),
+                "band": pa.array([], type=pa.int64()),
+                "key": pa.array([], type=pa.int64()),
+            })
         m = list_column_to_matrix(batch[self.vec_col])
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         bits = (m @ self.planes) > 0  # (n, n_bits)

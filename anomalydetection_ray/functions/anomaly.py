@@ -67,7 +67,8 @@ def mahalanobis_scores(
     src = ds if carry is None else select_if_needed(ds, list(dict.fromkeys(carry + [vec_col])))
 
     def score(tb: pa.Table) -> pa.Table:
-        x = list_column_to_matrix(tb[vec_col]).astype(np.float64)
+        x = (np.empty((0, d)) if tb.num_rows == 0
+             else list_column_to_matrix(tb[vec_col]).astype(np.float64))
         dev = x - mean
         m = np.einsum("ij,ij->i", dev @ prec, dev)
         return tb.append_column(out_col, pa.array(m, type=pa.float64()))
@@ -257,6 +258,8 @@ def isolation_forest_scores(
             self.vec_col, self.out_col = vec_col, out_col
 
         def __call__(self, tb: pa.Table) -> pa.Table:
+            if tb.num_rows == 0:
+                return tb.append_column(self.out_col, pa.array([], type=pa.float64()))
             x = list_column_to_matrix(tb[self.vec_col])
             s = isolation_forest_score_matrix(self.forest, x)
             return tb.append_column(self.out_col, pa.array(s, type=pa.float64()))

@@ -39,6 +39,13 @@ class _PartialTopK:
         self.q = _normalize(ray.get(queries_ref).astype(np.float64))  # (Q, d)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block: no partials (and no matmul
+            # against a width-unknowable (0, 0) matrix)
+            return pa.Table.from_pydict({
+                "query_id": pa.array([], type=pa.int64()),
+                self.id_col: pa.array([], type=batch.schema.field(self.id_col).type),
+                "score": pa.array([], type=pa.float64()),
+            })
         m = _normalize(list_column_to_matrix(batch[self.vec_col]))  # (n, d)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         sims = m @ self.q.T  # (n, Q)
@@ -117,7 +124,20 @@ class _IVFPartialTopK:
         n_probe = min(n_probe, self.cent.shape[0])
         self.probe = np.argsort(-qsims, axis=1)[:, :n_probe]
 
+    def _empty(self, batch: pa.Table) -> pa.Table:
+        # id type mirrors the INPUT (a hardcoded int64 here would give
+        # string-id pipelines a cross-block schema mismatch)
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                self.id_col: pa.array([], type=batch.schema.field(self.id_col).type),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._empty(batch)
         m = _normalize(list_column_to_matrix(batch[self.vec_col]))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         assign = (m @ self.cent.T).argmax(axis=1)  # (n,)
@@ -134,13 +154,7 @@ class _IVFPartialTopK:
             out_i.append(sub_ids[top])
             out_s.append(sims[top])
         if not out_q:
-            return pa.Table.from_pydict(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    self.id_col: pa.array([], type=pa.int64()),
-                    "score": pa.array([], type=pa.float64()),
-                }
-            )
+            return self._empty(batch)
         return pa.Table.from_pydict(
             {
                 "query_id": pa.array(np.concatenate(out_q)),
@@ -294,6 +308,13 @@ def kmeans_fit(
 
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(cref)
+            if batch.num_rows == 0:  # empty block contributes no partial
+                return pa.table({
+                    "cell": pa.array([], type=pa.int64()),
+                    "vsum": pa.array([], type=pa.list_(pa.float64())),
+                    "cnt": pa.array([], type=pa.int64()),
+                    "sse": pa.array([], type=pa.float64()),
+                })
             x = list_column_to_matrix(batch[vec_col]).astype(np.float64)
             # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over centers
             d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ c.T) + (c * c).sum(axis=1)
@@ -346,6 +367,8 @@ def kmeans_assign(ds, centers: np.ndarray, vec_col: str = "embedding", out_col: 
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], type=pa.int64()))
         x = list_column_to_matrix(batch[vec_col]).astype(np.float64)
         d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ c.T) + (c * c).sum(axis=1)
         return batch.append_column(out_col, pa.array(d2.argmin(axis=1).astype(np.int64)))
@@ -445,6 +468,9 @@ def pq_encode(ds, id_col: str, vec_col: str, codebooks: np.ndarray, out_col: str
 
     def encode(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
+        if batch.num_rows == 0:
+            lst = pa.FixedSizeListArray.from_arrays(pa.array([], type=pa.uint8()), m)
+            return pa.table({id_col: batch[id_col], out_col: lst})
         x = _normalize(list_column_to_matrix(batch[vec_col]))
         if x.shape[1] != m * dsub:
             raise ValueError(f"dim {x.shape[1]} != m*dsub {m * dsub}")
@@ -481,6 +507,12 @@ class _PQPartialTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # list_column_to_matrix honors slice offsets on fixed-size lists
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict({
+                "query_id": pa.array([], type=pa.int64()),
+                self.id_col: pa.array([], type=batch.schema.field(self.id_col).type),
+                "score": pa.array([], type=pa.float64()),
+            })
         codes = list_column_to_matrix(batch[self.code_col]).astype(np.int64)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         jj = np.arange(self.m)
@@ -551,6 +583,10 @@ def ivfpq_encode(ds, id_col: str, vec_col: str, centroids: np.ndarray, codebooks
 
     def encode(batch: pa.Table) -> pa.Table:
         c, b = ray.get(cref), ray.get(bref)
+        if batch.num_rows == 0:
+            lst = pa.FixedSizeListArray.from_arrays(pa.array([], type=pa.uint8()), m)
+            return pa.table({id_col: batch[id_col],
+                             "cell": pa.array([], type=pa.uint16()), "pq_code": lst})
         x = _normalize(list_column_to_matrix(batch[vec_col]))
         cell = (x @ c.T).argmax(axis=1).astype(np.uint16)
         codes = np.empty((len(x), m), dtype=np.uint8)
@@ -583,7 +619,16 @@ class _IVFPQPartialTopK:
         self.m = m
         self.luts = np.einsum("qjd,jkd->qjk", q.reshape(len(q), m, dsub), cb)
 
+    def _empty(self, batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"query_id": pa.array([], type=pa.int64()),
+             self.id_col: pa.array([], type=batch.schema.field(self.id_col).type),
+             "score": pa.array([], type=pa.float64())}
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._empty(batch)
         codes = list_column_to_matrix(batch["pq_code"]).astype(np.int64)
         cell = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
@@ -601,11 +646,7 @@ class _IVFPQPartialTopK:
             out_i.append(sub_ids[top])
             out_s.append(sims[top])
         if not out_q:
-            return pa.Table.from_pydict(
-                {"query_id": pa.array([], type=pa.int64()),
-                 self.id_col: pa.array([], type=pa.int64()),
-                 "score": pa.array([], type=pa.float64())}
-            )
+            return self._empty(batch)
         return pa.Table.from_pydict(
             {"query_id": pa.array(np.concatenate(out_q)),
              self.id_col: pa.array(np.concatenate(out_i)),

@@ -50,8 +50,15 @@ def md5_unit_hash(batch: pa.Table, on: str, seed: int = 0) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     vals = col.to_pylist()
-    h = np.fromiter((_md5_token_hash(str(v)) for v in vals), dtype=np.uint64, count=len(vals))
-    return (h % np.uint64(100000)).astype(np.float64) / 100000.0
+    # null keys hash to NaN, not str(None)=="None": in DuckDB
+    # md5_number_lower(CAST(NULL AS VARCHAR)) is NULL, so null-key rows
+    # satisfy no split interval and rank NULLS LAST — NaN reproduces both
+    h = np.fromiter((_md5_token_hash(str(v)) if v is not None else 0 for v in vals),
+                    dtype=np.uint64, count=len(vals))
+    u = (h % np.uint64(100000)).astype(np.float64) / 100000.0
+    if col.null_count:
+        u[np.array([v is None for v in vals])] = np.nan
+    return u
 
 
 def md5_order_hash(batch: pa.Table, on: str, seed: int = 0) -> np.ndarray:
@@ -60,6 +67,7 @@ def md5_order_hash(batch: pa.Table, on: str, seed: int = 0) -> np.ndarray:
     — :func:`md5_unit_hash`'s 100k-bucket unit is fine for split
     membership but collides constantly under ORDER BY). A sample ranked
     on it matches DuckDB ``ORDER BY md5_number_lower(...)`` exactly.
+    Null keys rank LAST (uint64 max — DuckDB's default NULLS LAST).
     ``seed`` is ignored (md5 parity has no seed)."""
     from ..sketches.simhash import _md5_token_hash
 
@@ -68,7 +76,10 @@ def md5_order_hash(batch: pa.Table, on: str, seed: int = 0) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     vals = col.to_pylist()
-    return np.fromiter((_md5_token_hash(str(v)) for v in vals), dtype=np.uint64, count=len(vals))
+    return np.fromiter(
+        (_md5_token_hash(str(v)) if v is not None else np.iinfo(np.uint64).max for v in vals),
+        dtype=np.uint64, count=len(vals),
+    )
 
 
 def grouped_fixed_count_sample(ds, key: str, on: str, n: int, seed: int = 42, unit_fn=None):
@@ -183,13 +194,22 @@ def fixed_count_sample(ds, on: str, n: int, seed: int = 42, unit_fn=None):
     # and equal keys are interchangeable by the sampling contract, so the
     # selected KEY multiset is deterministic at any layout (the usual
     # `on` = unique row id makes the full rows deterministic too).
+    # the md5 family ignores its seed, so "same fn, seed+1" would give
+    # u2 == u and ties would fall back to block layout; the full-width
+    # md5_order_hash is the SQL-reproducible tie-break for those
+    # (equivalent to ORDER BY md5 % 100000, md5)
+    def tie_fn(batch: pa.Table) -> np.ndarray:
+        if hash_fn in (md5_unit_hash, md5_unit_hash_open):
+            return md5_order_hash(batch, on, seed).astype(np.float64)
+        return hash_fn(batch, on, seed + 1)
+
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column("__u", pa.array([], type=pa.float64())).append_column(
                 "__u2", pa.array([], type=pa.float64())
             )
         u = hash_fn(batch, on, seed)
-        u2 = hash_fn(batch, on, seed + 1)
+        u2 = tie_fn(batch)
         t = batch.append_column("__u", pa.array(u, type=pa.float64())).append_column(
             "__u2", pa.array(u2, type=pa.float64())
         )
@@ -228,8 +248,12 @@ def md5_unit_hash_open(batch: pa.Table, on: str, seed: int = 0) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     vals = col.to_pylist()
-    h = np.fromiter((_md5_token_hash(str(v)) for v in vals), dtype=np.uint64, count=len(vals))
-    return ((h % np.uint64(100000)).astype(np.float64) + 1.0) / 100001.0
+    h = np.fromiter((_md5_token_hash(str(v)) if v is not None else 0 for v in vals),
+                    dtype=np.uint64, count=len(vals))
+    u = ((h % np.uint64(100000)).astype(np.float64) + 1.0) / 100001.0
+    if col.null_count:
+        u[np.array([v is None for v in vals])] = np.nan  # NULL semantics
+    return u
 
 
 def weighted_fixed_count_sample(

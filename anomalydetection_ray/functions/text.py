@@ -698,7 +698,9 @@ def _pack_trigram_windows(texts: list) -> tuple[np.ndarray, np.ndarray, np.ndarr
     """
     safe = ["" if t is None else t for t in texts]
     joined = "\x00".join(safe)
-    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    # surrogatepass: damaged-encoding corpora (lone surrogates) are an
+    # expected input to every text kernel in this engine
+    cp = np.frombuffer(joined.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
     if len(cp) < 3:
         e = np.array([], dtype=np.uint64)
         return e, np.array([], dtype=np.int64), np.array([], dtype=bool)
@@ -1415,8 +1417,12 @@ _MOJIBAKE_RE = "\u00c3[\u0080-\u00ff]|\u00e2[\u0080-\u00bf\u20ac]|\ufffd"
 
 _HTML_TAG_RE = r"<[^>]*>"
 _HTML_ENTITIES = [
-    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    # &amp; decodes LAST: decoding it first turns escaped-escaped markup
+    # ('&amp;lt;b&amp;gt;', common in code samples) into '&lt;' which the
+    # later passes would then wrongly decode again to '<'
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
     ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+    ("&amp;", "&"),
 ]
 _CONTROL_RE = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]"
 

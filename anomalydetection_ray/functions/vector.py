@@ -21,6 +21,12 @@ def list_column_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if isinstance(arr, pa.ChunkedArray):  # zero chunks edge case
         arr = pa.concat_arrays(arr.chunks) if arr.num_chunks else pa.array([], type=arr.type)
+    if arr.null_count:
+        # loud failure on BOTH layouts: the fixed-size path otherwise
+        # reads the null slots' undefined buffer bytes as real values
+        # (silent NaN poisoning of kmeans/knn); the variable path would
+        # mis-diagnose them as ragged
+        raise ValueError("null embedding rows; filter or impute before matrix kernels")
     if pa.types.is_fixed_size_list(arr.type):
         d = arr.type.list_size
         flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
@@ -30,13 +36,14 @@ def list_column_to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     offsets = arr.offsets.to_numpy()
     widths = np.diff(offsets)
     if len(widths) == 0:
+        # the width is unknowable from an empty variable-size column;
+        # matmul consumers must guard num_rows == 0 before calling
         return np.empty((0, 0))
     d = int(widths[0])
     if not (widths == d).all():
         raise ValueError("ragged list column; expected fixed-width embeddings")
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-    start = int(offsets[0]) * 0  # offsets already applied by flatten()
-    return flat.reshape(len(widths), d)[start:]
+    return flat.reshape(len(widths), d)
 
 
 def l2_norm_batch(batch: pa.Table, vec_col: str = "embedding", out_col: str = "anomaly_score") -> pa.Table:
@@ -108,6 +115,13 @@ def grouped_centroids(ds, group_col: str, vec_col: str, num_blocks: int | None =
     import polars as pl
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block: no partial rows (the
+            # driver iter already drops zero-row tables)
+            return pa.table({
+                group_col: pa.array([], type=batch.schema.field(group_col).type),
+                "vsum": pa.array([], type=pa.list_(pa.float64())),
+                "cnt": pa.array([], type=pa.int64()),
+            })
         m = list_column_to_matrix(batch[vec_col])
         g = batch[group_col].combine_chunks() if isinstance(batch[group_col], pa.ChunkedArray) else batch[group_col]
         gv = np.asarray(g)
@@ -204,6 +218,14 @@ def streaming_moments(ds, vec_col: str) -> tuple[int, np.ndarray, np.ndarray]:
     from .shuffle import select_if_needed
 
     def partial(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            # an empty block must emit NO partial: a width-0 `s` row would
+            # crash the driver's np.add.reduce with inhomogeneous shapes
+            return pa.table({
+                "n": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.list_(pa.float64())),
+                "xx": pa.array([], type=pa.list_(pa.float64())),
+            })
         x = list_column_to_matrix(tb[vec_col]).astype(np.float64)
         return pa.table(
             {
@@ -274,7 +296,8 @@ def distributed_pca(ds, vec_col: str, k: int, carry: list[str] | None = None):
     out_col = f"{vec_col}_pca"
 
     def project(tb: pa.Table) -> pa.Table:
-        x = list_column_to_matrix(tb[vec_col]).astype(np.float64)
+        x = (np.empty((0, len(mean))) if tb.num_rows == 0
+             else list_column_to_matrix(tb[vec_col]).astype(np.float64))
         p = (x - mean) @ w
         lst = pa.FixedSizeListArray.from_arrays(
             pa.array(p.reshape(-1), type=pa.float64()), k

@@ -587,3 +587,65 @@ def test_round4g_ops_empty_and_degenerate_inputs(ray_session, tmp_path):
     import os
 
     assert os.path.isdir(out_dir) and not any(os.path.isdir(os.path.join(out_dir, d)) for d in os.listdir(out_dir))
+
+
+def test_matrix_kernels_survive_empty_blocks(ray_session):
+    """A zero-row block (empty parquet file / filter that drains a block)
+    must flow through every matmul consumer: the (0, 0) matrix from an
+    empty variable-size list column used to crash topk/kmeans/moments."""
+    import numpy as np
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup.neardup import embedding_neardup_pairs
+    from anomalydetection_ray.functions.similarity import (
+        ivf_topk_cosine,
+        kmeans_assign,
+        kmeans_fit,
+        pq_topk_cosine,
+        topk_cosine,
+    )
+    from anomalydetection_ray.functions.vector import streaming_moments
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 8))
+    tbl = pa.table({
+        "vec_id": pa.array(range(60), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs], type=pa.list_(pa.float32())),
+    })
+    # layout with a genuinely EMPTY block in the middle
+    ds = rd.from_arrow([tbl.slice(0, 30), tbl.slice(0, 0), tbl.slice(30, 30)])
+    q = vecs[:2]
+
+    got = topk_cosine(ds, "vec_id", "embedding", q, k=5)
+    want = topk_cosine(rd.from_arrow(tbl), "vec_id", "embedding", q, k=5)
+    assert got.equals(want)
+
+    n, s, xx = streaming_moments(ds, "embedding")
+    assert n == 60 and np.allclose(s, vecs.sum(axis=0)) and np.allclose(xx, vecs.T @ vecs)
+
+    centers, inertia, _ = kmeans_fit(ds, "vec_id", "embedding", k=4, iters=3, seed=3)
+    assert centers.shape == (4, 8) and np.isfinite(inertia)
+    assigned = kmeans_assign(ds, centers, vec_col="embedding")
+    assert assigned.count() == 60
+
+    ivf = ivf_topk_cosine(ds, "vec_id", "embedding", q, k=5, n_cells=4, n_probe=4)
+    assert len(ivf) == 10
+    pq_res = pq_topk_cosine(ds, "vec_id", "embedding", q, k=5, m=4)
+    assert len(pq_res) == 10
+
+    pairs = embedding_neardup_pairs(ds, "vec_id", "embedding", dim=8, threshold=0.99)
+    assert pairs.num_rows == 0  # random gaussians: no near-dups, no crash
+
+
+def test_list_column_to_matrix_rejects_nulls():
+    """Null embedding rows must fail LOUDLY on both list layouts — the
+    fixed-size path used to read undefined buffer bytes as NaN values."""
+    import pytest as _pytest
+
+    from anomalydetection_ray.functions.vector import list_column_to_matrix
+
+    var = pa.array([[1.0, 2.0], None, [5.0, 6.0]], type=pa.list_(pa.float64()))
+    fixed = pa.array([[1.0, 2.0], None, [5.0, 6.0]], type=pa.list_(pa.float64(), 2))
+    for col in (var, fixed):
+        with _pytest.raises(ValueError, match="null embedding"):
+            list_column_to_matrix(col)

@@ -98,6 +98,59 @@ def test_fixed_count_sample_null_and_string_keys(ray_session):
         assert got == keys
 
 
+def test_fixed_count_sample_md5_tiebreak_layout_invariant(ray_session):
+    """With unit_fn=md5_unit_hash (100k buckets, seed-free) hash ties are
+    common; the tie-break must stay layout-invariant (the old 'same fn,
+    seed+1' second hash was identical to the first for md5)."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.split import fixed_count_sample, md5_unit_hash
+
+    tbl = pa.table({"id": pa.array(range(3000), type=pa.int64())})
+    layouts = [
+        rd.from_arrow(tbl),
+        rd.from_arrow([tbl.slice(i, 211) for i in range(0, 3000, 211)]),
+        rd.from_arrow([tbl.slice(i, 977) for i in range(0, 3000, 977)]),
+    ]
+    ids0 = None
+    for ds in layouts:
+        got = fixed_count_sample(ds, "id", 400, unit_fn=md5_unit_hash)["id"].to_pylist()
+        assert len(got) == 400 == len(set(got))
+        if ids0 is None:
+            ids0 = got
+        assert got == ids0
+
+
+def test_md5_hashes_null_keys_match_sql_semantics(ray_session):
+    """Null keys: md5(CAST(NULL AS VARCHAR)) is NULL in DuckDB, so null
+    rows join no split interval and order NULLS LAST — not hash('None')."""
+    import numpy as np
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.split import (
+        md5_order_hash,
+        md5_unit_hash,
+        md5_unit_hash_open,
+        split_fractions_filter,
+    )
+
+    tb = pa.table({"k": pa.array(["None", None, "x"])})
+    u = md5_unit_hash(tb, "k")
+    uo = md5_unit_hash_open(tb, "k")
+    assert not np.isnan(u[0]) and np.isnan(u[1]) and not np.isnan(u[2])
+    assert not np.isnan(uo[0]) and np.isnan(uo[1])
+    assert u[0] != u[2]  # the real string 'None' hashes normally
+    o = md5_order_hash(tb, "k")
+    assert o[1] == np.iinfo(np.uint64).max  # NULLS LAST
+    # a null-key row lands in NO split
+    ds = rd.from_arrow(tb)
+    total = sum(
+        split_fractions_filter(ds, "k", lo, hi, unit_fn=md5_unit_hash).count()
+        for lo, hi in [(0.0, 0.5), (0.5, 1.0)]
+    )
+    assert total == 2  # both non-null rows, never the null one
+
+
 def test_grouped_fixed_count_sample_duckdb_parity_and_invariance(ray_session):
     import duckdb
     import ray.data as rd

@@ -794,6 +794,33 @@ def test_normalize_and_strip_markup_and_encoding_damage():
     assert encoding_damage_batch(rep)["mojibake_ppm"].to_pylist()[0] > 0
 
 
+def test_strip_markup_no_double_unescape():
+    import pyarrow as pa
+
+    from anomalydetection_ray.functions.text import strip_markup_batch
+
+    # escaped-escaped markup (HTML tutorials / code samples) must decode
+    # ONE level: '&amp;lt;' -> '&lt;', never '<'
+    tb = pa.table({"text": ["&amp;lt;b&amp;gt;bold&amp;lt;/b&amp;gt;", "a &amp;&amp; b"]})
+    out = strip_markup_batch(tb)["text"].to_pylist()
+    assert out[0] == "&lt;b&gt;bold&lt;/b&gt;"
+    assert out[1] == "a && b"
+
+
+def test_trigram_window_kernel_survives_lone_surrogates():
+    # Arrow string columns can never carry lone surrogates, but the
+    # trigram kernel is also a direct-Python API; it must tolerate
+    # damaged text like every other kernel (surrogatepass), not crash
+    # on encode('utf-32-le')
+    import numpy as np
+
+    from anomalydetection_ray.functions.text import _pack_trigram_windows
+
+    packed, doc_idx, mask = _pack_trigram_windows(["the quick", "bad \udc80\udc81 bytes", None])
+    assert len(packed) == len(doc_idx) == len(mask) > 0
+    assert set(np.unique(doc_idx)).issubset({0, 1, 2})
+
+
 def test_normalize_text_batch_in_dataset(ray_session):
     import pyarrow as pa
     import ray.data as rd
