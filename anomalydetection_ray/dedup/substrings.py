@@ -191,6 +191,15 @@ def _triples_batch(id_col: str, text_col: str, k: int):
     exchange unit (20 B/gram). int32 positions bound a single document at
     2 GiB of UTF-8, loudly."""
     def fn(tb: pa.Table) -> pa.Table:
+        if tb[id_col].null_count:
+            # the distributed rung co-partitions by id (Ray's range sort
+            # rejects null keys with a cryptic TypeError) — fail with the
+            # contract instead; the broadcast rung never reads ids, so
+            # without this the crash would be plan-dependent
+            raise ValueError(
+                f"null values in id column {id_col!r}; the distributed span "
+                "plan requires non-null document ids — fill or filter first"
+            )
         hashes = _doc_hash_arrays(tb[text_col].to_numpy(zero_copy_only=False), k)
         lens = np.array([len(h) for h in hashes], dtype=np.int64)
         ids = np.repeat(tb[id_col].to_numpy(zero_copy_only=False), lens)

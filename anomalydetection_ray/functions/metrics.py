@@ -64,6 +64,18 @@ def classification_metrics(ds, label_col: str, pred_col: str) -> dict:
     }
 
 
+def _drop_unscorable(tb: pa.Table, label_col: str, score_col: str) -> pa.Table:
+    """Drop rows with a null label or score: an unscored/unlabeled row has
+    no rank and contributes nothing to AUC (sklearn raises there; a
+    distributed metric over a model that skips rows must not). Without
+    this, null-bearing Arrow columns reach numpy as object arrays and the
+    astype/sort paths crash block-side."""
+    import pyarrow.compute as pc
+
+    mask = pc.and_(pc.is_valid(tb[label_col]), pc.is_valid(tb[score_col]))
+    return tb if pc.all(mask).as_py() in (True, None) else tb.filter(mask)
+
+
 def auc_streaming(ds, label_col: str, score_col: str, lo: float, hi: float, n_bins: int = 4096) -> float:
     """Approximate ROC-AUC from per-class fixed-bin score histograms.
 
@@ -75,6 +87,7 @@ def auc_streaming(ds, label_col: str, score_col: str, lo: float, hi: float, n_bi
     edges = np.linspace(lo, hi, n_bins + 1)
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = _drop_unscorable(batch, label_col, score_col)
         y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
         s = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
         pos, _ = np.histogram(s[y == 1], bins=edges)
@@ -114,7 +127,12 @@ def auc_exact(ds, label_col: str, score_col: str) -> float:
 
     from .shuffle import local_group_map, select_if_needed
 
-    ds = select_if_needed(ds, [score_col, label_col])
+    ds = select_if_needed(ds, [score_col, label_col]).map_batches(
+        lambda tb: _drop_unscorable(tb, label_col, score_col),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
 
     def distinct_counts(tb: pa.Table) -> pa.Table:
         g = (

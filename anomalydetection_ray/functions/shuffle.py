@@ -1057,15 +1057,27 @@ def with_global_rank(
     null ranks)."""
     import ray
 
-    ranks_ds, n_rows, _ = global_value_ranks(ds, col)
-    est = metadata_size_estimate(ranks_ds)
-    if est is not None and est > driver_max_bytes:
+    raw_names = ("rank", "dense_rank", "cume_cnt")
+    taken = set(arrow_schema(ds).names) & {f"__gvr_{k}" for k in raw_names}
+    if taken:
+        raise ValueError(f"input already has reserved rank columns {sorted(taken)}")
+    ranks_ds, n_rows, n_distinct = global_value_ranks(ds, col)
+    # the lookup is exactly one value + three int64 ranks per distinct
+    # value (~32 B); the transformed ranks_ds has no metadata size, so the
+    # gate sizes from the distinct count the rank pass already computed
+    if n_distinct * 32 > driver_max_bytes:
         from .relational import shuffle_hash_join
 
-        def derive(tb: pa.Table) -> pa.Table:
-            return _derive_rank_columns(tb, kinds, n_rows, prefix)
+        def tag(tb: pa.Table) -> pa.Table:
+            return tb.rename_columns([col] + [f"__gvr_{k}" for k in raw_names])
 
-        joined = shuffle_hash_join(ds, ranks_ds, on=[col], how="left", suffix="__gvr")
+        def derive(tb: pa.Table) -> pa.Table:
+            return _derive_rank_columns(tb, kinds, n_rows, prefix, raw_prefix="__gvr_")
+
+        tagged = ranks_ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        # left join: null col values never match and keep null ranks —
+        # the same contract as the broadcast path's NaN-as-null misses
+        joined = shuffle_hash_join(ds, col, tagged, col, how="left")
         return joined.map_batches(derive, batch_format="pyarrow", batch_size=None)
 
     lookup = pa.concat_tables(

@@ -478,7 +478,12 @@ def cusum_flags(
         if bl is None:
             mu, sigma = x.mean().over(key), x.std(ddof=1).over(key)
         else:
-            df = df.join(bl.with_columns(pl.col(key).cast(df.schema[key])), on=key, how="left")
+            # polars leaves join row order unspecified (same hazard as
+            # dedup/lines.py): the CUSUM recursion is order-sensitive, so
+            # re-sort to time order after attaching the baseline
+            df = df.join(
+                bl.with_columns(pl.col(key).cast(df.schema[key])), on=key, how="left"
+            ).sort(need)
             mu, sigma = pl.col("mu"), pl.col("sigma")
         z = (
             pl.when(sigma.is_null() | (sigma <= 0) | x.is_null())

@@ -122,18 +122,29 @@ def grouped_centroids(ds, group_col: str, vec_col: str, num_blocks: int | None =
                 "vsum": pa.array([], type=pa.list_(pa.float64())),
                 "cnt": pa.array([], type=pa.int64()),
             })
+        import pyarrow.compute as pc
+
         m = list_column_to_matrix(batch[vec_col])
         g = batch[group_col].combine_chunks() if isinstance(batch[group_col], pa.ChunkedArray) else batch[group_col]
-        gv = np.asarray(g)
-        order = np.argsort(gv, kind="stable")
-        gs, ms = gv[order], m[order]
-        bounds = np.flatnonzero(np.concatenate([[True], gs[1:] != gs[:-1]]))
+        # group through dictionary codes, not raw values: np.argsort on an
+        # object array holding None (null group values — common in
+        # lang/source metadata) crashes on None < str; null codes become
+        # -1 and form a group like any other value
+        enc = g.dictionary_encode()
+        codes = np.asarray(pc.fill_null(enc.indices, -1)).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        cs, ms = codes[order], m[order]
+        bounds = np.flatnonzero(np.concatenate([[True], cs[1:] != cs[:-1]]))
         sums = np.add.reduceat(ms, bounds, axis=0)
-        counts = np.diff(np.concatenate([bounds, [len(gs)]]))
+        counts = np.diff(np.concatenate([bounds, [len(cs)]]))
         d = m.shape[1] if m.size else 0
+        cb = cs[bounds]
+        gout = enc.dictionary.take(
+            pa.array([int(c) if c >= 0 else None for c in cb], type=pa.int32())
+        )
         return pa.table(
             {
-                group_col: pa.array(gs[bounds]),
+                group_col: gout,
                 "vsum": pa.array(list(sums), type=pa.list_(pa.float64(), d) if d else pa.list_(pa.float64())),
                 "cnt": pa.array(counts.astype(np.int64)),
             }

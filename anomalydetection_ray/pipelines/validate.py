@@ -352,6 +352,9 @@ def _fused_scan(
     if spill_mode == "force" and spill_dir:
         os.makedirs(spill_dir, exist_ok=True)
 
+    # per-(task id) shard ordinal, worker-process-local: see naming note
+    _shard_seq: dict = {}
+
     def combine_stage(tb: pa.Table) -> pa.Table:
         if tb.num_rows == 0:
             return tb
@@ -359,13 +362,18 @@ def _fused_scan(
         st = merge_partial_rows(tb.filter(s_mask).select(partial_names).cast(PARTIAL_SCHEMA))
         vt = tb.filter(pc.invert(s_mask)).select(pref_names)
         if spill_mode == "force" and spill_dir and vt.num_rows:
-            # shard name = content digest of (violations, block-stats
-            # partial): an at-least-once task retry recomputes the same
-            # deterministic block and OVERWRITES its shard instead of
-            # duplicating it (ADVICE round 3). The stats partial joins the
-            # digest so two distinct blocks with coincidentally identical
-            # violation sets still get distinct names.
+            # shard name = task id + within-task ordinal + content digest
+            # of (violations, block-stats partial). The task id keeps two
+            # DIFFERENT tasks holding byte-identical blocks (duplicated
+            # input files — exactly what a dup-detection suite scans) from
+            # collapsing onto one filename and silently losing a block's
+            # rows; the ordinal separates identical blocks WITHIN a task;
+            # and a lineage retry (fresh worker, same task id, ordinals
+            # restart at 0) recomputes the same names and OVERWRITES its
+            # shards instead of duplicating them (ADVICE round 3).
             import hashlib
+
+            import ray as _ray
 
             named = vt.rename_columns(viol_names)
             h = hashlib.sha256()
@@ -374,9 +382,14 @@ def _fused_scan(
                 with pa.ipc.new_stream(sink, part_tb.schema) as w:
                     w.write_table(part_tb)
                 h.update(sink.getvalue())
+            tid = _ray.get_runtime_context().get_task_id() or "driver"
+            seq = _shard_seq.get(tid, 0)
+            _shard_seq[tid] = seq + 1
             pq.write_table(
                 named,
-                os.path.join(spill_dir, f"viol-{h.hexdigest()[:32]}.parquet"),
+                os.path.join(
+                    spill_dir, f"viol-{tid[:16]}-{seq:04d}-{h.hexdigest()[:16]}.parquet"
+                ),
             )
             vt = vt.slice(0, 0)
         return to_union(st, vt)

@@ -57,7 +57,16 @@ def _canon_value_strings(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
 
 
 def _part_dirname(col: str, sval: str | None) -> str:
-    enc = "__null__" if sval is None else urllib.parse.quote(sval, safe="")
+    if sval is None:
+        enc = "__null__"
+    else:
+        enc = urllib.parse.quote(sval, safe="")
+        if enc == "__null__":
+            # a REAL partition value '__null__' (underscores are quote-safe,
+            # so it round-trips verbatim) must not collide with the null
+            # sentinel dir: force-escape its first char; unquote decodes
+            # %5F back to '_', so _decode_part_dirname needs no special case
+            enc = "%5F" + enc[1:]
     return f"{col}={enc}"
 
 

@@ -86,6 +86,45 @@ def test_template_param_extraction():
         assert rebuilt == content
 
 
+def test_auc_drops_null_scores_and_labels(ray_session):
+    """Rows with a null score or label have no rank: both AUC paths must
+    exclude them (they used to reach numpy as object arrays and crash),
+    matching the value computed over only the scored+labeled rows."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.metrics import auc_exact, auc_streaming
+
+    rng = np.random.default_rng(5)
+    y = (rng.random(400) < 0.4).astype(np.int64)
+    s = np.round(rng.normal(loc=y * 1.0, scale=1.0), 2)
+    yo = pa.array([None if i % 17 == 0 else int(v) for i, v in enumerate(y)], type=pa.int64())
+    so = pa.array([None if i % 23 == 0 else float(v) for i, v in enumerate(s)], type=pa.float64())
+    ds = rd.from_arrow(pa.table({"label": yo, "score": so})).repartition(5)
+    keep = np.array([yo[i].as_py() is not None and so[i].as_py() is not None for i in range(400)])
+    want = _exact_auc(y[keep], s[keep])
+    assert abs(auc_exact(ds, "label", "score") - want) < 1e-12
+    approx = auc_streaming(ds, "label", "score", lo=-4.0, hi=5.0, n_bins=4096)
+    assert abs(approx - want) < 0.02
+
+
+def test_grouped_centroids_null_group(ray_session):
+    """A null group value forms its own centroid group (argsort over an
+    object array holding None used to raise TypeError)."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.vector import grouped_centroids
+
+    tb = pa.table({
+        "g": pa.array(["a", None, "a", None], type=pa.string()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 2.0], [3.0, 0.0], [0.0, 4.0]], type=pa.list_(pa.float64())),
+    })
+    out = grouped_centroids(rd.from_arrow(tb).repartition(2), "g", "embedding")
+    rows = {r["g"]: r for r in out.to_pylist()}
+    assert set(rows) == {"a", None}
+    assert rows["a"]["n"] == 2 and rows["a"]["centroid"] == [2.0, 0.0]
+    assert rows[None]["n"] == 2 and rows[None]["centroid"] == [0.0, 3.0]
+
+
 def test_auc_exact_matches_sort_based(ray_session):
     """Distributed rank-sum AUC == single-node sort-based exact AUC,
     including tie groups (duplicated scores) that must not split."""

@@ -441,22 +441,40 @@ def test_resume_recomputes_on_missing_or_stale_checkpoint(ray_session, clean_cor
         assert json.load(f)["format"] != "uniq-hashes/v1/polars-0.0.0"
 
 
-def test_spill_shard_names_deterministic(ray_session, dirty_corpus, tmp_path):
-    """ADVICE round 3: force-spill shard names derive from block CONTENT,
-    so an at-least-once task retry (modeled here as a second identical
-    run) produces the SAME shard file set — a retried task overwrites its
-    shard instead of double-counting violations."""
+def test_spill_counts_identical_duplicate_blocks(ray_session, dirty_corpus, tmp_path):
+    """Two byte-identical corpus FILES (duplicated inputs — exactly what a
+    dup-detection suite scans) yield byte-identical blocks with
+    byte-identical violation tables. Spill shard names carry the writing
+    task's identity + a within-task ordinal, so both blocks' rows survive;
+    a pure content-digest name collapsed them onto one file and silently
+    halved the duplicate-key violation count. (Retry overwrite still
+    holds: a lineage retry reuses the task id and restarts the ordinals.)
+    Ground truth = the driver-held plan on the same duplicated corpus."""
     from anomalydetection_ray.pipelines.validate import SuiteConfig, run_suite
 
     d, _ = dirty_corpus
-    cfg = SuiteConfig(repos_dim_path=f"{d}/repos.parquet", max_driver_violation_rows=4)
-    names = []
-    for sub in ("s1", "s2"):
-        run_suite(f"{d}/corpus", str(tmp_path / sub), cfg)
-        raw = os.path.join(str(tmp_path / sub), "scan", "violations_spill")
-        names.append(sorted(f for f in os.listdir(raw) if f.endswith(".parquet")))
-    assert names[0] == names[1]
-    assert names[0]  # the forced run actually spilled
+    dup = str(tmp_path / "dup_corpus")
+    shutil.copytree(f"{d}/corpus", dup)
+    first = sorted(f for f in os.listdir(dup) if f.endswith(".parquet"))[0]
+    shutil.copyfile(os.path.join(dup, first), os.path.join(dup, "zz-clone.parquet"))
+
+    base = run_suite(dup, str(tmp_path / "mem"), SuiteConfig(repos_dim_path=f"{d}/repos.parquet"))
+    assert base.violations_dir is None
+    spill = run_suite(
+        dup,
+        str(tmp_path / "spill"),
+        SuiteConfig(repos_dim_path=f"{d}/repos.parquet", max_driver_violation_rows=4),
+    )
+    assert spill.violations_dir and os.path.isdir(spill.violations_dir)
+    raw = os.path.join(str(tmp_path / "spill"), "scan", "violations_spill")
+    assert any(f.endswith(".parquet") for f in os.listdir(raw))  # actually spilled
+    sort_cols = ["violation_kind", "repo", "path", "commit", "content_sha256"]
+    got = pq.read_table(spill.violations_dir).sort_by([(c, "ascending") for c in sort_cols])
+    want = pq.read_table(os.path.join(str(tmp_path / "mem"), "scan", "violations.parquet")).sort_by(
+        [(c, "ascending") for c in sort_cols]
+    )
+    assert got.num_rows == want.num_rows
+    assert got.select(want.column_names).cast(want.schema).equals(want)
 
 
 def test_spill_all_candidates_dropped_finalizes_empty(

@@ -124,6 +124,31 @@ def test_write_partitioned_bool_partition_resume(ray_session, tmp_path):
     assert len(back) == 200 and back["doc_id"].is_unique
 
 
+def test_write_partitioned_null_sentinel_value_distinct(ray_session, tmp_path):
+    # a REAL partition value '__null__' must not merge into the null
+    # sentinel directory (quote() keeps underscores verbatim): merged
+    # dirs decoded as None on resume, so the string-valued rows re-scanned
+    # and re-wrote into a dir already holding a _DONE marker (duplicates)
+    import ray.data as rd
+
+    from anomalydetection_ray.sources.writer import write_partitioned
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "src": pa.array(["__null__", None, "web"], type=pa.string()),
+    })
+    out = str(tmp_path / "sink")
+    write_partitioned(rd.from_arrow(t), out, "src")
+    dirs = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d)))
+    assert len(dirs) == 3 and "src=__null__" in dirs  # three DISTINCT partitions
+    back = _read_all(out)
+    assert len(back) == 3 and sorted(back["doc_id"]) == [1, 2, 3]
+    # full resume: all three recognized as done, nothing re-written
+    summary = write_partitioned(rd.from_arrow(t), out, "src")
+    assert summary["skipped"].all() and len(summary) == 3
+    assert len(_read_all(out)) == 3
+
+
 def test_write_partitioned_identical_blocks_not_collapsed(ray_session, tmp_path):
     # two blocks with byte-identical content must BOTH persist (pure
     # content-hash shard names used to collapse them into one file,
