@@ -223,31 +223,15 @@ def isolation_forest_scores(
     (``isolation_forest_score_matrix``); the model loads ONCE per actor.
 
     Returns ``(scored_ds, forest)``."""
-    import polars as pl
     import ray
 
     from .shuffle import select_if_needed, sized_actor_concurrency
+    from .similarity import deterministic_hash_sample
 
-    n_total = ds.count()
-    rate = min(1.0, train_sample / max(n_total, 1))
-
-    def hash_sample(batch: pa.Table) -> pa.Table:
-        col = batch[id_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        u = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=seed).to_numpy() / 2.0**64
-        return batch.filter(pa.array(u < rate))
-
-    sample_tabs = [
-        t
-        for t in select_if_needed(ds, [id_col, vec_col])
-        .map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
-    if not sample_tabs:
-        raise ValueError("isolation_forest_scores: hash-rate sample came back empty")
-    sample_tbl = pa.concat_tables(sample_tabs, promote_options="default").sort_by(id_col)
+    sample_tbl = deterministic_hash_sample(
+        ds, id_col, [id_col, vec_col], train_sample, seed,
+        empty_msg="isolation_forest_scores: hash-rate sample came back empty",
+    )
     sample = list_column_to_matrix(sample_tbl[vec_col].combine_chunks())
     forest = isolation_forest_fit(sample, n_trees=n_trees, sample_size=sample_size, seed=seed)
     fref = ray.put(forest)

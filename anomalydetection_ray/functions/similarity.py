@@ -29,6 +29,40 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def deterministic_hash_sample(ds, id_col: str, cols: list[str], n: int, seed: int,
+                              empty_msg: str = "hash-rate sample came back empty") -> pa.Table:
+    """~``n``-row sample gathered to the driver as ONE table, the shared
+    sampling discipline of every model-training stage here: rows keep if
+    ``hash(id) / 2^64 < n / count`` — uniform at ANY parallelism and
+    NEVER a prefix (``limit(n)`` on a corpus sorted by repo/lang trains
+    on one shard; round-3 verdict item 4) — then the tiny gathered table
+    sorts by id so order-sensitive consumers (k-means) see one canonical
+    order at any block arrival schedule. Raises ``empty_msg`` when the
+    sample is empty."""
+    import polars as pl
+
+    n_total = ds.count()
+    rate = min(1.0, n / max(n_total, 1))
+
+    def hash_sample(batch: pa.Table) -> pa.Table:
+        col = batch[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        u = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=seed).to_numpy() / 2.0**64
+        return batch.filter(pa.array(u < rate))
+
+    tabs = [
+        t
+        for t in _sel(ds, cols)
+        .map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not tabs:
+        raise ValueError(empty_msg)
+    return pa.concat_tables(tabs, promote_options="default").sort_by(id_col)
+
+
 class _PartialTopK:
     """Stateless batch map: emit per-(query, batch) top-k candidates."""
 
@@ -186,35 +220,12 @@ def ivf_topk_cosine(
     reference, ``end_to_end_prediction.py:643-655``). The row-count for
     the rate is parquet metadata for a fresh read; the sample itself is
     reproducible at any parallelism."""
-    import polars as pl
     import ray
 
-    n_total = ds.count()
-    rate = min(1.0, train_sample / max(n_total, 1))
-
-    def hash_sample(batch: pa.Table) -> pa.Table:
-        col = batch[id_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        u = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=seed).to_numpy() / 2.0**64
-        return batch.filter(pa.array(u < rate))
-
-    sample_tabs = [
-        t
-        for t in _sel(ds, [id_col, vec_col])
-        .map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
-    if not sample_tabs:
-        raise ValueError("empty dataset: no rows to train IVF centroids on")
-    # iter_batches yields blocks in ARRIVAL order, which varies run to
-    # run — k-means is order-sensitive even when seeded, so an unsorted
-    # sample made recall nondeterministic (0.86–0.96 observed on the
-    # same input). Sorting the tiny driver-side sample by id pins the
-    # centroids for any parallelism / scheduling.
-    sample_tbl = pa.concat_tables(sample_tabs, promote_options="default")
-    sample_tbl = sample_tbl.sort_by(id_col)
+    sample_tbl = deterministic_hash_sample(
+        ds, id_col, [id_col, vec_col], train_sample, seed,
+        empty_msg="empty dataset: no rows to train IVF centroids on",
+    )
     sample = list_column_to_matrix(sample_tbl[vec_col].combine_chunks())
     cent = train_centroids(sample, n_cells, seed=seed)
     cref = ray.put(cent)
@@ -259,31 +270,14 @@ def kmeans_fit(
     Returns ``(centers (k, d) ndarray, inertia float, n_iter int)``.
     Chain :func:`kmeans_assign` to label rows.
     """
-    import polars as pl
     import ray
 
-    n_total = ds.count()
-    if not n_total:
+    if not ds.count():
         raise ValueError("empty dataset: nothing to cluster")
-    rate = min(1.0, init_sample / max(n_total, 1))
-
-    def hash_sample(batch: pa.Table) -> pa.Table:
-        col = batch[id_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        u = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=seed).to_numpy() / 2.0**64
-        return batch.filter(pa.array(u < rate))
-
-    tabs = [
-        t
-        for t in _sel(ds, [id_col, vec_col])
-        .map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
-    if not tabs:
-        raise ValueError("hash-rate init sample came back empty; raise init_sample")
-    sample_tbl = pa.concat_tables(tabs, promote_options="default").sort_by(id_col)
+    sample_tbl = deterministic_hash_sample(
+        ds, id_col, [id_col, vec_col], init_sample, seed,
+        empty_msg="hash-rate init sample came back empty; raise init_sample",
+    )
     sample = list_column_to_matrix(sample_tbl[vec_col].combine_chunks()).astype(np.float64)
     k_eff = min(k, len(sample))
     rng = np.random.RandomState(seed)
@@ -420,31 +414,12 @@ def pq_fit(
     prefix); one euclidean k-means per d/m-dim subspace, 2^nbits
     centroids each. Returns codebooks shaped (m, 2^nbits, d/m).
     Requires d % m == 0 and nbits <= 8."""
-    import polars as pl
-    import ray  # noqa: F401  (family convention; sample gather is driver-side)
-
     if nbits > 8:
         raise ValueError("nbits > 8 would not fit uint8 codes")
-    n_total = ds.count()
-    rate = min(1.0, train_sample / max(n_total, 1))
-
-    def hash_sample(batch: pa.Table) -> pa.Table:
-        col = batch[id_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        u = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=seed).to_numpy() / 2.0**64
-        return batch.filter(pa.array(u < rate))
-
-    tabs = [
-        t
-        for t in _sel(ds, [id_col, vec_col])
-        .map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
-    if not tabs:
-        raise ValueError("pq_fit: hash-rate sample came back empty")
-    sample_tbl = pa.concat_tables(tabs, promote_options="default").sort_by(id_col)
+    sample_tbl = deterministic_hash_sample(
+        ds, id_col, [id_col, vec_col], train_sample, seed,
+        empty_msg="pq_fit: hash-rate sample came back empty",
+    )
     x = _normalize(list_column_to_matrix(sample_tbl[vec_col].combine_chunks()))
     d = x.shape[1]
     if d % m != 0:
@@ -674,31 +649,14 @@ def ivfpq_topk_cosine(
     the same deterministic sorted hash-rate sample; one streaming pass
     builds the index rows; search is cell-filter + m table lookups per
     surviving row. ``n_probe == n_cells`` degenerates to plain PQ."""
-    import polars as pl
     import ray
 
     from .shuffle import sized_actor_concurrency
 
-    n_total = ds.count()
-    rate = min(1.0, train_sample / max(n_total, 1))
-
-    def hash_sample(batch: pa.Table) -> pa.Table:
-        col = batch[id_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        u = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=seed).to_numpy() / 2.0**64
-        return batch.filter(pa.array(u < rate))
-
-    tabs = [
-        t
-        for t in _sel(ds, [id_col, vec_col])
-        .map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
-    if not tabs:
-        raise ValueError("ivfpq_topk_cosine: hash-rate sample came back empty")
-    sample_tbl = pa.concat_tables(tabs, promote_options="default").sort_by(id_col)
+    sample_tbl = deterministic_hash_sample(
+        ds, id_col, [id_col, vec_col], train_sample, seed,
+        empty_msg="ivfpq_topk_cosine: hash-rate sample came back empty",
+    )
     sample = list_column_to_matrix(sample_tbl[vec_col].combine_chunks())
     xn = _normalize(sample)
     d = xn.shape[1]
@@ -844,31 +802,12 @@ def train_centroids_from_dataset(
     ds, id_col: str, vec_col: str, n_cells: int, train_sample: int = 10_000, seed: int = 42
 ) -> np.ndarray:
     """Deterministic hash-rate-sampled centroid training (the shared
-    discipline of ``ivf_topk_cosine``): sample by id hash (uniform at any
-    parallelism, never a prefix), sort the tiny driver-side sample by id
-    so k-means sees one canonical order, train seeded Lloyd."""
-    import polars as pl
-
-    n_total = ds.count()
-    rate = min(1.0, train_sample / max(n_total, 1))
-
-    def hash_sample(batch: pa.Table) -> pa.Table:
-        col = batch[id_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        u = pl.from_arrow(pa.table({"k": col}))["k"].hash(seed=seed).to_numpy() / 2.0**64
-        return batch.filter(pa.array(u < rate))
-
-    tabs = [
-        t
-        for t in _sel(ds, [id_col, vec_col])
-        .map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
-    if not tabs:
-        raise ValueError("empty dataset: no rows to train centroids on")
-    sample_tbl = pa.concat_tables(tabs, promote_options="default").sort_by(id_col)
+    discipline of ``ivf_topk_cosine``): :func:`deterministic_hash_sample`
+    + seeded Lloyd on the gathered sorted sample."""
+    sample_tbl = deterministic_hash_sample(
+        ds, id_col, [id_col, vec_col], train_sample, seed,
+        empty_msg="empty dataset: no rows to train centroids on",
+    )
     sample = list_column_to_matrix(sample_tbl[vec_col].combine_chunks())
     return train_centroids(sample, n_cells, seed=seed)
 

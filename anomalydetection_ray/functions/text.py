@@ -900,13 +900,17 @@ def decontaminate(
     if mode == "bloom":
         from ..sketches.bloom import BloomFilter
 
-        # pass 1: capacity upper bound = Σ per-block distinct counts
-        # (over-sizing only lowers the realized fp rate)
-        cap = 0
-        for t in bench_proj.map_batches(
+        # the filters need their capacity BEFORE population, but the
+        # expensive work (tokenize + n-gram hash + unique) must not run
+        # twice: materialize the per-block DISTINCT HASHES once (cheap
+        # uint64 rows in the object store, bounded by the bench contract),
+        # read the capacity upper bound = Σ per-block distinct counts from
+        # its metadata (over-sizing only lowers the realized fp rate),
+        # then build the blooms FROM the cached hashes
+        bench_hashed = bench_proj.map_batches(
             bench_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow", batch_size=None):
-            cap += t.num_rows
+        ).materialize()
+        cap = bench_hashed.count()
         if cap > max_bench_ngrams:
             raise ValueError(
                 f"benchmark set has up to {cap:,} distinct {n}-grams > max_bench_ngrams="
@@ -916,12 +920,12 @@ def decontaminate(
         capacity = max(1, cap)
 
         def bloom_partial(tb: pa.Table) -> pa.Table:
-            _, h = _token_ngram_hashes(tb[bcol], n, seed)
-            bf = BloomFilter(capacity, fp_rate).update(np.unique(h))
+            h = tb["h"].to_numpy(zero_copy_only=False)
+            bf = BloomFilter(capacity, fp_rate).update(h)
             return pa.table({"b": pa.array([bf.to_bytes()], type=pa.binary())})
 
         merged = BloomFilter(capacity, fp_rate)
-        for t in bench_proj.map_batches(
+        for t in bench_hashed.map_batches(
             bloom_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         ).iter_batches(batch_format="pyarrow", batch_size=None):
             for raw in t["b"].to_pylist():
