@@ -315,9 +315,12 @@ def _fused_scan(
       all-rows row-rule failure).
 
     When anything spilled, returns ``(stats_partials, None)`` — the
-    violations live under ``spill_dir``. Worker-side shards inherit Ray's
-    at-least-once task semantics: a retried scan task would duplicate its
-    shard, matching the guarantee level of ``Dataset.write_parquet``.
+    violations live under ``spill_dir``. Worker-side shard names carry
+    (task id, within-task ordinal, content digest), so a lineage-retried
+    scan task overwrites its own shards while byte-identical blocks from
+    DIFFERENT tasks keep distinct files; the caller wipes ``spill_dir``
+    before any fresh (non-resumed) scan, so stale shards from a crashed
+    attempt never double-count.
     """
     from ..checks.stats import (
         PARTIAL_SCHEMA,
