@@ -237,9 +237,9 @@ def main(argv: list[str] | None = None) -> int:
                 from .dedup import simhash_dedup
 
                 out_ds = simhash_dedup(ds, args.id_col, args.text_col)
-            import os
+            from .sources.writer import clean_parquet_dir
 
-            os.makedirs(args.out, exist_ok=True)
+            clean_parquet_dir(args.out)  # re-runs replace, never append
             out_ds.write_parquet(args.out)
             print(json.dumps({"out": args.out, "method": args.method}))
             return 0
@@ -254,7 +254,6 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"out": args.out, "templates": tbl.num_rows}))
             return 0
         if args.cmd == "score":
-            import os
 
             import numpy as np
             import pyarrow as paw
@@ -293,7 +292,9 @@ def main(argv: list[str] | None = None) -> int:
                     pcw.cast(pcw.greater(tb["anomaly_score"], paw.scalar(thr)), paw.int32()),
                 )
 
-            os.makedirs(args.out, exist_ok=True)
+            from .sources.writer import clean_parquet_dir
+
+            clean_parquet_dir(args.out)  # re-runs replace, never append
             out_ds = scored.map_batches(verdict, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
             out_ds.write_parquet(args.out)
             n_anom = int((vals > thr).sum())

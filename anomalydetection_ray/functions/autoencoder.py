@@ -113,7 +113,11 @@ class NumpyAutoencoder:
 
             def gpart(tb: pa.Table, _cur=cur) -> pa.Table:
                 cw1, cb1, cw2, cb2 = _cur
-                x = list_column_to_matrix(tb[vec_col].combine_chunks())
+                # empty block (e.g. a hash-sample that drained it): a
+                # variable-width list column gives a (0, 0) matrix whose
+                # matmul against (d, hidden) crashes — emit no partial
+                x = (np.zeros((0, d)) if tb.num_rows == 0
+                     else list_column_to_matrix(tb[vec_col].combine_chunks()))
                 h = np.tanh(x @ cw1 + cb1)
                 r = (h @ cw2 + cb2) - x
                 g_out = 2.0 * r  # global 1/n applied at the driver merge

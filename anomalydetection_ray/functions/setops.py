@@ -30,7 +30,13 @@ def _tagged_distinct(ds, cols: list[str], side: int, schema: pa.Schema):
 
 
 def _set_op(a_ds, b_ds, cols: list[str], keep: str, num_blocks: int | None = None):
-    schema = pa.schema([a_ds.schema().base_schema.field(c) for c in cols])
+    from .shuffle import arrow_schema
+
+    # arrow_schema, not ds.schema().base_schema.field(): the latter has no
+    # .field on pandas-block datasets and can execute a lazy upstream plan
+    # just to learn the schema
+    base = arrow_schema(a_ds)
+    schema = pa.schema([base.field(c) for c in cols])
     tagged = _tagged_distinct(a_ds, cols, 0, schema).union(_tagged_distinct(b_ds, cols, 1, schema))
 
     def block(tb: pa.Table) -> pa.Table:

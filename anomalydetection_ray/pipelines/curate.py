@@ -142,9 +142,11 @@ def curate_corpus(
             for _, r in report.iterrows()
         }
     else:
-        import os
+        from ..sources.writer import clean_parquet_dir
 
-        os.makedirs(out_dir, exist_ok=True)
+        # write_parquet APPENDS UUID-named files: a repeated run with the
+        # same out_dir would silently double the curated corpus
+        clean_parquet_dir(out_dir)
         ds = ds.materialize()
         summary["rows_out"] = int(ds.count())
         ds.write_parquet(out_dir)

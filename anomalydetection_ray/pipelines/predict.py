@@ -289,7 +289,12 @@ def end_to_end_predict(
         # checkpoint WITHOUT the wide embedding column: downstream needs
         # only the score; keys/labels/template travel as named columns
         ds = ds.drop_columns(["embedding"])
-        os.makedirs(scored_dir, exist_ok=True)
+        from ..sources.writer import clean_parquet_dir
+
+        # wipe stale shards: a crash between write_parquet and mark_done
+        # leaves partial files a resumed run would otherwise APPEND to
+        # (write_parquet uses per-execution UUID names), double-counting
+        clean_parquet_dir(scored_dir)
         ds.write_parquet(scored_dir)
         n_scored = sum(
             pq.read_metadata(os.path.join(scored_dir, f)).num_rows
@@ -329,7 +334,12 @@ def end_to_end_predict(
         return batch.append_column("anomaly_prediction", pred)
 
     final = scored.map_batches(verdict, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    os.makedirs(final_dir, exist_ok=True)
+    from ..sources.writer import clean_parquet_dir
+
+    # the final stage recomputes on EVERY call (the threshold is cheap and
+    # mode-dependent); without the wipe a resumed run appended a second
+    # full copy next to the first and every metric downstream doubled
+    clean_parquet_dir(final_dir)
     final.write_parquet(final_dir)
 
     # evaluation metrics vs the labels parsed from the data itself (A5,

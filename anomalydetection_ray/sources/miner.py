@@ -200,7 +200,10 @@ def assign_template_batch(batch: pa.Table, mined: pa.Table, content_col: str = "
         .with_columns(template=pl.col("template_toks").list.join(" "))
         .select(["n_tok", "first", "template"])
     )
-    joined = keys.join(lut, on=["n_tok", "first"], how="left").with_columns(
+    # maintain_order="left": the result is appended to the Arrow batch
+    # POSITIONALLY, and polars leaves join row order unspecified otherwise
+    # — a reorder would silently assign every line another line's template
+    joined = keys.join(lut, on=["n_tok", "first"], how="left", maintain_order="left").with_columns(
         template=pl.col("template").fill_null("")
     )
     return batch.append_column(out_col, joined["template"].to_arrow().cast(pa.string()))

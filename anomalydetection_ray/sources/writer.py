@@ -49,6 +49,19 @@ from ray.data import Datasink
 _DONE = "_DONE"
 
 
+def clean_parquet_dir(path: str) -> None:
+    """Make ``path`` exist and hold NO parquet files. Ray's
+    ``Dataset.write_parquet`` appends per-execution UUID-named files, so a
+    re-run (resume after a crash, repeated CLI invocation with the same
+    --out) silently doubles the rows of whatever reads the directory;
+    every non-partitioned sink in this engine wipes stale parquet first.
+    Only ``*.parquet`` files are removed — other user content survives."""
+    os.makedirs(path, exist_ok=True)
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(path, f))
+
+
 def _canon_value_strings(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     """Arrow-canonical string form of partition values (nulls preserved).
     This ONE canonicalization is used for dirnames, the resume filter,

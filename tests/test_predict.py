@@ -88,6 +88,17 @@ def test_predict_deterministic_and_resume(ray_session, log_file, tmp_path):
     r3 = end_to_end_predict(path, out1, PredictConfig())
     t1 = max(os.path.getmtime(os.path.join(scored, f)) for f in os.listdir(scored))
     assert t0 == t1 and r3.threshold == r1.threshold
+    # the recomputed final stage REPLACES its output (write_parquet
+    # appends UUID-named files; without the wipe a resumed run doubled
+    # every row, metric and report)
+    assert r3.n_rows == r1.n_rows
+    f3 = pq.read_table(r3.final_path).to_pandas().sort_values("log").reset_index(drop=True)
+    assert f3.equals(f1)
+    # crash between the scored write and its _DONE marker: the re-run must
+    # rewrite the partial scored shards, not append a second copy
+    os.remove(os.path.join(out1, "scored", "_DONE"))
+    r4 = end_to_end_predict(path, out1, PredictConfig())
+    assert r4.n_rows == r1.n_rows and r4.threshold == r1.threshold
 
 
 def test_predict_kll_threshold_close_to_exact(ray_session, log_file, tmp_path):
