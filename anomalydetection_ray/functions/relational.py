@@ -79,6 +79,11 @@ def shuffle_membership_filter(ds, col: str, values_ds, values_col: str, keep: bo
         is_val = pc.equal(tb[marker], 1)
         val_keys = tb.filter(is_val)[col].combine_chunks()
         rows = tb.filter(pc.invert(is_val))
+        # drop nulls from the value set: pc.is_in matches null-to-null by
+        # default, which would make keep=True KEEP null rows (and
+        # keep=False drop them) whenever the set side carries a null —
+        # the opposite of the NULL-never-matches contract above
+        val_keys = val_keys.drop_null()
         if len(val_keys):
             present = pc.is_in(rows[col], value_set=pc.unique(val_keys))
             mask = present if keep else pc.invert(pc.fill_null(present, False))
@@ -111,7 +116,10 @@ def frequency_filter(ds, col: str, min_count: int, driver_max_keys: int = 2_000_
     thresh = min_count
 
     def qualifying(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t["cnt"], thresh)).select([col])
+        # the null group can out-count the threshold but never qualifies:
+        # NULL keys never match (SQL semantics, and np.sort in the
+        # broadcast plan rejects mixed None/str anyway)
+        return t.filter(pc.and_(pc.greater(t["cnt"], thresh), pc.is_valid(t[col]))).select([col])
 
     keep_ds = key_counts(ds, [col]).map_batches(
         qualifying, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
@@ -347,7 +355,10 @@ def bloom_prefiltered_join(
     bloom_ref = ray.put(build_join_key_bloom(build_ds, build_keys, capacity, fp_rate))
 
     def probe(tb: pa.Table) -> pa.Table:
-        bf = BloomFilter.from_bytes(ray.get(bloom_ref))
+        # zero-copy read-only view over the plasma-shared payload — the
+        # probe runs per batch; from_bytes would memcpy the whole bit
+        # array every call (same discipline as decontaminate's probe)
+        bf = BloomFilter.view_bytes(ray.get(bloom_ref))
         h, valid = _combined_key_hash(tb, probe_keys)
         keep = np.zeros(tb.num_rows, dtype=bool)
         if valid.any():
@@ -425,6 +436,18 @@ def broadcast_join(fact_ds, fact_key: str | list[str], dim, dim_key: str | list[
     ref = ray.put(dim_tbl)
 
     dim_out = [f for f in dim_tbl.schema if f.name not in dkeys]
+    # same up-front check as shuffle_hash_join: a dim column named like a
+    # fact column would otherwise crash mid-stream inside a Ray task with
+    # a confusing polars duplicate-column error
+    from .shuffle import arrow_schema
+
+    fact_names = {f.name for f in arrow_schema(fact_ds)}
+    clash = sorted({f.name for f in dim_out} & fact_names)
+    if clash:
+        raise ValueError(
+            f"dim columns collide with fact columns: {clash}; rename the dim side "
+            "(broadcast_join does not suffix)"
+        )
 
     def join(batch: pa.Table) -> pa.Table:
         d = pl.from_arrow(ray.get(ref))

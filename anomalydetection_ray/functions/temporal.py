@@ -74,6 +74,11 @@ def asof_join(
     """
     left_schema = left_ds.schema().base_schema
     right_schema = right_ds.schema().base_schema
+    clash = sorted(set(right_values) & {f.name for f in left_schema})
+    if clash:
+        # same up-front check as shuffle_hash_join: a duplicate output
+        # name would crash mid-stream with a confusing polars error
+        raise ValueError(f"right_values collide with left columns: {clash}; rename the right side")
     ts_type = left_schema.field(left_ts).type
     out_left = [f for f in left_schema]
     schema = pa.schema(
@@ -463,6 +468,11 @@ def cusum_flags(
         missing = {key, "mu", "sigma"} - set(baseline.columns)
         if missing:
             raise ValueError(f"baseline is missing columns {sorted(missing)}")
+        if not baseline[key].is_unique:
+            # a duplicated baseline key would fan every event of that key
+            # out through the left join — duplicated rows and interleaved
+            # CUSUM series, silently
+            raise ValueError(f"baseline has duplicate {key!r} rows; one (mu, sigma) per key")
     base = ds.schema().base_schema
     out_schema = pa.schema(
         [(c, base.field(c).type) for c in need]
@@ -640,11 +650,12 @@ def sessionize(
         # total-order sort (see rolling_window_agg): sum_value must not
         # depend on intra-tie row order delivered by the shuffle
         df = pl.from_arrow(tb.select(need)).sort(need)
-        brk = (
-            (pl.col(ts_col).diff().over(key).dt.total_microseconds() > gap_us)
-            .fill_null(True)
-            .cast(pl.Int64)
-        )
+        # numeric ts columns are epoch-µs by contract (the same branch as
+        # rolling_window_agg / range_join_agg) — .dt accessors would raise
+        diff = pl.col(ts_col).diff().over(key)
+        if df.schema[ts_col].is_temporal():
+            diff = diff.dt.total_microseconds()
+        brk = (diff > gap_us).fill_null(True).cast(pl.Int64)
         df = df.with_columns(session_id=brk.cum_sum().over(key))
         aggs = [
             pl.col(ts_col).min().alias("session_start"),

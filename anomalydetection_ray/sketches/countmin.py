@@ -87,9 +87,12 @@ class CountMin:
         first = next(it, None)
         if first is None:
             raise ValueError("merge_many: no sketches")
+        # a FRESH sketch (TDigest.merge_many discipline): mutating the
+        # first input would corrupt any later per-partition use of it
+        out = cls(first.width, first.depth, first.seed).merge(first)
         for s in it:
-            first.merge(s)
-        return first
+            out.merge(s)
+        return out
 
     def to_bytes(self) -> bytes:
         head = np.array([self.width, self.depth, self.seed, self.n], dtype=np.int64)

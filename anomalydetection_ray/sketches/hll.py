@@ -57,7 +57,15 @@ def hash64(values) -> np.ndarray:
     mixed directly (fast path for key columns).
     """
     arr = np.asarray(values)
-    if arr.dtype.kind in "iuf":
+    if arr.dtype.kind == "f":
+        # hash the IEEE bit pattern, NOT a value cast: astype(int64)
+        # truncated every float in [k, k+1) onto one hash (a uniform(0,1)
+        # score column distinct-counted as 1). Normalize -0.0 -> +0.0
+        # (SQL equality) and NaN -> one canonical payload first.
+        f = arr.astype(np.float64, copy=False) + 0.0
+        f = np.where(np.isnan(f), np.nan, f)
+        return _avalanche(f.view(np.uint64))
+    if arr.dtype.kind in "iu":
         return _avalanche(arr.astype(np.int64, copy=False).view(np.uint64))
     if arr.dtype.kind == "M":  # datetime64
         return _avalanche(arr.view(np.int64).view(np.uint64))

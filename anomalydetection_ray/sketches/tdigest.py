@@ -56,9 +56,13 @@ class TDigest:
         return self
 
     def merge(self, other: "TDigest") -> "TDigest":
+        if self.delta != other.delta:
+            # silently re-binning a finer digest at this delta would
+            # degrade its accuracy; param mismatch is a caller bug
+            # (CountMin.merge discipline)
+            raise ValueError(f"cannot merge TDigests with delta {self.delta} != {other.delta}")
         if other.n == 0:
             return self
-        other_flush = other  # do not mutate the argument
         if other._buf_m:
             self._buf_m.extend(other._buf_m)
             self._buf_w.extend(other._buf_w)
@@ -113,7 +117,10 @@ class TDigest:
     def quantile(self, q: float) -> float:
         """Value at quantile q via linear interpolation between centroid
         midpoints, clamped to the observed min/max."""
-        self._compress()
+        if self._buf_m:  # flush pending points only: recompressing the
+            # already-compressed centroid set re-merges neighbors that
+            # share a k-bin, coarsening the tails a bit on EVERY query
+            self._compress()
         if self.n == 0 or len(self.means) == 0:
             return float("nan")
         if len(self.means) == 1:

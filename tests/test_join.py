@@ -184,6 +184,43 @@ def test_frequency_filter_plan_equivalence(ray_session):
     assert a.equals(b)
 
 
+def test_frequency_filter_null_group_never_qualifies(ray_session):
+    """A null key group over the threshold must not qualify (SQL NULL
+    semantics) — it used to crash the broadcast plan's np.sort and, via a
+    null in the distributed value set, KEEP null rows on the shuffle plan."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.relational import frequency_filter
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    tb = pa.table({
+        "v": pa.array(["a"] * 8 + [None] * 8 + ["b"] * 2, type=pa.string()),
+        "row": pa.array(range(18), type=pa.int64()),
+    })
+    ds = rd.from_arrow(tb).repartition(3)
+    for kwargs in ({}, {"driver_max_keys": 0}):
+        out = _canon(as_table(frequency_filter(ds, "v", 5, **kwargs)))
+        assert out["v"].tolist() == ["a"] * 8, kwargs  # nulls and 'b' dropped
+
+
+def test_shuffle_membership_filter_null_in_value_set(ray_session):
+    """A null in the VALUE SET must not match null rows (pc.is_in matches
+    null-to-null by default — the opposite of the documented contract)."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.relational import shuffle_membership_filter
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    rows = pa.table({"v": pa.array(["a", None, "b"]), "i": pa.array([1, 2, 3], type=pa.int64())})
+    vals = pa.table({"v": pa.array(["a", None])})
+    kept = _canon(as_table(shuffle_membership_filter(
+        rd.from_arrow(rows), "v", rd.from_arrow(vals), "v", keep=True)))
+    assert kept["i"].tolist() == [1]  # only 'a'; the null row never matches
+    dropped = _canon(as_table(shuffle_membership_filter(
+        rd.from_arrow(rows), "v", rd.from_arrow(vals), "v", keep=False)))
+    assert sorted(dropped["i"].tolist()) == [2, 3]  # null row survives keep=False
+
+
 def test_shuffle_membership_filter_nulls(ray_session):
     """NULL values never match (SQL semantics): dropped on keep=True,
     kept on keep=False."""

@@ -623,6 +623,55 @@ def test_countmin_guarantees_and_merge():
         sk.merge(CountMin(width=1024, depth=5, seed=2))
 
 
+def test_hash64_floats_bit_pattern_not_truncated():
+    """hash64 on floats must hash the IEEE bit pattern: the old int64
+    value cast collapsed every float in [k, k+1) onto one hash (a
+    uniform(0,1) column distinct-counted as 1). -0.0 == 0.0 and all NaNs
+    collapse (SQL equality); HLL on a fractional column is sane again."""
+    import numpy as np
+
+    from anomalydetection_ray.sketches.hll import HyperLogLog, hash64
+
+    h = hash64(np.array([0.25, 0.75, 1.25]))
+    assert len(set(h.tolist())) == 3
+    assert hash64(np.array([-0.0]))[0] == hash64(np.array([0.0]))[0]
+    assert hash64(np.array([float("nan")]))[0] == hash64(np.array([np.float64("nan") * -1]))[0]
+    rng = np.random.default_rng(3)
+    vals = rng.random(20_000)
+    hl = HyperLogLog(12).update_hashed(hash64(vals))
+    assert abs(hl.estimate() - 20_000) / 20_000 < 0.05
+
+
+def test_countmin_merge_many_does_not_mutate_inputs():
+    import numpy as np
+
+    from anomalydetection_ray.sketches.countmin import CountMin
+
+    a = CountMin(width=256, depth=3, seed=1).update(["x", "y"])
+    b = CountMin(width=256, depth=3, seed=1).update(["x"])
+    a_table = a.table.copy()
+    merged = CountMin.merge_many([a, b])
+    assert merged is not a and np.array_equal(a.table, a_table) and a.n == 2
+    assert merged.n == 3
+
+
+def test_tdigest_delta_mismatch_and_stable_requeries():
+    import numpy as np
+    import pytest as _pytest
+
+    from anomalydetection_ray.sketches.tdigest import TDigest
+
+    t = TDigest(64).update(np.random.default_rng(1).random(50_000))
+    with _pytest.raises(ValueError, match="delta"):
+        t.merge(TDigest(128))
+    # repeated queries must not keep recompressing (coarsening) the digest
+    q1 = [t.quantile(q) for q in (0.5, 0.99, 0.999)]
+    for _ in range(50):
+        t.quantile(0.5)
+    q2 = [t.quantile(q) for q in (0.5, 0.99, 0.999)]
+    assert q1 == q2
+
+
 def test_dataset_countmin_matches_exact_counts(ray_session):
     import numpy as np
     import pyarrow as pa

@@ -47,6 +47,39 @@ def test_asof_join_backward_semantics(ray_session):
     assert vals == [None, 100.0, 200.0, 9.0, None]
 
 
+def test_sessionize_numeric_epoch_us_ts(ray_session):
+    """Numeric ts columns are epoch-µs by contract across the module
+    (rolling_window_agg, range_join_agg); sessionize used to raise on
+    them at the .dt accessor."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import sessionize
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    m = 60_000_000  # one minute in µs
+    t = pa.table({
+        "u": pa.array([1, 1, 1], type=pa.int64()),
+        "t": pa.array([0 * m, 5 * m, 45 * m], type=pa.int64()),
+    })
+    out = as_table(
+        sessionize(rd.from_arrow(t), key="u", ts_col="t", gap=datetime.timedelta(minutes=30))
+    ).to_pandas().sort_values("session_id")
+    assert out["session_id"].tolist() == [1, 2]
+    assert out["n_events"].tolist() == [2, 1]
+
+
+def test_asof_join_right_value_collision_raises(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import asof_join
+
+    left = pa.table({"k": [1], "t": [1], "v": [1.0]})
+    right = pa.table({"k": [1], "t": [1], "v": [2.0]})
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                  key="k", left_ts="t", right_ts="t", right_values=["v"])
+
+
 def test_sessionize_gap_semantics(ray_session):
     import ray.data as rd
 
