@@ -32,7 +32,7 @@ class Tolerance:
     column: str | None = None
 
     def passes(self, value: float | None) -> bool:
-        if value is None:
+        if value is None or value != value:  # NaN fails per the contract
             return False
         if self.min_value is not None and value < self.min_value:
             return False

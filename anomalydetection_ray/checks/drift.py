@@ -70,8 +70,17 @@ def partition_drift(
                 }
             )
             continue
-        ch = FixedHistogram.from_bytes(cur.loc[part, "hist"])
-        bh = FixedHistogram.from_bytes(base.loc[part, "hist"])
+        cb, bb = cur.loc[part, "hist"], base.loc[part, "hist"]
+        if cb is None or bb is None:
+            # the column was profiled without hist_edges: say so instead
+            # of an opaque pickle TypeError after the expensive scans
+            raise ValueError(
+                f"no histogram recorded for column {column!r} in the "
+                f"{'current' if cb is None else 'baseline'} stats — add the column to "
+                "hist_edges when profiling"
+            )
+        ch = FixedHistogram.from_bytes(cb)
+        bh = FixedHistogram.from_bytes(bb)
         p, k = psi(bh, ch), ks_statistic(bh, ch)
         rows.append(
             {

@@ -106,27 +106,34 @@ def orphans_bloom(fact_ds, fact_key: str, dim_ds, dim_key: str, fp_rate: float =
     """
     import ray
 
-    bloom_ref = ray.put(build_dim_bloom(dim_ds, dim_key, fp_rate=fp_rate).to_bytes())
-    exact = _collect_dim_keys(dim_ds, dim_key)
-    exact_ref = ray.put(exact)
+    # ONE dim scan: the projection materializes once and feeds the bloom
+    # build (whose capacity count is then pure metadata) AND the exact key
+    # collect — this used to execute the dim pipeline three times
+    dim_proj = dim_ds.select_columns([dim_key]).materialize()
+    bloom_ref = ray.put(build_dim_bloom(dim_proj, dim_key, fp_rate=fp_rate).to_bytes())
+    exact_ref = ray.put(_collect_dim_keys(dim_proj, dim_key))
 
     def probe(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter.from_bytes(ray.get(bloom_ref))
+        bf = BloomFilter.view_bytes(ray.get(bloom_ref))  # zero-copy per batch
         col = batch[fact_key].combine_chunks()
-        vals = np.asarray(col)
         valid = np.asarray(pc.is_valid(col))
-        hit = np.zeros(len(vals), dtype=bool)
-        if valid.any():
-            hit[valid] = bf.contains(vals[valid])
+        # drop_null FIRST: np.asarray on a null-bearing integer column
+        # converts to float64, whose bit-pattern hashes mismatch the
+        # int64-hashed dim bloom — every valid key in the block would
+        # read as a "definite orphan" with no exact re-check
+        vals_v = np.asarray(col.drop_null())
+        hit_v = bf.contains(vals_v) if len(vals_v) else np.zeros(0, dtype=bool)
+        hit = np.zeros(len(col), dtype=bool)
+        hit[valid] = hit_v
         # definite orphans: bloom miss (or null key)
         definite = ~hit
         # bloom hits are re-verified exactly (kills false "present")
         dim = ray.get(exact_ref)
-        cand = hit & valid
-        if cand.any() and len(dim):
-            idx = np.clip(np.searchsorted(dim, vals[cand]), 0, len(dim) - 1)
-            fp_mask = dim[idx] != vals[cand]
-            definite[np.nonzero(cand)[0][fp_mask]] = True
+        if hit_v.any() and len(dim):
+            cand_v = vals_v[hit_v]
+            idx = np.clip(np.searchsorted(dim, cand_v), 0, len(dim) - 1)
+            fp_mask = dim[idx] != cand_v
+            definite[np.nonzero(hit)[0][fp_mask]] = True
         return batch.filter(pa.array(definite))
 
     return fact_ds.map_batches(probe, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -97,11 +97,12 @@ def duplicate_key_hashes(
     partials = select_if_needed(ds, keys).map_batches(
         _hash_combine_fn(keys, seed), batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
-    est = None
-    try:
-        est = ds.size_bytes()  # parquet-metadata estimate; no execution
-    except Exception:
-        pass
+    # metadata-only estimate: ds.size_bytes() on a transformed lazy plan
+    # can execute the whole upstream pipeline just to learn the size —
+    # the hazard metadata_size_estimate exists for (checks/dependency.py)
+    from ..functions.shuffle import metadata_size_estimate
+
+    est = metadata_size_estimate(ds)
     if est is not None and est <= driver_merge_max_bytes:
         import polars as pl
         import ray.data as rd
@@ -226,21 +227,33 @@ def duplicate_rows(ds, keys: list[str], max_dup_keys: int = 5_000_000):
     """
     import ray
 
-    dups = duplicate_keys(ds, keys).to_pandas()
-    if len(dups) == 0:
-        return ds.limit(0)
-    if len(dups) > max_dup_keys:
-        raise ValueError(f"{len(dups)} duplicate keys exceeds max_dup_keys={max_dup_keys}")
     sep = "\x1f"
-    members = pa.array(
-        sorted(sep.join(str(v) for v in row) for row in dups[keys].itertuples(index=False, name=None))
-    )
+    null_sent = "\x00<null>"  # collision needs a real value holding NUL
+
+    def canon_keys(tb: pa.Table) -> pa.ChunkedArray | pa.Array:
+        # ONE canonicalization for the member set AND the probe — Arrow's
+        # cast-to-string on both sides (str(True)='True' vs Arrow 'true'
+        # silently matched nothing for bool keys), nulls to a sentinel so
+        # duplicated null-key rows recover (binary_join emits null rows
+        # straight past is_in otherwise)
+        parts = [pc.fill_null(pc.cast(tb[k], pa.string()), null_sent) for k in keys]
+        return parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, sep)
+
+    dup_tabs = [
+        t for t in duplicate_keys(ds, keys).iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not dup_tabs:
+        return ds.limit(0)
+    dups = pa.concat_tables(dup_tabs, promote_options="default")
+    if dups.num_rows > max_dup_keys:
+        raise ValueError(f"{dups.num_rows} duplicate keys exceeds max_dup_keys={max_dup_keys}")
+    members = pc.unique(canon_keys(dups))
+    members = members.combine_chunks() if isinstance(members, pa.ChunkedArray) else members
     ref = ray.put(members)
 
     def filter_members(batch: pa.Table) -> pa.Table:
         value_set = ray.get(ref)
-        parts = [pc.cast(batch[k], pa.string()) for k in keys]
-        joined = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, sep)
-        return batch.filter(pc.is_in(joined, value_set=value_set))
+        return batch.filter(pc.is_in(canon_keys(batch), value_set=value_set))
 
     return ds.map_batches(filter_members, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -179,13 +179,15 @@ class ImageFeatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
-        if self.mode == "real":
+        if not payloads:  # np.stack([]) raises on a drained block
+            feats = np.zeros((0, self.dim), dtype=np.float32)
+        elif self.mode == "real":
             feats = np.stack([_image_features(self.decode(p), self.dim) for p in payloads])
         else:
             feats = np.stack(
                 [_fake_floats(p if p is not None else b"", self.dim, b"img") for p in payloads]
             )
-        col = pa.FixedSizeListArray.from_arrays(pa.array(feats.reshape(-1)), self.dim)
+        col = pa.FixedSizeListArray.from_arrays(pa.array(feats.reshape(-1), type=pa.float32()), self.dim)
         return batch.drop_columns([self.payload_col]).append_column("image_feat", col)
 
 
@@ -203,7 +205,10 @@ class AudioFeatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_col].to_pylist()
-        if self.mode == "real":
+        if not payloads:  # np.stack([]) raises on a drained block
+            feats = np.zeros((0, self.dim), dtype=np.float32)
+            durations = np.zeros(0, dtype=np.float64)
+        elif self.mode == "real":
             feats, durations = [], []
             for p in payloads:
                 x, rate = self.decode(p)
@@ -218,9 +223,9 @@ class AudioFeatureStage:
                 [len(p or b"") / max(int(r) if r else 16000, 1) for p, r in zip(payloads, rates)],
                 dtype=np.float64,
             )
-        col = pa.FixedSizeListArray.from_arrays(pa.array(feats.reshape(-1)), self.dim)
+        col = pa.FixedSizeListArray.from_arrays(pa.array(feats.reshape(-1), type=pa.float32()), self.dim)
         out = batch.drop_columns([self.payload_col]).append_column("audio_feat", col)
-        return out.append_column("duration_s", pa.array(durations))
+        return out.append_column("duration_s", pa.array(durations, type=pa.float64()))
 
 
 class VideoFrameSampleStage:

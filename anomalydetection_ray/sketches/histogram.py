@@ -122,7 +122,15 @@ def categorical_counts(values, categories: list) -> np.ndarray:
     """
     idx = {c: i for i, c in enumerate(categories)}
     counts = np.zeros(len(categories) + 1, dtype=np.int64)
-    vals, cnts = np.unique(np.asarray(values, dtype=object), return_counts=True)
-    for v, c in zip(vals, cnts):
-        counts[idx.get(v, len(categories))] += c
+    arr = np.asarray(values, dtype=object)
+    # nulls count as a category (lang is exactly the column the corpus
+    # plants nulls into); np.unique's sort would raise on None < str
+    n_null = sum(v is None for v in arr)
+    if n_null:
+        counts[idx.get(None, len(categories))] += n_null
+        arr = np.array([v for v in arr if v is not None], dtype=object)
+    if len(arr):
+        vals, cnts = np.unique(arr, return_counts=True)
+        for v, c in zip(vals, cnts):
+            counts[idx.get(v, len(categories))] += c
     return counts

@@ -19,6 +19,11 @@ _C1 = np.uint64(0xBF58476D1CE4E5B9)
 _C2 = np.uint64(0x94D049BB133111EB)
 
 
+# fixed hash for null slots in typed integer/temporal columns (strings go
+# through polars' own null handling; floats map null -> canonical NaN bits)
+_NULL_HASH = np.uint64(0x9E3779B97F4A7C15)
+
+
 def _avalanche(h: np.ndarray) -> np.ndarray:
     h = h.astype(np.uint64, copy=True)
     h ^= h >> np.uint64(30)
@@ -46,6 +51,18 @@ def hash64_arrow(arr) -> np.ndarray:
 
         h = pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64, copy=False)
         return _avalanche(h)
+    if (pa.types.is_integer(t) or pa.types.is_temporal(t)) and arr.null_count:
+        # hashes must be a pure function of the VALUE: to_numpy on a
+        # null-bearing integer column silently converts to float64, which
+        # would route through the float bit-pattern path (different hash
+        # for the same int across blocks, and values >= 2^53 collapse).
+        # Stay integral: cast, fill nulls, hash, stamp the null slots.
+        import pyarrow.compute as pc
+
+        vals = arr.cast(pa.int64()).fill_null(0).to_numpy(zero_copy_only=False)
+        h = _avalanche(vals.astype(np.int64, copy=False).view(np.uint64))
+        h[pc.is_null(arr).to_numpy(zero_copy_only=False)] = _NULL_HASH
+        return h
     return hash64(arr.to_numpy(zero_copy_only=False))
 
 

@@ -57,9 +57,15 @@ class KLL:
         off = 1 if self.toggles[i] else 0
         self.toggles[i] = not self.toggles[i]
         keep = lv[off::2]
-        if len(lv) % 2 == 1 and off == 0:
-            # odd leftover stays at this level to keep weights exact
-            promoted, leftover = keep[: len(lv) // 2], lv[-1:]
+        if len(lv) % 2 == 1:
+            # odd leftover stays at this level to keep weights exact: the
+            # unpaired element is the MAX for off=0, the MIN for off=1
+            # (the off=1 branch used to discard lv[0] outright — total
+            # sample weight drifted ~4% under n and minima vanished)
+            if off == 0:
+                promoted, leftover = keep[: len(lv) // 2], lv[-1:]
+            else:
+                promoted, leftover = keep, lv[:1]
         else:
             promoted, leftover = keep, np.empty(0)
         self.levels[i] = leftover.astype(np.float64)

@@ -22,7 +22,11 @@ class RunState:
         os.makedirs(out_dir, exist_ok=True)
 
     def _marker(self, unit: str) -> str:
-        safe = unit.replace("/", "_")
+        # injective escaping: plain '/'→'_' made units 'a/b' and 'a_b'
+        # share a marker dir (silent wrong-resume). Names without '%' or
+        # '/' — every static unit — are unchanged, so old checkpoints of
+        # those still resume.
+        safe = unit.replace("%", "%25").replace("/", "%2F")
         return os.path.join(self.out_dir, safe, "_DONE")
 
     def is_done(self, unit: str) -> bool:
@@ -40,11 +44,11 @@ class RunState:
             return False
         if fmt is not None and meta.get("format") != fmt:
             return False
-        d = os.path.join(self.out_dir, unit.replace("/", "_"))
+        d = os.path.dirname(self._marker(unit))
         return all(os.path.exists(os.path.join(d, f)) for f in files)
 
     def unit_dir(self, unit: str) -> str:
-        d = os.path.join(self.out_dir, unit.replace("/", "_"))
+        d = os.path.dirname(self._marker(unit))
         os.makedirs(d, exist_ok=True)
         return d
 

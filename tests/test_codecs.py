@@ -159,3 +159,27 @@ def test_real_mode_fails_loudly_on_garbage(ray_session):
     stage = ImageFeatureStage(mode="real")
     with pytest.raises(ValueError):
         stage(pa.table({"payload": pa.array([b"junk bytes"], type=pa.binary())}))
+
+
+def test_media_stages_survive_empty_blocks():
+    """A drained block must flow through the feature stages (np.stack([])
+    used to raise) with the same output schema as non-empty blocks."""
+    from anomalydetection_ray.functions.multimodal import AudioFeatureStage, ImageFeatureStage
+
+    img = ImageFeatureStage(dim=8, mode="fake")
+    empty_img = pa.table({"payload": pa.array([], type=pa.binary())})
+    out = img(empty_img)
+    full = img(pa.table({"payload": pa.array([b"x"], type=pa.binary())}))
+    assert out.num_rows == 0 and out.schema.equals(full.schema)
+
+    aud = AudioFeatureStage(dim=4, mode="fake")
+    empty_aud = pa.table({
+        "payload": pa.array([], type=pa.binary()),
+        "sample_rate": pa.array([], type=pa.int32()),
+    })
+    out_a = aud(empty_aud)
+    full_a = aud(pa.table({
+        "payload": pa.array([b"xx"], type=pa.binary()),
+        "sample_rate": pa.array([16000], type=pa.int32()),
+    }))
+    assert out_a.num_rows == 0 and out_a.schema.equals(full_a.schema)

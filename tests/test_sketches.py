@@ -623,6 +623,44 @@ def test_countmin_guarantees_and_merge():
         sk.merge(CountMin(width=1024, depth=5, seed=2))
 
 
+def test_hash64_arrow_value_pure_across_null_presence():
+    """The hash of a value must not depend on whether its BLOCK contains a
+    null: to_numpy silently converts null-bearing int columns to float64,
+    which used to route through the float bit-pattern path (and collapse
+    ints >= 2^53)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from anomalydetection_ray.sketches.hll import hash64_arrow
+
+    a = hash64_arrow(pa.array([42, 7], type=pa.int64()))
+    b = hash64_arrow(pa.array([42, 7, None], type=pa.int64()))
+    assert a[0] == b[0] and a[1] == b[1]
+    big = 2**60 + 1
+    c = hash64_arrow(pa.array([big, big + 1, None], type=pa.int64()))
+    assert c[0] != c[1]  # no float64 precision collapse
+    ts_n = hash64_arrow(pa.array([1, 2, None], type=pa.timestamp("us")))
+    ts = hash64_arrow(pa.array([1, 2], type=pa.timestamp("us")))
+    assert ts_n[0] == ts[0] and ts_n[1] == ts[1]
+    assert len({c[2], b[2]}) == 1  # nulls share one sentinel hash
+
+
+def test_kll_weight_exact_and_min_preserved():
+    """Compaction must conserve total sample weight (the off=1 odd-length
+    branch used to discard the level MINIMUM outright — 4% of weight
+    vanished and low quantiles biased up)."""
+    import numpy as np
+
+    from anomalydetection_ray.sketches.kll import KLL
+
+    rng = np.random.default_rng(2)
+    sk = KLL(16)
+    for _ in range(200):
+        sk.update(rng.random(97))
+    total_w = sum(len(lv) * 2**i for i, lv in enumerate(sk.levels))
+    assert total_w == sk.n == 19400
+
+
 def test_hash64_floats_bit_pattern_not_truncated():
     """hash64 on floats must hash the IEEE bit pattern: the old int64
     value cast collapsed every float in [k, k+1) onto one hash (a

@@ -502,3 +502,72 @@ def test_spill_all_candidates_dropped_finalizes_empty(
     # scan-sourced kinds report zero violations; the run completes cleanly
     for kind in ("uniqueness", "rowrules"):
         assert res.violations[kind].num_rows == 0
+
+
+def test_duplicate_rows_bool_and_null_keys(ray_session):
+    """duplicate_rows must recover rows for bool keys (Python str(True)
+    vs Arrow 'true' used to match nothing) and null-key duplicates
+    (binary_join emitted null past is_in), while a real string 'None'
+    key only matches itself."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.checks.uniqueness import duplicate_rows
+
+    tb = pa.table({
+        "flag": pa.array([True, True, False, None, None, True], type=pa.bool_()),
+        "row": pa.array(range(6), type=pa.int64()),
+    })
+    out = duplicate_rows(rd.from_arrow(tb).repartition(2), ["flag"])
+    got = sorted(r["row"] for t in out.iter_batches(batch_format="pyarrow", batch_size=None)
+                 for r in t.to_pylist())
+    assert got == [0, 1, 3, 4, 5]  # True x3 and null x2; the single False is clean
+
+    tb2 = pa.table({
+        "k": pa.array(["None", None, None, "x"], type=pa.string()),
+        "row": pa.array(range(4), type=pa.int64()),
+    })
+    out2 = duplicate_rows(rd.from_arrow(tb2), ["k"])
+    got2 = sorted(r["row"] for t in out2.iter_batches(batch_format="pyarrow", batch_size=None)
+                  for r in t.to_pylist())
+    assert got2 == [1, 2]  # only the null dup pair; 'None' the string is unique
+
+
+def test_orphans_bloom_null_bearing_int_fact_keys(ray_session):
+    """A null in a fact block must not flip the block's valid int keys to
+    float64 hashing (they all read as 'definite orphans' against the
+    int-hashed dim bloom)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.checks.referential import orphans_bloom
+
+    fact = pa.table({
+        "fk": pa.array([1, 2, None, 99], type=pa.int64()),
+        "row": pa.array(range(4), type=pa.int64()),
+    })
+    dim = pa.table({"k": pa.array([1, 2, 3], type=pa.int64())})
+    out = orphans_bloom(rd.from_arrow(fact), "fk", rd.from_arrow(dim), "k")
+    got = sorted(r["row"] for t in out.iter_batches(batch_format="pyarrow", batch_size=None)
+                 for r in t.to_pylist())
+    assert got == [2, 3]  # the null FK and the genuinely absent 99 only
+
+
+def test_tolerance_nan_fails():
+    from anomalydetection_ray.checks.base import Tolerance
+
+    t = Tolerance("vmin", min_value=0.0)
+    assert not t.passes(float("nan"))
+    assert not t.passes(None)
+    assert t.passes(0.5)
+
+
+def test_runstate_unit_name_escaping_injective(tmp_path):
+    from anomalydetection_ray.state.checkpoint import RunState
+
+    s = RunState(str(tmp_path))
+    s.mark_done("a/b", {"v": 1})
+    assert s.is_done("a/b") and not s.is_done("a_b")
+    s.mark_done("a_b", {"v": 2})
+    assert s.done_metrics("a/b")["metrics"]["v"] == 1
+    assert s.done_metrics("a_b")["metrics"]["v"] == 2
