@@ -116,6 +116,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--vec-col", default="embedding")
     s.add_argument("--method", choices=["l2", "mahalanobis", "iforest"], default="l2")
     s.add_argument("--threshold-percentile", type=float, default=95.0)
+    s.add_argument("--threshold-mode", choices=["exact", "kll"], default="exact",
+                   help="kll = O(k) driver memory, never gathers the score column")
 
     c = sub.add_parser("curate", help="normalize -> gate -> decontaminate -> dedup -> partitioned write")
     c.add_argument("table")
@@ -213,8 +215,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "dedup":
             import ray.data as rd
 
+            from . import tune_shuffle_to_cluster
             from .pipelines.queries import as_table
 
+            tune_shuffle_to_cluster()  # must precede dataset creation (readers.py)
             ds = rd.read_parquet(args.table)
             if args.method == "exact":
                 from .dedup import exact_dedup
@@ -247,8 +251,10 @@ def main(argv: list[str] | None = None) -> int:
             import pyarrow.parquet as pq
             import ray.data as rd
 
+            from . import tune_shuffle_to_cluster
             from .sources.miner import mine_templates
 
+            tune_shuffle_to_cluster()
             tbl = mine_templates(rd.read_parquet(args.table, columns=[args.text_col]), args.text_col)
             pq.write_table(tbl, args.out)
             print(json.dumps({"out": args.out, "templates": tbl.num_rows}))
@@ -260,6 +266,9 @@ def main(argv: list[str] | None = None) -> int:
             import pyarrow.compute as pcw
             import ray.data as rd
 
+            from . import tune_shuffle_to_cluster
+
+            tune_shuffle_to_cluster()
             ds = rd.read_parquet(args.table, columns=[args.id_col, args.vec_col])
             if args.method == "l2":
                 from .functions.vector import l2_norm_batch
@@ -283,8 +292,20 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 scored = scored.select_columns([args.id_col, "anomaly_score"])
             scored = scored.materialize()
-            vals = scored.select_columns(["anomaly_score"]).to_pandas()["anomaly_score"].to_numpy()
-            thr = float(np.percentile(vals, args.threshold_percentile))
+            n_rows = scored.count()
+            if args.threshold_mode == "kll":
+                # scale path: O(k) driver memory — never gather the column
+                from .sketches import KLL
+
+                sk = KLL(512)
+                for tb in scored.select_columns(["anomaly_score"]).iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                ):
+                    sk = sk.update(np.asarray(tb["anomaly_score"], dtype=np.float64))
+                thr = float(sk.quantile(args.threshold_percentile / 100.0))
+            else:
+                vals = scored.select_columns(["anomaly_score"]).to_pandas()["anomaly_score"].to_numpy()
+                thr = float(np.percentile(vals, args.threshold_percentile)) if len(vals) else float("inf")
 
             def verdict(tb: paw.Table) -> paw.Table:
                 return tb.append_column(
@@ -297,8 +318,11 @@ def main(argv: list[str] | None = None) -> int:
             clean_parquet_dir(args.out)  # re-runs replace, never append
             out_ds = scored.map_batches(verdict, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
             out_ds.write_parquet(args.out)
-            n_anom = int((vals > thr).sum())
-            print(json.dumps({"out": args.out, "method": args.method, "rows": len(vals),
+            n_anom = int(
+                rd.read_parquet(args.out, columns=["anomaly_prediction"])
+                .sum("anomaly_prediction") or 0
+            )
+            print(json.dumps({"out": args.out, "method": args.method, "rows": n_rows,
                               "threshold": round(thr, 6), "anomalies": n_anom}))
             return 0
         if args.cmd == "curate":

@@ -177,6 +177,11 @@ def label_propagate_min(edges_ds, max_iters: int = 64, num_blocks: int | None = 
         sym_edges.map_batches(init_labels, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
         ["id"], "label", "label", num_blocks,
     ).materialize()
+    if labels.count() == 0:
+        # empty edge graph: Dataset.sum on an empty label set returns None
+        # every round, so the prev_sum convergence test could never fire —
+        # 64 wasted shuffle rounds ending in a misleading diameter error
+        return labels
     prev_sum = None
 
     js = pa.schema([("__k", pa.int64()), ("dst", pa.int64()), ("label", pa.int64()), ("__side", pa.int8())])
@@ -316,35 +321,17 @@ def cluster_drop_ids(edges_ds, max_iters: int = 64, num_blocks: int | None = Non
 
 def shuffle_anti_join(ds, id_col: str, drop_ids_ds, num_blocks: int | None = None):
     """Rows of ``ds`` whose ``id_col`` is NOT in the (distributed) drop-id
-    set: both sides co-partition by id hash, each block filters locally.
-    The payload crosses the wire once; no driver materialization of
-    either side."""
-    base = arrow_schema(ds)
-    marker = "__drop_marker"
-    schema = pa.schema(list(base) + [pa.field(marker, pa.int8())])
+    set — a thin alias over the generic co-partitioned
+    :func:`~anomalydetection_ray.functions.relational.
+    shuffle_membership_filter` (this used to be a second copy of the
+    same tagged-union plan, diverging on null handling). Ids are
+    non-null by the dedup family's contract, so the duplicated
+    null-coalesced sort keys stay off the wire."""
+    from ..functions.relational import shuffle_membership_filter
 
-    def rows_to_u(tb: pa.Table) -> pa.Table:
-        return _norm(tb, schema, {**{c: tb[c] for c in tb.column_names}, marker: pa.nulls(tb.num_rows, pa.int8()).fill_null(0)})
-
-    def drops_to_u(tb: pa.Table) -> pa.Table:
-        return _norm(tb, schema, {id_col: tb["id"], marker: pa.nulls(tb.num_rows, pa.int8()).fill_null(1)})
-
-    def anti(tb: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        if tb.num_rows == 0:
-            return tb.select([f.name for f in base])
-        is_drop = pc.equal(tb[marker], 1)
-        drop_keys = tb.filter(is_drop)[id_col].combine_chunks()
-        rows = tb.filter(pc.invert(is_drop))
-        if len(drop_keys):
-            rows = rows.filter(pc.invert(pc.is_in(rows[id_col], value_set=pc.unique(drop_keys))))
-        return rows.select([f.name for f in base])
-
-    tagged = ds.map_batches(rows_to_u, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).union(
-        drop_ids_ds.map_batches(drops_to_u, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    return shuffle_membership_filter(
+        ds, id_col, drop_ids_ds, "id", keep=False, num_blocks=num_blocks, keys_non_null=True
     )
-    return local_group_map(tagged, [id_col], anti, num_blocks, keys_non_null=True)
 
 
 def connected_components(

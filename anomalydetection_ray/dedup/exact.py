@@ -68,8 +68,17 @@ def exact_dedup(
     e.g. a filter stage over a fresh read — pass ``size_hint_bytes`` so
     small inputs keep the driver-merge plan instead of paying the hash
     shuffle's fixed aggregator-actor spawn."""
+    def _hash_stage(t: pa.Table) -> pa.Table:
+        if t[id_col].null_count:
+            # fail the SAME way on both plans: the distributed rung's id
+            # sort raises a cryptic TypeError on null keys, while the
+            # broadcast rung silently dropped null-id rows — a
+            # size-dependent divergence
+            raise ValueError(f"null values in id column {id_col!r}; exact_dedup requires non-null ids")
+        return content_hash128_batch(t, text_col)
+
     fp = ds.map_batches(
-        lambda t: content_hash128_batch(t, text_col),
+        _hash_stage,
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
@@ -130,8 +139,15 @@ def dedup_against_snapshot(
     (plan-equivalence tests). 128-bit hashing makes a false drop a
     ~2^-64-per-pair event, the same contract exact_dedup documents."""
     scol = snapshot_text_col or text_col
+
+    def _hash_new(t: pa.Table) -> pa.Table:
+        if t[id_col].null_count:
+            # consistent loud failure on both rungs (exact_dedup contract)
+            raise ValueError(f"null values in id column {id_col!r}; dedup requires non-null ids")
+        return content_hash128_batch(t, text_col)
+
     fp_new = ds.map_batches(
-        lambda t: content_hash128_batch(t, text_col),
+        _hash_new,
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
     fp_snap = snapshot_ds.map_batches(

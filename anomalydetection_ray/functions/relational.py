@@ -41,7 +41,8 @@ def broadcast_value_filter(ds, col: str, values, keep: bool = True):
     return ds.map_batches(probe, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
-def shuffle_membership_filter(ds, col: str, values_ds, values_col: str, keep: bool = True, num_blocks: int | None = None):
+def shuffle_membership_filter(ds, col: str, values_ds, values_col: str, keep: bool = True,
+                              num_blocks: int | None = None, keys_non_null: bool = False):
     """Distributed membership filter: rows of ``ds`` whose ``col`` is
     (``keep=True``) / is not (``keep=False``) present in a DISTRIBUTED
     value set — the scale plan when the value set is too large to gather
@@ -96,7 +97,7 @@ def shuffle_membership_filter(ds, col: str, values_ds, values_col: str, keep: bo
     tagged = ds.map_batches(rows_to_u, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).union(
         values_ds.map_batches(vals_to_u, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     )
-    return local_group_map(tagged, [col], probe, num_blocks)
+    return local_group_map(tagged, [col], probe, num_blocks, keys_non_null=keys_non_null)
 
 
 def frequency_filter(ds, col: str, min_count: int, driver_max_keys: int = 2_000_000, num_blocks: int | None = None):

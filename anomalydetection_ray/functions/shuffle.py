@@ -153,9 +153,6 @@ def sized_actor_concurrency(ds, min_actors: int = 1, bytes_per_actor: int = 32 <
     return max(min_actors, min(cap, -(-est // bytes_per_actor)))
 
 
-def hash_partitioned(ds, keys: list[str], num_blocks: int | None = None):
-    """Hash-shuffle so every distinct key lands in exactly one block."""
-    return ds.repartition(num_blocks=num_blocks or default_num_blocks(), keys=keys, sort=False)
 
 
 def _null_fill_scalar(t: pa.DataType):
@@ -185,7 +182,7 @@ def local_group_map(ds, keys: list[str], block_fn, num_blocks: int | None = None
     the same output block even under extreme skew (verified with a
     30M-copy hot value in tests/test_neardup.py), which is exactly the
     co-location contract this helper promises. The hash-shuffle
-    repartition (``hash_partitioned``) respawns its aggregator-actor pool
+    repartition (``Dataset.repartition(keys=...)``) respawns its aggregator-actor pool
     on EVERY pipeline execution — measured ~7 s fixed cost per run at 32
     CPUs on a 4k-row input, and 28.6 s vs 3.3 s for the sort on a 58M-row
     distinct — so the sort wins at both ends of the scale. ``num_blocks``
@@ -340,10 +337,13 @@ def _agg_final_exprs(spec: dict[str, tuple[str | None, str]]):
             exprs.append((pl.col(f"{alias}__sum").sum() / pl.col(f"{alias}__cnt").sum()).alias(alias))
         elif op == "std":
             n = pl.col(f"{alias}__cnt").sum()
-            s = pl.col(f"{alias}__sum").sum()
-            exprs.append(
-                (((pl.col(f"{alias}__sumsq").sum() - s**2 / n) / (n - 1)).sqrt()).alias(alias)
-            )
+            # cast BEFORE squaring: Int64 ** 2 stays Int64 in polars and
+            # silently wraps once a group's sum exceeds ~3.04e9 (the
+            # partial pass casts sumsq but this final expr didn't)
+            s = pl.col(f"{alias}__sum").sum().cast(pl.Float64)
+            var = (pl.col(f"{alias}__sumsq").sum() - s**2 / n) / (n - 1)
+            # n == 1: SQL stddev_samp is NULL, not a 0/0 NaN
+            exprs.append(pl.when(n > 1).then(var.sqrt()).alias(alias))
         elif op == "min":
             exprs.append(pl.col(f"{alias}__min").min().alias(alias))
         elif op == "max":
@@ -643,9 +643,12 @@ def robust_outlier_flags(
          ``ABS(x - med) > t * c * mad`` in SQL.
 
     consistency=1.4826 makes MAD estimate σ under normality; threshold=3.5
-    is the standard modified-z cut. Groups whose values are all null get
-    NaN stats (flag False), and rows with null values get null z/flag —
-    SQL comparison semantics."""
+    is the standard modified-z cut. Rows with null values get null z/flag
+    (SQL comparison semantics); an all-null group never enters the stats
+    table, so its rows are exactly that null-value case, and rows whose
+    group is absent from a user-supplied ``stats`` get null z/flag too —
+    count non-flagged rows with ``flag IS DISTINCT FROM 1``, not
+    ``flag = 0``."""
     from .relational import broadcast_join
 
     for c in (z_col, flag_col, "med", "mad"):
@@ -944,8 +947,18 @@ def global_value_ranks(ds, col: str):
     """
     import pyarrow.compute as pc
 
+    def _ranked_rows(tb: pa.Table) -> pa.Table:
+        # exclude NaN along with null: NaN compares unequal to itself in
+        # the broadcast lookup but polars joins NaN == NaN, so ranking it
+        # made the two cost-gated apply plans disagree — NaN rows keep
+        # null ranks everywhere instead
+        mask = pc.is_valid(tb[col])
+        if pa.types.is_floating(tb.schema.field(col).type):
+            mask = pc.and_(mask, pc.invert(pc.is_nan(tb[col])))
+        return tb.filter(mask)
+
     base = select_if_needed(ds, [col]).map_batches(
-        lambda tb: tb.filter(pc.is_valid(tb[col])),
+        _ranked_rows,
         batch_format="pyarrow",
         batch_size=None,
         zero_copy_batch=True,

@@ -99,9 +99,22 @@ def test_operators_on_empty_inputs(ray_session):
     assert mine_templates(docs, "text").num_rows == 0
     assert as_table(sessionize(ev, "k", "t", datetime.timedelta(minutes=5), "v")).num_rows == 0
     assert as_table(rolling_window_agg(ev, "k", "t", "v", datetime.timedelta(minutes=5))).num_rows == 0
+    # self-asof-join must rename the right value column: 'v' on both
+    # sides would emit a duplicate output field (now rejected up front)
+    ev_r = rd.from_arrow(
+        pa.table({
+            "k": pa.array([], type=pa.int64()),
+            "t": pa.array([], type=pa.timestamp("us")),
+            "w": pa.array([], type=pa.float64()),
+        })
+    )
     assert as_table(
-        asof_join(ev, ev, key="k", left_ts="t", right_ts="t", right_values=["v"])
+        asof_join(ev, ev_r, key="k", left_ts="t", right_ts="t", right_values=["w"])
     ).num_rows == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(ev, ev, key="k", left_ts="t", right_ts="t", right_values=["v"])
     assert as_table(intersect_distinct(ev, ev, ["k"])).num_rows == 0
     assert as_table(grouped_exact_quantiles(ev, ["k"], "v", [0.5])).num_rows == 0
     assert as_table(grouped_topk(ev, ["k"], "v", 3)).num_rows == 0
@@ -649,3 +662,67 @@ def test_list_column_to_matrix_rejects_nulls():
     for col in (var, fixed):
         with _pytest.raises(ValueError, match="null embedding"):
             list_column_to_matrix(col)
+
+
+def test_driver_grouped_agg_std_no_int64_overflow(ray_session):
+    """Int64 ** 2 stays Int64 in polars and silently wraps: a group whose
+    SUM exceeds ~3.04e9 used to get garbage std from the final merge (the
+    partial pass cast sumsq but the final expr squared the raw sum).
+    Also: n == 1 groups return NULL like SQL stddev_samp, not a 0/0 NaN."""
+    import numpy as np
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import driver_grouped_agg
+
+    n = 40_000
+    tb = pa.table({
+        "g": pa.array(["a"] * n + ["solo"]),
+        "x": pa.array(np.concatenate([np.full(n, 100_000, dtype=np.int64), [7]])),
+    })
+    out = driver_grouped_agg(rd.from_arrow(tb).repartition(4), ["g"], {"vstd": ("x", "std")}).set_index("g")
+    assert abs(out.loc["a", "vstd"]) < 1e-6  # constant column: std 0, not wrapped garbage
+    assert out.loc["solo", "vstd"] is None or out.loc["solo", "vstd"] != out.loc["solo", "vstd"]
+
+
+def test_with_global_rank_nan_rows_null_on_both_plans(ray_session):
+    """Float NaN rows keep NULL ranks on BOTH cost-gated plans (polars
+    joins NaN == NaN, the broadcast lookup doesn't — the plans used to
+    disagree)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import with_global_rank
+
+    df = pd.DataFrame({"id": range(10), "v": [1.0, 2.0, float("nan"), 3.0, 1.0,
+                                              float("nan"), 4.0, 2.0, 5.0, 6.0]})
+    outs = []
+    for max_bytes in (64 << 20, 0):  # broadcast plan, forced join plan
+        out = (
+            pa.concat_tables(
+                with_global_rank(rd.from_pandas(df).repartition(3), "v",
+                                 kinds=("rank", "cume_dist"), driver_max_bytes=max_bytes)
+                .iter_batches(batch_format="pyarrow", batch_size=None)
+            ).to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert out.loc[[2, 5], "rank"].isna().all(), max_bytes  # NaN rows unranked
+        assert out.loc[out.index.difference([2, 5]), "rank"].notna().all(), max_bytes
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_exact_dedup_rejects_null_ids(ray_session):
+    """Null ids used to crash the distributed rung (range-sort TypeError)
+    but silently drop on the broadcast rung — now a loud contract error
+    on both."""
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup import exact_dedup
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, None, 3], type=pa.int64()),
+        "text": pa.array(["a", "a", "b"]),
+    }))
+    with pytest.raises(Exception, match="null values in id column"):
+        as_table(exact_dedup(docs, "doc_id", "text"))
