@@ -91,3 +91,10 @@ def tune_shuffle_to_cluster() -> None:
 
 
 _configure_data_context()
+
+# Empty sort partitions carry no schema (Ray internal; see _raycompat
+# module docstring) — complete the executor's own empty-schema check so
+# they stop logging a spurious per-operator divergence warning.
+from ._raycompat import patch_empty_schema_bundle_divergence as _patch_schema_shim
+
+_patch_schema_shim()

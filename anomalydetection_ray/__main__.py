@@ -216,10 +216,11 @@ def main(argv: list[str] | None = None) -> int:
             import ray.data as rd
 
             from . import tune_shuffle_to_cluster
+            from .sources.readers import read_parquet_clean
             from .pipelines.queries import as_table
 
             tune_shuffle_to_cluster()  # must precede dataset creation (readers.py)
-            ds = rd.read_parquet(args.table)
+            ds = read_parquet_clean(args.table)
             if args.method == "exact":
                 from .dedup import exact_dedup
 
@@ -252,10 +253,11 @@ def main(argv: list[str] | None = None) -> int:
             import ray.data as rd
 
             from . import tune_shuffle_to_cluster
+            from .sources.readers import read_parquet_clean
             from .sources.miner import mine_templates
 
             tune_shuffle_to_cluster()
-            tbl = mine_templates(rd.read_parquet(args.table, columns=[args.text_col]), args.text_col)
+            tbl = mine_templates(read_parquet_clean(args.table, columns=[args.text_col]), args.text_col)
             pq.write_table(tbl, args.out)
             print(json.dumps({"out": args.out, "templates": tbl.num_rows}))
             return 0
@@ -267,9 +269,10 @@ def main(argv: list[str] | None = None) -> int:
             import ray.data as rd
 
             from . import tune_shuffle_to_cluster
+            from .sources.readers import read_parquet_clean
 
             tune_shuffle_to_cluster()
-            ds = rd.read_parquet(args.table, columns=[args.id_col, args.vec_col])
+            ds = read_parquet_clean(args.table, columns=[args.id_col, args.vec_col])
             if args.method == "l2":
                 from .functions.vector import l2_norm_batch
 

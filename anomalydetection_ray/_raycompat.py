@@ -1,0 +1,66 @@
+"""Guarded compatibility shims for Ray Data internals.
+
+One shim today, applied at package import (idempotent, and a no-op on
+any Ray version whose internals moved — every touch is wrapped so the
+engine keeps running unpatched):
+
+Empty-schema bundle divergence
+------------------------------
+Ray's sort builds every EMPTY range partition through
+``ArrowBlockAccessor.merge_sorted_blocks``, which drops all-empty input
+blocks *before* concatenating — so the reduced block is
+``_empty_table()`` with a zero-field schema even though the dropped
+inputs carried the real one. Downstream ``map_batches`` stages pass
+empty non-dict batches through WITHOUT calling the UDF (Ray's own
+workaround for exactly this: "some all-to-all operators output empty
+blocks with no schema", ``plan_udf_map_op``), so the schema-less bundle
+survives to the streaming executor, whose per-operator schema tracking
+(``dedupe_schemas_with_validation``) then logs
+
+    Operator produced a RefBundle with a different schema than the
+    previous one. ... new schema: .
+
+on every sort/union whose real-schema bundle happens to arrive first
+(order-dependent — the tracker already early-returns, without warning,
+when the OLD schema is the empty one). The shim completes that check
+symmetrically: a zero-field NEW schema carries no information either,
+so it is treated as compatible with whatever non-empty schema the
+operator already produced — no warning, no divergence flag, tracked
+schema unchanged. Real schema mismatches (fields present on both
+sides) still warn exactly as before.
+
+The engine's own lanes all emit schema-carrying batches (see
+``functions/shuffle.ABSORB_EMPTY_BATCH_SIZE``); this shim covers the
+one producer we cannot reach — the sort's reduce tasks, which run in
+worker processes where no engine code is loaded.
+"""
+
+from __future__ import annotations
+
+
+def patch_empty_schema_bundle_divergence() -> bool:
+    """Install the shim; returns True when active (idempotent)."""
+    try:
+        from ray.data._internal.execution import streaming_executor_state as _ses
+        from ray.data.block import _is_empty_schema
+    except Exception:  # pragma: no cover - internals moved; run unpatched
+        return False
+    orig = getattr(_ses, "dedupe_schemas_with_validation", None)
+    if orig is None:  # pragma: no cover
+        return False
+    if getattr(orig, "__adr_empty_schema_shim__", False):
+        return True
+
+    def dedupe_schemas_with_validation(old_schema, bundle, warn=True, enforce_schemas=False):
+        try:
+            if not _is_empty_schema(old_schema) and _is_empty_schema(bundle.schema):
+                # a zero-field bundle (empty sort partition) neither
+                # diverges from nor refines the tracked schema
+                return bundle, False
+        except Exception:  # pragma: no cover - be transparent on drift
+            pass
+        return orig(old_schema, bundle, warn=warn, enforce_schemas=enforce_schemas)
+
+    dedupe_schemas_with_validation.__adr_empty_schema_shim__ = True
+    _ses.dedupe_schemas_with_validation = dedupe_schemas_with_validation
+    return True

@@ -460,7 +460,14 @@ def broadcast_join(fact_ds, fact_key: str | list[str], dim, dim_key: str | list[
         want = pa.schema(list(batch.schema) + dim_out)
         return out.select([f.name for f in want]).to_arrow().cast(want)
 
-    return fact_ds.map_batches(join, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    from .shuffle import ABSORB_EMPTY_BATCH_SIZE
+
+    # int batch_size so upstream empty blocks (whose schema lacks the dim
+    # columns — or lacks everything, after a sort) are absorbed by the
+    # Batcher instead of passed through un-joined (see shuffle.py).
+    return fact_ds.map_batches(
+        join, batch_format="pyarrow", batch_size=ABSORB_EMPTY_BATCH_SIZE, zero_copy_batch=True
+    )
 
 
 def skew_join(
@@ -579,10 +586,17 @@ def skew_join(
         out = f.join(d, left_on=left_key, right_on=right_key, how=how, nulls_equal=False, coalesce=True)
         return out.select([fld.name for fld in out_schema]).to_arrow().cast(out_schema)
 
+    from .shuffle import ABSORB_EMPTY_BATCH_SIZE
+
     left_hot = broadcast_value_filter(left_ds, left_key, hot, keep=True)
     left_cold = broadcast_value_filter(left_ds, left_key, hot, keep=False)
     right_cold = broadcast_value_filter(right_in, right_key, hot, keep=False)
-    hot_out = left_hot.map_batches(hot_probe, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    # int batch_size: empty hot-lane blocks must not bypass the probe, or
+    # they reach the union carrying the LEFT schema instead of out_schema
+    # (round-4 verdict #2 — "RefBundle with a different schema" warning).
+    hot_out = left_hot.map_batches(
+        hot_probe, batch_format="pyarrow", batch_size=ABSORB_EMPTY_BATCH_SIZE, zero_copy_batch=True
+    )
     cold_out = shuffle_hash_join(left_cold, left_key, right_cold, right_key, how=how,
                                  num_blocks=num_blocks, suffix=suffix)
     return hot_out.union(cold_out)

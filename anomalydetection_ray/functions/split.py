@@ -197,21 +197,27 @@ def fixed_count_sample(ds, on: str, n: int, seed: int = 42, unit_fn=None):
     # the md5 family ignores its seed, so "same fn, seed+1" would give
     # u2 == u and ties would fall back to block layout; the full-width
     # md5_order_hash is the SQL-reproducible tie-break for those
-    # (equivalent to ORDER BY md5 % 100000, md5)
+    # (equivalent to ORDER BY md5 % 100000, md5). It stays uint64 end to
+    # end: a float64 cast would collapse order hashes differing only in
+    # the low ~11 bits (53-bit mantissa) and silently fall back to block
+    # layout on those ties (ADVICE round 4).
+    md5_tie = hash_fn in (md5_unit_hash, md5_unit_hash_open)
+    tie_type = pa.uint64() if md5_tie else pa.float64()
+
     def tie_fn(batch: pa.Table) -> np.ndarray:
-        if hash_fn in (md5_unit_hash, md5_unit_hash_open):
-            return md5_order_hash(batch, on, seed).astype(np.float64)
+        if md5_tie:
+            return md5_order_hash(batch, on, seed)
         return hash_fn(batch, on, seed + 1)
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column("__u", pa.array([], type=pa.float64())).append_column(
-                "__u2", pa.array([], type=pa.float64())
+                "__u2", pa.array([], type=tie_type)
             )
         u = hash_fn(batch, on, seed)
         u2 = tie_fn(batch)
         t = batch.append_column("__u", pa.array(u, type=pa.float64())).append_column(
-            "__u2", pa.array(u2, type=pa.float64())
+            "__u2", pa.array(u2, type=tie_type)
         )
         if t.num_rows <= n:
             return t

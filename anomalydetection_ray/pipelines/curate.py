@@ -53,8 +53,9 @@ def curate_corpus(
     refresh-run primitive, applied after the gate so only candidate
     rows hash); ``partition_col=None`` writes unpartitioned parquet (no
     resume granularity)."""
-    import ray.data as rd
+    import ray.data as rd  # noqa: F401 - lazy ray import for the chain
 
+    from ..sources.readers import read_parquet_clean
     from ..functions.text import (
         decontaminate,
         normalize_text_batch,
@@ -68,7 +69,7 @@ def curate_corpus(
         raise ValueError(f"dedup must be none|exact|exact+simhash, got {dedup!r}")
 
     cols = [id_col, text_col] + ([partition_col] if partition_col else [])
-    ds = rd.read_parquet(table_path, columns=sorted(set(cols)))
+    ds = read_parquet_clean(table_path, columns=sorted(set(cols)))
     n_in = ds.count()
 
     if normalize:
@@ -97,13 +98,13 @@ def curate_corpus(
     ds = ds.map_batches(gate, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
     if bench_path is not None:
-        bench = rd.read_parquet(bench_path, columns=[text_col])
+        bench = read_parquet_clean(bench_path, columns=[text_col])
         ds = decontaminate(ds, text_col, bench, n=decon_n, mode=decon_mode)
 
     if snapshot_path is not None:
         from ..dedup import dedup_against_snapshot
 
-        snap = rd.read_parquet(snapshot_path, columns=[text_col])
+        snap = read_parquet_clean(snapshot_path, columns=[text_col])
         ds = dedup_against_snapshot(ds, id_col, text_col, snap)
 
     if dedup in ("exact", "exact+simhash"):
@@ -147,8 +148,19 @@ def curate_corpus(
         # write_parquet APPENDS UUID-named files: a repeated run with the
         # same out_dir would silently double the curated corpus
         clean_parquet_dir(out_dir)
-        ds = ds.materialize()
-        summary["rows_out"] = int(ds.count())
+        # write first, then count from parquet footer metadata (the
+        # predict.py scored-sink pattern): materializing just for a row
+        # count would force the whole curated corpus through object-store
+        # memory/spill (round-4 verdict #1)
         ds.write_parquet(out_dir)
+        import os
+
+        import pyarrow.parquet as pq
+
+        summary["rows_out"] = sum(
+            pq.read_metadata(os.path.join(out_dir, f)).num_rows
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
     summary["out"] = out_dir
     return summary

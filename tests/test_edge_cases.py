@@ -726,3 +726,46 @@ def test_exact_dedup_rejects_null_ids(ray_session):
     }))
     with pytest.raises(Exception, match="null values in id column"):
         as_table(exact_dedup(docs, "doc_id", "text"))
+
+
+def test_no_schema_divergence_warning_on_empty_sort_partitions(ray_session, caplog):
+    """Round-4 verdict #2 + #8: Ray's sort emits schema-less empty range
+    partitions, which used to trigger "RefBundle with a different schema"
+    warnings on every downstream map/union; pandas-written parquet used
+    to trigger per-task "Failed to hash the schemas" warnings. Both must
+    be gone: the first via the _raycompat shim + ABSORB_EMPTY_BATCH_SIZE
+    lanes, the second via metadata-stripped read schemas."""
+    import logging
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray._raycompat import patch_empty_schema_bundle_divergence
+
+    assert patch_empty_schema_bundle_divergence()  # idempotent, reports active
+
+    with caplog.at_level(logging.WARNING, logger="ray.data"):
+        # 5 rows in 8 blocks -> sort produces mostly-empty partitions
+        ds = rd.from_arrow(
+            pa.table({"k": ["a", "b", "a", "b", "a"], "v": [1, 2, 3, 4, 5]})
+        ).repartition(8).sort("k")
+        out = ds.map_batches(lambda t: t, batch_format="pyarrow", batch_size=None)
+        assert out.count() == 5
+    bad = [r.message for r in caplog.records if "different schema" in r.message]
+    assert not bad, bad
+
+
+def test_read_table_strips_pandas_schema_metadata(ray_session):
+    """The testdata parquet carries a pandas schema-metadata blob that
+    makes pa.Schema unhashable ('unhashable type: dict' inside Ray's
+    unify_schemas). read_table must strip it at the scan — with the plan
+    root still a bare Read so metadata size estimates keep working."""
+    from anomalydetection_ray.functions.shuffle import metadata_size_estimate
+    from anomalydetection_ray.sources.readers import read_table
+
+    ds = read_table("/root/testdata/sf0.001", "documents", columns=["doc_id", "lang"])
+    assert metadata_size_estimate(ds) is not None
+    for tb in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        assert tb.schema.metadata in (None, {})
+        assert tb.schema.names == ["doc_id", "lang"]
+        break

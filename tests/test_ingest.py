@@ -120,6 +120,22 @@ def test_csv_type_invalid_values_skip(ray_session, tmp_path):
     assert got2["a"].to_pylist() == [1, 4]
 
 
+def test_csv_unparseable_file_skipped(ray_session, tmp_path):
+    """ADVICE round 4: a file that fails even the all-string fallback
+    parse (zero bytes — pyarrow raises 'Empty CSV file') must not abort
+    a skip-mode scan spanning healthy siblings; it contributes no rows."""
+    good = tmp_path / "good.csv"
+    good.write_text("a,b\n1,x\nnotanint,y\n3,z\n")
+    empty = tmp_path / "empty.csv"
+    empty.write_bytes(b"")
+    sch = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    got = _as_sorted_table(
+        read_csv_table([str(good), str(empty)], sch, on_malformed="skip"), "a"
+    )
+    assert got["a"].to_pylist() == [1, 3]
+    assert got.schema == sch
+
+
 def test_csv_headerless_and_missing_column(ray_session, tmp_path):
     p = tmp_path / "nohdr.csv"
     p.write_text("r0,python\nr1,go\n")
