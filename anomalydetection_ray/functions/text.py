@@ -136,10 +136,15 @@ class LangIdModel:
     pattern of the reference's lazily-loaded CodeBERT
     (``models/feature_extraction.py:37-43``)."""
 
-    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred", emit_evidence: bool = False):
         self.text_col, self.out_col = text_col, out_col
         self.langs = sorted(_STOPWORDS)
         self.tables = [frozenset(_STOPWORDS[l]) for l in self.langs]
+        # evidence columns (round-4 verdict #6): the deterministic inputs
+        # the heuristic decides on — per-language stopword hit counts +
+        # the CJK flag — so a SQL oracle can recompute BOTH the evidence
+        # and the label (argmax with alphabetical tie-break is pure SQL)
+        self.emit_evidence = emit_evidence
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Vectorized scoring: one polars tokenize/explode + one grouped
@@ -180,6 +185,10 @@ class LangIdModel:
         pred[scores.max(axis=1) <= 0] = "en"
         pred[has_cjk] = "zh"
         pred[is_null] = None
+        if self.emit_evidence:
+            for j, lang in enumerate(self.langs):
+                batch = batch.append_column(f"hits_{lang}", pa.array(scores[:, j], type=pa.int64()))
+            batch = batch.append_column("has_cjk", pa.array(has_cjk & ~is_null))
         return batch.append_column(self.out_col, pa.array(pred, type=pa.string()))
 
 

@@ -45,7 +45,6 @@ def register(name: str, sql: str | None):
 _ROWS_ONLY_PRIORITY = [
     "end_to_end_log_predict",
     "mlp_reconstruction_scores",
-    "lang_id_docs",
 ]
 
 
@@ -1534,19 +1533,77 @@ def mlp_reconstruction_scores(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-@register("lang_id_docs", None)
+def _lang_id_oracle_sql() -> str:
+    """DuckDB recomputation of the FULL language-ID decision (round-4
+    verdict #6): per-language stopword hit counts over the same
+    lowercase-\\S+ tokenization, the CJK flag over the same 200-char
+    head, and the label itself — argmax with alphabetical tie-break
+    (the engine's np.argmax picks the FIRST max over sorted langs),
+    zero-max → 'en', CJK → 'zh', null text → NULL. Built from the same
+    _STOPWORDS tables the actor loads, so the two sides can never
+    drift apart silently."""
+    from ..functions.text import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    hit_exprs = ",\n         ".join(
+        "SUM(CASE WHEN t IN ({vals}) THEN 1 ELSE 0 END) AS hits_{lang}".format(
+            vals=", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])), lang=lang
+        )
+        for lang in langs
+    )
+    coalesced = {lang: f"COALESCE(h.hits_{lang}, 0)" for lang in langs}
+    out_hits = ",\n       ".join(
+        f"CAST({coalesced[lang]} AS BIGINT) AS hits_{lang}" for lang in langs
+    )
+    greatest = "GREATEST({})".format(", ".join(coalesced.values()))
+    argmax = "\n            ".join(
+        f"WHEN {coalesced[lang]} = {greatest} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+         {hit_exprs}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+       {out_hits},
+       COALESCE(regexp_matches(substr(d.text, 1, 200), '[一-鿿]'), FALSE) AS has_cjk,
+       CASE WHEN d.text IS NULL THEN NULL
+            WHEN COALESCE(regexp_matches(substr(d.text, 1, 200), '[一-鿿]'), FALSE) THEN 'zh'
+            WHEN {greatest} <= 0 THEN 'en'
+            {argmax}
+       END AS lang_pred
+    FROM documents d LEFT JOIN h USING (doc_id)
+    """
+
+
+@register("lang_id_docs", _lang_id_oracle_sql())
 def lang_id_docs(sf_dir: str):
     """Language-ID heuristic (stopword inventories + CJK char profile) as a
     stateful actor-pool stage (tables built once per actor in __init__ —
     the reference's lazily-loaded-model pattern,
-    models/feature_extraction.py:37-43)."""
+    models/feature_extraction.py:37-43). Emits the evidence columns the
+    decision rests on (per-language hit counts + CJK flag) so the oracle
+    checks the whole decision procedure, not just row counts."""
     from ..functions.text import LangIdModel
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = docs.map_batches(
-        LangIdModel, batch_format="pyarrow", batch_size=None, zero_copy_batch=True, concurrency=2
+        LangIdModel,
+        fn_constructor_kwargs={"emit_evidence": True},
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+        concurrency=2,
     )
-    return as_table(out.select_columns(["doc_id", "lang_pred"]))
+    from ..functions.text import _STOPWORDS
+
+    cols = ["doc_id"] + [f"hits_{lang}" for lang in sorted(_STOPWORDS)] + ["has_cjk", "lang_pred"]
+    return as_table(out.select_columns(cols))
 
 
 @register(
