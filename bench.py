@@ -96,6 +96,34 @@ def run_suite_once(cdir: str) -> tuple[float, int]:
     return dt, rows
 
 
+def matmul_sentinel() -> float:
+    """Single-thread 2000x2000 float64 matmul, in seconds.
+
+    Recorded next to every bench result so host-level throttling on this
+    shared VM is attributable from the artifact itself (BASELINE.md's
+    drift notes record 0.96-1.40 s healthy, 1.8-2.6 s degraded). Runs in
+    a subprocess so the thread caps don't leak into the bench process.
+    """
+    code = (
+        "import time,numpy as np;"
+        "a=np.random.default_rng(0).random((2000,2000));a@a;"
+        "t=time.perf_counter();a@a;print(time.perf_counter()-t)"
+    )
+    env = dict(
+        os.environ,
+        OMP_NUM_THREADS="1",
+        OPENBLAS_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env
+    )
+    try:
+        return round(float(out.stdout.strip().splitlines()[-1]), 3)
+    except (ValueError, IndexError):
+        return -1.0
+
+
 def consume(result) -> int:
     """Fully consume a query result without assuming its type."""
     import pandas as pd
@@ -118,6 +146,7 @@ def main() -> None:
         return
 
     cdir = corpus_dir()  # generate BEFORE ray.init so it's excluded from timing
+    sentinel_pre = matmul_sentinel()
 
     import ray
 
@@ -189,6 +218,10 @@ def main() -> None:
                     "num_cpus": args.cpus,
                     "suite_rows": suite_rows,
                     "suite_rows_per_sec": round(suite_rows / suite_sec, 1),
+                    "matmul_sentinel_sec": {
+                        "pre": sentinel_pre,
+                        "post": matmul_sentinel(),
+                    },
                 }
             )
         )
@@ -205,6 +238,7 @@ def run_scaling() -> None:
     DRAM with every node), so 8 -> 32 on one box is a pessimistic bound —
     see BASELINE.md for the microbenchmark isolating this."""
     corpus_dir()  # warm the cache once
+    sentinel_pre = matmul_sentinel()
     results = {}
     # TWO full ladders, best per level: this shared VM's background load
     # drifts on a minutes scale, and a slow patch hitting one level of one
@@ -242,6 +276,10 @@ def run_scaling() -> None:
                 "efficiency_8_to_32": round(eff_8_32, 3),
                 "sf": f"synthetic corpus {BENCH_ROWS} rows",
                 "num_cpus": 32,
+                "matmul_sentinel_sec": {
+                    "pre": sentinel_pre,
+                    "post": matmul_sentinel(),
+                },
             }
         )
     )
