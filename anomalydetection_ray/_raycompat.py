@@ -55,8 +55,25 @@ def patch_empty_schema_bundle_divergence() -> bool:
         try:
             if not _is_empty_schema(old_schema) and _is_empty_schema(bundle.schema):
                 # a zero-field bundle (empty sort partition) neither
-                # diverges from nor refines the tracked schema
-                return bundle, False
+                # diverges from nor refines the tracked schema — repair
+                # it with the tracked schema (exactly what the original
+                # divergence path does, minus the warning), so the
+                # caller's `self._schema = ref.schema` keeps the real
+                # schema and downstream consumers never see the
+                # schema-less bundle
+                from ray.data._internal.execution.interfaces import RefBundle
+
+                return (
+                    RefBundle(
+                        bundle.blocks,
+                        schema=old_schema,
+                        owns_blocks=bundle.owns_blocks,
+                        output_split_idx=bundle.output_split_idx,
+                        _cached_object_meta=bundle._cached_object_meta,
+                        _cached_preferred_locations=bundle._cached_preferred_locations,
+                    ),
+                    False,
+                )
         except Exception:  # pragma: no cover - be transparent on drift
             pass
         return orig(old_schema, bundle, warn=warn, enforce_schemas=enforce_schemas)

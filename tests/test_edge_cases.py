@@ -769,3 +769,29 @@ def test_read_table_strips_pandas_schema_metadata(ray_session):
         assert tb.schema.metadata in (None, {})
         assert tb.schema.names == ["doc_id", "lang"]
         break
+
+
+def test_schema_shim_repairs_empty_bundle_with_tracked_schema(ray_session):
+    """The shim must not just silence the warning: the caller assigns
+    `self._schema = ref.schema` after the call, so returning the
+    zero-field bundle unrepaired would overwrite the operator's tracked
+    schema with the empty one and leak schema-less bundles downstream.
+    The shim mirrors the original divergence path's repair instead."""
+    import ray
+    import pyarrow as pa
+    from ray.data._internal.execution import streaming_executor_state as _ses
+    from ray.data._internal.execution.interfaces import RefBundle
+    from ray.data.block import BlockAccessor
+
+    from anomalydetection_ray._raycompat import patch_empty_schema_bundle_divergence
+
+    assert patch_empty_schema_bundle_divergence()
+    empty = pa.table({})
+    meta = BlockAccessor.for_block(empty).get_metadata()
+    bundle = RefBundle(
+        [(ray.put(empty), meta)], owns_blocks=True, schema=empty.schema
+    )
+    real = pa.schema([("k", pa.string()), ("v", pa.int64())])
+    out, diverged = _ses.dedupe_schemas_with_validation(real, bundle)
+    assert not diverged
+    assert out.schema == real  # repaired, so the tracked schema survives
