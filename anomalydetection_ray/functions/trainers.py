@@ -200,7 +200,12 @@ class NumpyVAE:
         gradient partials; driver sums, scales by 1/n, updates). The
         id-hash-derived eps makes every per-row term a pure function of
         the row, so partials sum to exactly the gathered gradient
-        regardless of block layout (asserted to ~1e-8 in tests)."""
+        regardless of block layout (asserted to ~1e-8 in tests). Like
+        the autoencoder trainer, the (vec, id) projection materializes
+        once so epochs re-read pinned blocks; at 100 TB you train on a
+        ``fixed_count_sample`` of the corpus (a few GB of vectors says
+        everything a 10-param-per-dim model can absorb), never the
+        whole stream."""
         work = ds.select_columns([vec_col, id_col]).materialize()
         first = work.take_batch(1, batch_format="pyarrow")
         d = int(len(first[vec_col][0]))
@@ -446,7 +451,10 @@ class NumpyProjectionHead:
         negatives — large-batch SimCLR's per-device semantic), one
         streaming pass per epoch, driver row-weights and updates.
         Deterministic given a fixed block layout; tests assert exact
-        agreement with :meth:`train` fed the same blocks."""
+        agreement with :meth:`train` fed the same blocks. Same 100-TB
+        contract as the VAE trainer: train on a sampled projection (the
+        materialized pin is the epoch-reread working set), score/
+        transform the full corpus with :func:`project_latent`."""
         work = ds.select_columns([vec_col, id_col]).materialize()
         first = work.take_batch(1, batch_format="pyarrow")
         d = int(len(first[vec_col][0]))
