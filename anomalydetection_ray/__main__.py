@@ -24,6 +24,19 @@ main() :670-710``; ``prediction_pipeline.py main() :592-651``):
       [--no-normalize] [--min-tokens N] [--min-distinct-pct P]
       [--bench PARQUET] [--decon-mode exact|bloom] [--decon-n N]
       [--dedup none|exact|exact+simhash] [--no-resume]
+  python -m anomalydetection_ray train PARQUET --out SNAPSHOT.npz
+      --model autoencoder|vae|head [--id-col C] [--vec-col C]
+      [--hidden N] [--latent N] [--proj N] [--epochs N] [--lr F]
+      [--beta F] [--temperature F] [--noise-std F] [--batch-rows N]
+      [--sample N]            # fixed_count_sample the training set
+  python -m anomalydetection_ray transform PARQUET --out DIR
+      --snapshot SNAPSHOT.npz --model head|vae
+      [--id-col C] [--vec-col C] [--out-col C]
+
+(`train`/`transform` are the reference's ``models/SimCLR.py`` /
+``models/VAE.py`` script drivers: fit on a — typically sampled —
+training set, snapshot the weights, stream the full corpus through the
+snapshot-loaded actor pool.)
 
 The CLI owns the Ray session (library code never calls ray.init — the
 driver-contract constraint); scripts guard with ``is_initialized``.
@@ -140,6 +153,34 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--snapshot", default=None, metavar="DIR",
                    help="prior curated corpus: drop docs it already kept (refresh runs)")
     c.add_argument("--no-resume", action="store_true")
+
+    t = sub.add_parser("train", help="fit a model snapshot over an embedding parquet")
+    t.add_argument("table")
+    t.add_argument("--out", required=True, help="snapshot .npz path")
+    t.add_argument("--model", choices=["autoencoder", "vae", "head"], default="vae")
+    t.add_argument("--id-col", default="vec_id")
+    t.add_argument("--vec-col", default="embedding")
+    t.add_argument("--hidden", type=int, default=16)
+    t.add_argument("--latent", type=int, default=4, help="vae latent width")
+    t.add_argument("--proj", type=int, default=8, help="head projection width")
+    t.add_argument("--epochs", type=int, default=100)
+    t.add_argument("--lr", type=float, default=0.05)
+    t.add_argument("--beta", type=float, default=1.0, help="vae KL weight")
+    t.add_argument("--temperature", type=float, default=0.5, help="head NT-Xent temperature")
+    t.add_argument("--noise-std", type=float, default=0.1, help="head view-augmentation noise")
+    t.add_argument("--batch-rows", type=int, default=256, help="head NT-Xent minibatch rows")
+    t.add_argument("--sample", type=int, default=0,
+                   help="train on a fixed_count_sample of N rows (0 = the whole table)")
+    t.add_argument("--seed", type=int, default=0)
+
+    x = sub.add_parser("transform", help="project embeddings through a trained snapshot")
+    x.add_argument("table")
+    x.add_argument("--out", required=True)
+    x.add_argument("--snapshot", required=True)
+    x.add_argument("--model", choices=["head", "vae"], default="head")
+    x.add_argument("--id-col", default="vec_id")
+    x.add_argument("--vec-col", default="embedding")
+    x.add_argument("--out-col", default="latent")
 
     p = sub.add_parser("predict", help="raw log file -> anomaly verdicts + metrics")
     p.add_argument("logfile")
@@ -345,6 +386,83 @@ def main(argv: list[str] | None = None) -> int:
                 resume=not args.no_resume,
             )
             print(json.dumps(summary))
+            return 0
+        if args.cmd == "train":
+            from . import tune_shuffle_to_cluster
+            from .sources.readers import read_parquet_clean
+
+            tune_shuffle_to_cluster()
+            ds = read_parquet_clean(args.table, columns=[args.id_col, args.vec_col])
+            if args.sample:
+                import ray.data as rd
+
+                from .functions.split import fixed_count_sample
+
+                # returns a pyarrow Table (a training sample is small by
+                # contract); re-wrap so epochs parallelize over blocks
+                tbl = fixed_count_sample(ds, args.id_col, args.sample, seed=args.seed)
+                ds = rd.from_arrow(tbl).repartition(max(1, min(32, tbl.num_rows // 64)))
+            if args.model == "autoencoder":
+                from .functions.autoencoder import NumpyAutoencoder
+
+                model, losses = NumpyAutoencoder.train_distributed(
+                    ds, vec_col=args.vec_col, hidden=args.hidden,
+                    epochs=args.epochs, lr=args.lr, seed=args.seed,
+                )
+                first, last = losses[0], losses[-1]
+            elif args.model == "vae":
+                from .functions.trainers import NumpyVAE
+
+                model, hist = NumpyVAE.train_distributed(
+                    ds, vec_col=args.vec_col, id_col=args.id_col,
+                    hidden=args.hidden, latent=args.latent,
+                    epochs=args.epochs, lr=args.lr, beta=args.beta, seed=args.seed,
+                )
+                first, last = hist[0]["loss"], hist[-1]["loss"]
+            else:
+                from .functions.trainers import NumpyProjectionHead
+
+                model, losses = NumpyProjectionHead.train_distributed(
+                    ds, vec_col=args.vec_col, id_col=args.id_col,
+                    hidden=args.hidden, proj=args.proj, epochs=args.epochs,
+                    lr=args.lr, temperature=args.temperature,
+                    noise_std=args.noise_std, batch_rows=args.batch_rows,
+                    seed=args.seed,
+                )
+                first, last = losses[0], losses[-1]
+            if not args.out.endswith(".npz"):
+                args.out += ".npz"  # np.savez appends it silently; keep the JSON truthful
+            model.save_snapshot(args.out)
+            print(json.dumps({
+                "out": args.out, "model": args.model, "epochs": args.epochs,
+                "loss_first": round(float(first), 6), "loss_last": round(float(last), 6),
+            }))
+            return 0
+        if args.cmd == "transform":
+            import os as _oscli
+
+            import pyarrow.parquet as _pqcli
+
+            from . import tune_shuffle_to_cluster
+            from .functions.trainers import project_latent
+            from .sources.readers import read_parquet_clean
+            from .sources.writer import clean_parquet_dir
+
+            tune_shuffle_to_cluster()
+            ds = read_parquet_clean(args.table, columns=[args.id_col, args.vec_col])
+            kind = "projection_head" if args.model == "head" else "vae"
+            out_ds = project_latent(
+                ds, args.snapshot, vec_col=args.vec_col,
+                out_col=args.out_col, model_kind=kind,
+            ).select_columns([args.id_col, args.out_col])
+            clean_parquet_dir(args.out)  # re-runs replace, never append
+            out_ds.write_parquet(args.out)
+            rows = sum(
+                _pqcli.read_metadata(_oscli.path.join(args.out, f)).num_rows
+                for f in _oscli.listdir(args.out)
+                if f.endswith(".parquet")
+            )
+            print(json.dumps({"out": args.out, "model": args.model, "rows": rows}))
             return 0
         if args.cmd == "predict":
             from .pipelines.predict import PredictConfig, end_to_end_predict

@@ -314,3 +314,50 @@ def test_sweep_recovers_best_vae_architecture(tmp_path):
     assert len(calls) == n_first  # resume: no trial re-trained
     assert all(t.resumed for t in res2.trials)
     assert res2.best_params == res.best_params
+
+
+def test_cli_train_and_transform_roundtrip(ray_session, tmp_path, capsys):
+    """The reference's script-driver workflow (models/SimCLR.py /
+    models/VAE.py: train -> snapshot -> transform) through the CLI:
+    fit a VAE and a projection head on a sampled training set, then
+    stream the table through each snapshot."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.__main__ import main
+
+    x, ids = _blob(200, dim=6, seed=5)
+    src = str(tmp_path / "emb.parquet")
+    col = pa.FixedSizeListArray.from_arrays(
+        pa.array(x.ravel(), type=pa.float64()), x.shape[1]
+    )
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids, type=pa.int64()), "embedding": col}), src
+    )
+
+    snap = str(tmp_path / "vae")  # extension-less on purpose: CLI must normalize
+    rc = main(["train", src, "--out", snap, "--model", "vae", "--hidden", "6",
+               "--latent", "2", "--epochs", "10", "--lr", "0.05", "--sample", "150"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["out"].endswith(".npz")
+    assert rep["loss_last"] < rep["loss_first"]
+
+    out_dir = str(tmp_path / "latent")
+    rc = main(["transform", src, "--out", out_dir, "--snapshot", rep["out"],
+               "--model", "vae", "--out-col", "mu"])
+    assert rc == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["rows"] == 200
+    import ray.data as rd
+
+    got = rd.read_parquet(out_dir).take_batch(200, batch_format="pyarrow")
+    assert set(got.column_names) == {"vec_id", "mu"}
+    assert len(got["mu"][0]) == 2
+
+    rc = main(["train", src, "--out", str(tmp_path / "head.npz"), "--model", "head",
+               "--hidden", "6", "--proj", "3", "--epochs", "5", "--lr", "0.2"])
+    assert rc == 0
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["model"] == "head"
