@@ -241,3 +241,59 @@ def test_substring_mark_kernel_matches_byte_reference(texts, k):
                    out["dup_span_count"].to_pylist(),
                    out["dup_span_bytes"].to_pylist()))
     assert got == ref_stats(texts, k)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1), min_size=1, max_size=50),
+    st.integers(min_value=0, max_value=1 << 20),
+    st.integers(min_value=1, max_value=6),
+)
+def test_hash_gaussian_pure_per_id(ids, tag, dims):
+    """The trainers' reparameterization noise is a pure function of
+    (id, tag, column): any block slicing, duplication, or reordering of
+    the id array yields exactly the per-id rows — the invariant that
+    makes the distributed VAE gradient layout-independent."""
+    from anomalydetection_ray.functions.trainers import hash_gaussian
+
+    a = np.array(ids, dtype=np.uint64)
+    g = hash_gaussian(a, tag, dims)
+    assert g.shape == (len(a), dims)
+    assert np.isfinite(g).all()
+    for i in (0, len(a) // 2, len(a) - 1):
+        np.testing.assert_array_equal(hash_gaussian(a[i : i + 1], tag, dims)[0], g[i])
+    doubled = hash_gaussian(np.concatenate([a, a]), tag, dims)
+    np.testing.assert_array_equal(doubled[: len(a)], doubled[len(a) :])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),   # rows
+    st.integers(min_value=1, max_value=3),   # input dim
+    st.integers(min_value=1, max_value=3),   # latent
+    st.integers(min_value=1, max_value=4),   # hidden
+    st.floats(min_value=0.0, max_value=2.0),  # beta
+    st.integers(min_value=0, max_value=999),  # seed
+)
+def test_vae_gradients_hold_at_degenerate_shapes(n, d, k, hidden, beta, seed):
+    """Finite-difference check across random tiny shapes — n=1 rows,
+    1-wide layers, beta=0 — where reduction-axis bugs hide."""
+    from anomalydetection_ray.functions.trainers import NumpyVAE, hash_gaussian
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, d))
+    eps = hash_gaussian(np.arange(n, dtype=np.uint64), seed, k)
+    params = NumpyVAE._init_params(d, hidden, k, seed=seed)
+    _, _, _, grads = NumpyVAE._loss_and_grads(params, x, eps, beta)
+    h = 1e-6
+    for name in NumpyVAE.PARAM_NAMES:
+        p = params[name]
+        idx = np.unravel_index(int(rng.integers(p.size)), p.shape)
+        orig = p[idx]
+        p[idx] = orig + h
+        lp, *_ = NumpyVAE._loss_and_grads(params, x, eps, beta)
+        p[idx] = orig - h
+        lm, *_ = NumpyVAE._loss_and_grads(params, x, eps, beta)
+        p[idx] = orig
+        num = (lp - lm) / (2 * h)
+        assert abs(num - grads[name][idx]) <= 1e-4 * max(1.0, abs(num)), name
