@@ -22,9 +22,19 @@ Design:
   silently collapsing to one file. This needs the ``Datasink`` API —
   plain ``map_batches`` UDFs can't see a stable task identity.
 - A partition is COMPLETE when its dir holds an atomic ``_DONE`` marker
-  (tmp + rename) recording the row count; markers are written by the
-  driver only after the full pass succeeds, so a crash mid-run leaves
-  partial partitions unmarked and a resume rewrites exactly those.
+  (tmp + rename) recording the row count and the shard-file manifest;
+  markers are written by the driver only after the full pass succeeds,
+  so a crash mid-run leaves partial partitions unmarked and a resume
+  rewrites exactly those.
+- Every shard name carries a per-run nonce, and before marking a
+  partition done the driver SWEEPS alien parquet files (any not in this
+  run's manifest) out of that partition. A SIGKILLed driver's surviving
+  Ray workers can keep landing in-flight shards for several seconds
+  after the driver dies — long enough to slip past a resume run's
+  up-front stale-shard clean (observed: +148 duplicated rows at sf0.1).
+  The sweep closes that window to "zombie outlives the entire resume
+  pass", which the raylet's orphan reaping makes unreachable in
+  practice.
 - ``resume=True`` drops rows of already-done partitions BEFORE the scan
   (broadcast membership filter on the partition value — partition count
   is small by contract, it is a directory fan-out).
@@ -37,6 +47,7 @@ Design:
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import urllib.parse
 
@@ -111,10 +122,11 @@ class _PartitionedParquetSink(Datasink):
     (part_dirname, rows, files) triples the driver aggregates in
     ``on_write_complete``."""
 
-    def __init__(self, out_dir: str, partition_col: str, max_rows_per_file: int):
+    def __init__(self, out_dir: str, partition_col: str, max_rows_per_file: int, run_tag: str):
         self.out_dir = out_dir
         self.partition_col = partition_col
         self.max_rows_per_file = max_rows_per_file
+        self.run_tag = run_tag
         self.results: list[dict] = []
 
     def write(self, blocks, ctx) -> list[dict]:
@@ -137,6 +149,7 @@ class _PartitionedParquetSink(Datasink):
                 os.makedirs(d, exist_ok=True)
                 t = sub.drop("__part_str").to_arrow().cast(tb.schema)
                 n_files = 0
+                names: list[str] = []
                 for s in range(0, t.num_rows, self.max_rows_per_file):
                     piece = t.slice(s, self.max_rows_per_file)
                     # content hash of the piece's IPC serialization
@@ -148,15 +161,19 @@ class _PartitionedParquetSink(Datasink):
                     with pa.ipc.new_stream(sink, piece.schema) as w:
                         w.write_table(piece)
                     h = hashlib.sha256(sink.getvalue()).hexdigest()[:16]
-                    name = f"part-t{ctx.task_idx:05d}-b{bi:03d}-{n_files:04d}-{h}.parquet"
+                    name = (
+                        f"part-r{self.run_tag}-t{ctx.task_idx:05d}-b{bi:03d}-{n_files:04d}-{h}.parquet"
+                    )
                     tmp = os.path.join(d, f".{name}.tmp{os.getpid()}")
                     pq.write_table(piece, tmp)
                     os.replace(tmp, os.path.join(d, name))
                     n_files += 1
+                    names.append(name)
                 out_rows.append({
                     "part": _part_dirname(self.partition_col, sval),
                     "rows": t.num_rows,
                     "files": n_files,
+                    "names": names,
                 })
         return out_rows
 
@@ -182,9 +199,12 @@ def write_partitioned(
     (retry-stable shard names make the rewrite idempotent). Rows with a
     null partition value go to ``<col>=__null__``."""
     import pandas as pd
-    import polars as pl
 
     os.makedirs(out_dir, exist_ok=True)
+    # per-run nonce: constant across this run's task retries (computed
+    # once on the driver), distinct from any other run's — the manifest
+    # sweep below uses it to evict a dead run's late-landing shards
+    run_tag = hashlib.sha256(os.urandom(16)).hexdigest()[:10]
     done_before = list_done_partitions(out_dir, partition_col) if resume else []
     skipped = {v: True for v in done_before}
     # clear STALE shards of incomplete (or, on resume=False, all)
@@ -216,24 +236,32 @@ def write_partitioned(
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
-    sink = _PartitionedParquetSink(out_dir, partition_col, max_rows_per_file)
+    sink = _PartitionedParquetSink(out_dir, partition_col, max_rows_per_file, run_tag)
     ds.write_datasink(sink)
 
     summary: dict[str, dict] = {}
-    if sink.results:
-        agg = (
-            pl.from_dicts(sink.results)
-            .group_by("part")
-            .agg(pl.col("rows").sum(), pl.col("files").sum())
-        )
-        for part, rows, files in agg.iter_rows():
-            summary[part] = {"rows": int(rows), "files": int(files)}
-    # the full pass succeeded: mark every partition written this run
+    for r in sink.results:
+        info = summary.setdefault(r["part"], {"rows": 0, "names": set()})
+        # a lineage-retried task re-returns the same shard names it
+        # overwrote; the set union keeps the manifest duplicate-free
+        info["rows"] += int(r["rows"])
+        info["names"].update(r["names"])
+    for info in summary.values():
+        info["files"] = len(info["names"])
+    # the full pass succeeded: sweep alien shards, then mark each
+    # partition written this run. The sweep evicts parquet files a
+    # SIGKILLed prior run's surviving workers landed AFTER this run's
+    # up-front clean (their names carry a different run nonce).
     for part, info in summary.items():
         d = os.path.join(out_dir, part)
+        for f in os.listdir(d):
+            if f.endswith(".parquet") and f not in info["names"]:
+                os.remove(os.path.join(d, f))
+        manifest = {"rows": info["rows"], "run": run_tag, "files": sorted(info["names"])}
         tmp = os.path.join(d, _DONE + ".tmp")
         with open(tmp, "w") as f:
             f.write(f"{info['rows']}\n")
+            f.write(json.dumps(manifest) + "\n")
         os.replace(tmp, os.path.join(d, _DONE))
 
     rows = [

@@ -52,6 +52,41 @@ def _run_killed(script: str, *args: str, timeout: int = 240) -> subprocess.Compl
     )
 
 
+def _quiesce(root: str, settle_s: float = 2.0, timeout_s: float = 60.0) -> None:
+    """Wait until the killed run's surviving Ray WORKERS stop landing
+    files under ``root``. SIGKILL hits only the driver; its session's
+    workers keep completing in-flight writes for several seconds until
+    the raylet reaps them — racing the resume run's assertions (and,
+    before the writer's manifest sweep existed, silently duplicating
+    rows). Quiesce = the recursive (path, mtime, size) snapshot is
+    stable for ``settle_s``."""
+    import time
+
+    def snap():
+        out = []
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                try:
+                    st = os.stat(p)
+                    out.append((p, st.st_mtime_ns, st.st_size))
+                except FileNotFoundError:
+                    out.append((p, -1, -1))
+        return sorted(out)
+
+    deadline = time.monotonic() + timeout_s
+    prev, prev_t = snap(), time.monotonic()
+    while time.monotonic() < deadline:
+        time.sleep(0.25)
+        cur = snap()
+        now = time.monotonic()
+        if cur != prev:
+            prev, prev_t = cur, now
+        elif now - prev_t >= settle_s:
+            return
+    raise AssertionError(f"{root} never quiesced within {timeout_s}s after the kill")
+
+
 WRITER_KILL_SCRIPT = textwrap.dedent(
     """
     import os, signal, sys, threading, time
@@ -113,6 +148,7 @@ def test_writer_survives_sigkill_mid_write(ray_session, tmp_path):
     proc = _run_killed(WRITER_KILL_SCRIPT, out, SF01_DOCS)
     assert proc.returncode == -9, (proc.returncode, proc.stdout[-500:], proc.stderr[-2000:])
     assert "COMPLETED" not in proc.stdout
+    _quiesce(out)
     # nothing new marked done; the done partitions are untouched bytes
     assert sorted(list_done_partitions(out, "lang")) == ["de", "en"]
     for d, want in done_hashes.items():
@@ -195,6 +231,7 @@ def test_sharded_suite_survives_sigkill_mid_run(ray_session, tmp_path):
     proc = _run_killed(SUITE_KILL_SCRIPT, f"{d}/corpus", out, f"{d}/repos.parquet")
     assert proc.returncode == -9, (proc.returncode, proc.stdout[-500:], proc.stderr[-2000:])
     assert "COMPLETED" not in proc.stdout
+    _quiesce(out)
 
     state = RunState(out)
     done_units = sorted(

@@ -88,13 +88,25 @@ def test_write_partitioned_idempotent_rerun(ray_session, tmp_path):
 
     from anomalydetection_ray.sources.writer import write_partitioned
 
+    import re
+
     t = _mk(n=300, with_null=False)
     out = str(tmp_path / "sink")
+
+    def canon_names():
+        # shard names are deterministic up to the per-run nonce (which
+        # exists precisely so a dead run's late shards can be swept)
+        return {
+            d: sorted(re.sub(r"-r[0-9a-f]{10}-", "-", f) for f in os.listdir(os.path.join(out, d)))
+            for d in os.listdir(out)
+        }
+
     write_partitioned(rd.from_arrow(t).repartition(2), out, "lang", resume=False)
-    files1 = {d: sorted(os.listdir(os.path.join(out, d))) for d in os.listdir(out)}
-    # resume=False rewrites everything; deterministic shard names -> same files
+    files1 = canon_names()
+    # resume=False rewrites everything; task/block/content name parts
+    # are deterministic -> identical modulo the run tag, no accumulation
     write_partitioned(rd.from_arrow(t).repartition(2), out, "lang", resume=False)
-    files2 = {d: sorted(os.listdir(os.path.join(out, d))) for d in os.listdir(out)}
+    files2 = canon_names()
     assert files1 == files2
     back = _read_all(out)
     assert len(back) == 300 and back["doc_id"].is_unique
@@ -182,3 +194,45 @@ def test_write_partitioned_max_rows_per_file(ray_session, tmp_path):
     assert int(s.loc[s["partition"] == "en", "files"].iloc[0]) == 4
     back = _read_all(out)
     assert len(back) == 90 and back["doc_id"].is_unique
+
+
+def test_manifest_sweep_evicts_zombie_shards(ray_session, tmp_path):
+    """A crashed run's surviving workers can land shard files AFTER a
+    resume run's up-front stale clean (chaos-test finding, round 5). The
+    driver's pre-_DONE manifest sweep must evict any parquet file the
+    current run did not write. The zombie is simulated by a map stage
+    that drops an alien shard into the partition dir mid-write."""
+    import json
+
+    import ray.data as rd
+
+    from anomalydetection_ray.sources.writer import write_partitioned
+
+    t = _mk(n=300, langs=("en",), with_null=False)
+    out = str(tmp_path / "sink")
+    part_dir = os.path.join(out, "lang=en")
+    os.makedirs(part_dir, exist_ok=True)
+    alien = t.slice(0, 37)
+
+    def plant_zombie(tb: pa.Table) -> pa.Table:
+        # lands after write_partitioned's pre-clean (which ran at call
+        # time) and before the driver's completion sweep
+        pq.write_table(alien, os.path.join(part_dir, "part-rzombie00-t99999-b000-0000-dead.parquet"))
+        return tb
+
+    ds = rd.from_arrow(t).repartition(2).map_batches(
+        plant_zombie, batch_format="pyarrow", batch_size=None
+    )
+    write_partitioned(ds, out, "lang")
+
+    back = _read_all(out)
+    assert len(back) == t.num_rows, "zombie shard rows leaked into the final output"
+    files = {f for f in os.listdir(part_dir) if f.endswith(".parquet")}
+    assert "part-rzombie00-t99999-b000-0000-dead.parquet" not in files
+    # _DONE carries the manifest and it matches the directory exactly
+    with open(os.path.join(part_dir, "_DONE")) as fh:
+        lines = fh.read().splitlines()
+    assert int(lines[0]) == t.num_rows
+    manifest = json.loads(lines[1])
+    assert sorted(files) == manifest["files"]
+    assert all(f"-r{manifest['run']}-" in f for f in files)
