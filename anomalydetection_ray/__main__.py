@@ -391,6 +391,15 @@ def main(argv: list[str] | None = None) -> int:
             from . import tune_shuffle_to_cluster
             from .sources.readers import read_parquet_clean
 
+            # validate BEFORE any dataset work: --epochs 0 would write a
+            # snapshot of pure init weights and crash on losses[0];
+            # --sample <0 is truthy and fixed_count_sample returns None
+            if args.epochs < 1:
+                print(json.dumps({"error": "--epochs must be >= 1"}), file=sys.stderr)
+                return 2
+            if args.sample < 0:
+                print(json.dumps({"error": "--sample must be >= 0 (0 = train on all rows)"}), file=sys.stderr)
+                return 2
             tune_shuffle_to_cluster()
             ds = read_parquet_clean(args.table, columns=[args.id_col, args.vec_col])
             if args.sample:
@@ -439,14 +448,10 @@ def main(argv: list[str] | None = None) -> int:
             }))
             return 0
         if args.cmd == "transform":
-            import os as _oscli
-
-            import pyarrow.parquet as _pqcli
-
             from . import tune_shuffle_to_cluster
             from .functions.trainers import project_latent
             from .sources.readers import read_parquet_clean
-            from .sources.writer import clean_parquet_dir
+            from .sources.writer import clean_parquet_dir, count_parquet_rows
 
             tune_shuffle_to_cluster()
             ds = read_parquet_clean(args.table, columns=[args.id_col, args.vec_col])
@@ -457,11 +462,7 @@ def main(argv: list[str] | None = None) -> int:
             ).select_columns([args.id_col, args.out_col])
             clean_parquet_dir(args.out)  # re-runs replace, never append
             out_ds.write_parquet(args.out)
-            rows = sum(
-                _pqcli.read_metadata(_oscli.path.join(args.out, f)).num_rows
-                for f in _oscli.listdir(args.out)
-                if f.endswith(".parquet")
-            )
+            rows = count_parquet_rows(args.out)
             print(json.dumps({"out": args.out, "model": args.model, "rows": rows}))
             return 0
         if args.cmd == "predict":

@@ -42,7 +42,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..sketches.hll import _avalanche, hash64, hash64_arrow
+from ..sketches.hll import _avalanche, hash64_arrow
 from .vector import list_column_to_matrix
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
@@ -69,6 +69,16 @@ def hash_gaussian(ids: np.ndarray, tag: int, dims: int) -> np.ndarray:
 
 def _ids_from_table(tb: pa.Table, id_col: str) -> np.ndarray:
     return hash64_arrow(tb[id_col])
+
+
+def _hash_raw_ids(ids) -> np.ndarray:
+    """Hash raw per-row identifiers EXACTLY as the distributed trainers
+    hash their Arrow id column (:func:`_ids_from_table`). Routing the
+    gathered path through plain ``hash64`` broke bit-for-bit noise
+    parity for STRING ids: ``hash64`` falls back to FNV-1a per value
+    while ``hash64_arrow`` uses polars' xxhash — same values, different
+    hashes, different ``hash_gaussian`` noise, different model."""
+    return hash64_arrow(pa.array(np.asarray(ids)))
 
 
 class NumpyVAE:
@@ -165,11 +175,11 @@ class NumpyVAE:
     ) -> tuple["NumpyVAE", list[dict]]:
         """Gathered-matrix trainer (``train_vae``'s full-batch analog).
         ``ids`` are the RAW stable per-row identifiers (e.g. doc_id);
-        they are hashed here with the same ``hash64`` the distributed
-        trainer applies to its id column, which is what makes the two
-        paths agree bit-for-bit on the derived noise."""
+        they are hashed here with the same ``hash64_arrow`` the
+        distributed trainer applies to its id column, which is what
+        makes the two paths agree bit-for-bit on the derived noise."""
         x = np.asarray(x, dtype=np.float64)
-        ids = hash64(np.asarray(ids))
+        ids = _hash_raw_ids(ids)
         n = x.shape[0]
         params = cls._init_params(x.shape[1], hidden, latent, seed)
         history: list[dict] = []
@@ -403,7 +413,7 @@ class NumpyProjectionHead:
         the in-process mirror of the distributed epochs, used by the
         parity tests. Block boundaries matter (negatives are
         per-minibatch); ids are hashed with the distributed path's
-        ``hash64``."""
+        ``hash64_arrow``."""
         d = blocks[0][0].shape[1]
         params = cls._init_params(d, hidden, proj, seed)
         losses: list[float] = []
@@ -414,7 +424,7 @@ class NumpyProjectionHead:
                 l, r, g = cls._block_partial(
                     params,
                     np.asarray(x, dtype=np.float64),
-                    hash64(np.asarray(ids)),
+                    _hash_raw_ids(ids),
                     ep,
                     temperature,
                     noise_std,

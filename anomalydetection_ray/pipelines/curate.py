@@ -153,14 +153,8 @@ def curate_corpus(
         # count would force the whole curated corpus through object-store
         # memory/spill (round-4 verdict #1)
         ds.write_parquet(out_dir)
-        import os
+        from ..sources.writer import count_parquet_rows
 
-        import pyarrow.parquet as pq
-
-        summary["rows_out"] = sum(
-            pq.read_metadata(os.path.join(out_dir, f)).num_rows
-            for f in os.listdir(out_dir)
-            if f.endswith(".parquet")
-        )
+        summary["rows_out"] = count_parquet_rows(out_dir)
     summary["out"] = out_dir
     return summary

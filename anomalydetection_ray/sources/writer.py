@@ -73,6 +73,18 @@ def clean_parquet_dir(path: str) -> None:
             os.remove(os.path.join(path, f))
 
 
+def count_parquet_rows(path: str) -> int:
+    """Row count of every ``*.parquet`` directly under ``path``, read
+    from the footers' metadata — no data pages touched. The streamed-
+    sink row-count idiom (write first, count from footers) shared by the
+    curate pipeline and the transform CLI."""
+    return sum(
+        pq.read_metadata(os.path.join(path, f)).num_rows
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
 def _canon_value_strings(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     """Arrow-canonical string form of partition values (nulls preserved).
     This ONE canonicalization is used for dirnames, the resume filter,
@@ -240,10 +252,16 @@ def write_partitioned(
     ds.write_datasink(sink)
 
     summary: dict[str, dict] = {}
+    seen_returns: set = set()
     for r in sink.results:
-        info = summary.setdefault(r["part"], {"rows": 0, "names": set()})
         # a lineage-retried task re-returns the same shard names it
-        # overwrote; the set union keeps the manifest duplicate-free
+        # overwrote; dropping the duplicate RETURN (not just deduping
+        # names) keeps the row count and the manifest consistent
+        key = (r["part"], tuple(r["names"]))
+        if key in seen_returns:
+            continue
+        seen_returns.add(key)
+        info = summary.setdefault(r["part"], {"rows": 0, "names": set()})
         info["rows"] += int(r["rows"])
         info["names"].update(r["names"])
     for info in summary.values():

@@ -361,3 +361,47 @@ def test_cli_train_and_transform_roundtrip(ray_session, tmp_path, capsys):
     assert rc == 0
     rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep3["model"] == "head"
+
+
+def test_vae_string_id_noise_parity(ray_session):
+    """Gathered vs distributed parity must hold for STRING ids too: the
+    gathered path used to hash raw ids with hash64's FNV fallback while
+    the distributed path hashed the Arrow id column with polars xxhash —
+    same ids, different noise, silently different models (review
+    finding, round 5). Both now route through hash64_arrow."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.trainers import NumpyVAE
+
+    x, _ = _blob(120, dim=5, seed=11)
+    ids = np.array([f"doc-{i:04d}" for i in range(len(x))])
+    col = pa.FixedSizeListArray.from_arrays(
+        pa.array(x.ravel(), type=pa.float64()), x.shape[1]
+    )
+    t = pa.table({"doc_id": pa.array(ids.tolist(), type=pa.string()), "embedding": col})
+
+    ref, _ = NumpyVAE.train(x, ids, hidden=4, latent=2, epochs=6, lr=0.05, beta=0.3)
+    got, _ = NumpyVAE.train_distributed(
+        rd.from_arrow(t).repartition(5), hidden=4, latent=2, epochs=6, lr=0.05, beta=0.3
+    )
+    for k in NumpyVAE.PARAM_NAMES:
+        np.testing.assert_allclose(getattr(got, k), getattr(ref, k), rtol=1e-8, atol=1e-10)
+
+
+def test_cli_train_rejects_bad_epochs_and_sample(tmp_path, capsys):
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.__main__ import main
+
+    x, ids = _blob(20, dim=4, seed=3)
+    src = str(tmp_path / "emb.parquet")
+    col = pa.FixedSizeListArray.from_arrays(
+        pa.array(x.ravel(), type=pa.float64()), x.shape[1]
+    )
+    pq.write_table(pa.table({"vec_id": pa.array(ids, type=pa.int64()), "embedding": col}), src)
+
+    out = str(tmp_path / "m.npz")
+    assert main(["train", src, "--out", out, "--model", "vae", "--epochs", "0"]) == 2
+    assert main(["train", src, "--out", out, "--model", "vae", "--sample", "-5"]) == 2
+    capsys.readouterr()
+    assert not list(tmp_path.glob("*.npz")), "no snapshot may be written on invalid args"
