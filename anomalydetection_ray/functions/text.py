@@ -1500,3 +1500,322 @@ def encoding_damage_batch(
     safe = pc.max_element_wise(pc.cast(pc.utf8_length(t), pa.float64()), 1.0)
     ppm = pc.cast(pc.floor(pc.divide(pc.multiply(hits, 1e6), safe)), pa.int64())
     return batch.append_column(out_col, ppm)
+
+
+# ---------------------------------------------------------------------------
+# Corpus lexical diversity + Zipf statistics (round 5)
+# ---------------------------------------------------------------------------
+
+
+def grouped_lexical_diversity(
+    docs_ds,
+    group_col: str | None = "lang",
+    text_col: str = "text",
+    hll_p: int = 12,
+    zipf_top_n: int | None = None,
+):
+    """Per-group lexical-diversity profile of a corpus: total token
+    count, EXACT distinct unigram and bigram counts, type-token ratio,
+    plus a no-shuffle HyperLogLog estimate of the unigram vocabulary —
+    the corpus-health metrics (vocabulary growth, repetitiveness)
+    pretraining-data reports track per language/domain.
+    ``group_col=None`` profiles the whole corpus as one group (output
+    column ``group`` holds ``'__all__'``). ``zipf_top_n`` additionally
+    computes, per group FROM THE SAME shuffled term counts (no extra
+    scan), the Zipf-law slope ``regr_slope(ln cnt, ln rank)`` over the
+    top-n tokens (count-desc, term-asc deterministic ranking) — natural
+    corpora sit near -1; a slope far from it flags template-generated
+    or boilerplate-heavy data — plus ``zipf_top_token``,
+    ``zipf_top_count`` and ``zipf_n_ranks`` columns.
+
+    Scale shape: ONE corpus scan produces per-block PRE-AGGREGATED
+    ``(group, kind, term, c)`` rows (kind 'u'/'b'), so only each block's
+    vocabulary — never raw tokens — exists downstream. Those partials
+    materialize once (narrow: two short strings + int per distinct term
+    per block) and feed two branches: (a) the exact branch hash-shuffles
+    the partials by term and counts globally-unique rows per (group,
+    kind) via per-block partials + a driver sum; (b) the sketch branch
+    never shuffles — one ~4 KB HLL per (group, block) streams to a
+    driver register-max merge. At 100 TB branch (b) is the cheap rung
+    and branch (a)'s exchange is bounded by the global vocabulary, not
+    the corpus. Tokenizer is the same DuckDB-paritied ``\\S+`` used by
+    :func:`term_doc_stats`.
+
+    Returns pandas: ``group_col, tokens_total, distinct_tokens,
+    distinct_bigrams, ttr, hll_distinct_est``.
+    """
+    import pandas as pd
+    import polars as pl
+
+    from ..sketches.hll import HyperLogLog, hash64_arrow
+    from .shuffle import local_group_map, select_if_needed
+
+    gname = group_col if group_col is not None else "group"
+    pair_schema = pa.schema(
+        [
+            (gname, pa.string()),
+            ("kind", pa.string()),
+            ("term", pa.string()),
+            ("c", pa.int64()),
+        ]
+    )
+
+    def partial(tb: pa.Table) -> pa.Table:
+        col = tb[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if group_col is None:
+            gvals = pl.Series([_ALL_GROUP] * n)
+        else:
+            g = tb[group_col]
+            if isinstance(g, pa.ChunkedArray):
+                g = g.combine_chunks()
+            gvals = pl.Series(g)
+        base = (
+            pl.DataFrame(
+                {
+                    "i": np.arange(n, dtype=np.int64),
+                    gname: gvals,
+                    "t": pl.Series(col).fill_null(""),
+                }
+            )
+            .with_columns(pl.col("t").str.extract_all(r"\S+"))
+            .explode("t")
+            .drop_nulls("t")
+        )
+        uni = base.group_by([gname, "t"]).len().rename({"t": "term", "len": "c"})
+        big = (
+            base.with_columns(term=pl.col("t") + " " + pl.col("t").shift(-1).over("i"))
+            .drop_nulls("term")
+            .group_by([gname, "term"])
+            .len()
+            .rename({"len": "c"})
+        )
+        out = pl.concat(
+            [
+                uni.with_columns(kind=pl.lit("u")).select([gname, "kind", "term", "c"]),
+                big.with_columns(kind=pl.lit("b")).select([gname, "kind", "term", "c"]),
+            ]
+        )
+        return out.to_arrow().cast(pair_schema)
+
+    need = [text_col] if group_col is None else [group_col, text_col]
+    partials = (
+        select_if_needed(docs_ds, need)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .materialize()
+    )
+
+    # sketch branch: one HLL per (group, block) over unigram terms, no shuffle
+    hll_schema = pa.schema([(gname, pa.string()), ("hll", pa.binary())])
+
+    def hll_partial(tb: pa.Table) -> pa.Table:
+        d = pl.from_arrow(tb).filter(pl.col("kind") == "u")
+        groups, blobs = [], []
+        for key, sub in d.group_by([gname]):
+            sk = HyperLogLog(hll_p)
+            sk.update_hashed(hash64_arrow(sub["term"].to_arrow()))
+            groups.append(key[0])
+            blobs.append(sk.to_bytes())
+        return pa.table({gname: groups, "hll": blobs}, schema=hll_schema)
+
+    hll_rows = [
+        t
+        for t in partials.map_batches(
+            hll_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    hll_est: dict = {}
+    if hll_rows:
+        merged = pa.concat_tables(hll_rows)
+        for key, sub in pl.from_arrow(merged).group_by([gname]):
+            hll_est[key[0]] = HyperLogLog.merge_many_bytes(sub["hll"].to_list()).estimate()
+
+    # exact branch: shuffle partials by term -> globally-unique rows ->
+    # per-block (group, kind, n_terms, total) partials -> driver sum
+    def merge(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return tb.cast(pair_schema)
+        out = pl.from_arrow(tb).group_by([gname, "kind", "term"]).agg(pl.col("c").sum())
+        return out.to_arrow().cast(pair_schema)
+
+    uniq = local_group_map(partials, [gname, "kind", "term"], merge)
+    if zipf_top_n is not None:
+        # the zipf ranking reuses the SAME shuffled exact counts — no
+        # extra corpus scan, no second vocabulary exchange
+        uniq = uniq.materialize()
+
+    red_schema = pa.schema(
+        [(gname, pa.string()), ("kind", pa.string()), ("n_terms", pa.int64()), ("total", pa.int64())]
+    )
+
+    def reduce_block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in red_schema}, schema=red_schema)
+        out = (
+            pl.from_arrow(tb)
+            .group_by([gname, "kind"])
+            .agg(n_terms=pl.len().cast(pl.Int64), total=pl.col("c").sum())
+        )
+        return out.to_arrow().cast(red_schema)
+
+    parts = [
+        t
+        for t in uniq.map_batches(
+            reduce_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    base_cols = [gname, "tokens_total", "distinct_tokens", "distinct_bigrams", "ttr", "hll_distinct_est"]
+    zipf_cols = ["zipf_slope", "zipf_top_token", "zipf_top_count", "zipf_n_ranks"]
+    if not parts:
+        return pd.DataFrame(columns=base_cols + (zipf_cols if zipf_top_n is not None else []))
+    agg = (
+        pl.from_arrow(pa.concat_tables(parts))
+        .group_by([gname, "kind"])
+        .agg(pl.col("n_terms").sum(), pl.col("total").sum())
+        .to_pandas()
+    )
+    u = agg[agg["kind"] == "u"].set_index(gname)
+    b = agg[agg["kind"] == "b"].set_index(gname)
+    out = pd.DataFrame(
+        {
+            "tokens_total": u["total"],
+            "distinct_tokens": u["n_terms"],
+            "distinct_bigrams": b["n_terms"].reindex(u.index).fillna(0).astype("int64"),
+        }
+    )
+    out["ttr"] = (out["distinct_tokens"] / out["tokens_total"]).round(6)
+    out["hll_distinct_est"] = [float(hll_est.get(gv, 0.0)) for gv in out.index]
+    if zipf_top_n is not None:
+        zdf = _zipf_from_counts(uniq, gname, zipf_top_n).set_index(gname)
+        out = out.join(zdf)
+        out["zipf_n_ranks"] = out["zipf_n_ranks"].fillna(0).astype("int64")
+        out["zipf_top_count"] = out["zipf_top_count"].fillna(0).astype("int64")
+    return (
+        out.reset_index()
+        .rename(columns={"index": gname})
+        .sort_values(gname)
+        .reset_index(drop=True)
+    )
+
+
+_ALL_GROUP = "__all__"
+
+
+def _zipf_from_counts(uniq_ds, gname: str, top_n: int):
+    """Per-group Zipf slope from already-shuffled exact (group, kind,
+    term, c) rows: per-block lossless partial top-n per group (kind
+    'u'), driver final ranking, closed-form regr_slope(ln c, ln rank).
+    Returns pandas ``gname, zipf_slope, zipf_top_token, zipf_top_count,
+    zipf_n_ranks``."""
+    import pandas as pd
+    import polars as pl
+
+    def topk_block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return tb
+        return (
+            pl.from_arrow(tb)
+            .filter(pl.col("kind") == "u")
+            .sort(["c", "term"], descending=[True, False])
+            .group_by([gname], maintain_order=True)
+            .head(top_n)
+            .to_arrow()
+            .cast(tb.schema)
+        )
+
+    parts = [
+        t
+        for t in uniq_ds.map_batches(
+            topk_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    rows = []
+    if parts:
+        top = (
+            pl.from_arrow(pa.concat_tables(parts))
+            .sort(["c", "term"], descending=[True, False])
+            .group_by([gname], maintain_order=True)
+            .head(top_n)
+        )
+        for key, sub in top.group_by([gname], maintain_order=True):
+            cnt = sub["c"].to_numpy().astype(np.float64)
+            n = len(cnt)
+            if n < 2:
+                slope = None
+            else:
+                x = np.log(np.arange(1, n + 1, dtype=np.float64))
+                y = np.log(cnt)
+                dx = x - x.mean()
+                slope = round(float((dx * (y - y.mean())).sum() / (dx * dx).sum()), 6)
+            rows.append(
+                {
+                    gname: key[0],
+                    "zipf_slope": slope,
+                    "zipf_top_token": sub["term"][0],
+                    "zipf_top_count": int(cnt[0]),
+                    "zipf_n_ranks": int(n),
+                }
+            )
+    return pd.DataFrame(
+        rows, columns=[gname, "zipf_slope", "zipf_top_token", "zipf_top_count", "zipf_n_ranks"]
+    )
+
+
+def token_zipf_slope(docs_ds, text_col: str = "text", top_n: int = 200) -> dict:
+    """Zipf-law slope of the corpus token frequency distribution:
+    ``regr_slope(ln(count), ln(rank))`` over the top ``top_n`` tokens
+    (count-desc, term-asc tiebreak — deterministic under ties). Natural
+    corpora sit near -1; a slope far from it flags template-generated or
+    boilerplate-heavy data. Built on :func:`term_doc_stats` (one narrow
+    (term, cnt, df) vocabulary shuffle); post-shuffle blocks hold exact
+    totals, so per-block partial top-n is lossless and only
+    blocks × top_n rows reach the driver."""
+    import polars as pl
+
+    stats = term_doc_stats(docs_ds, text_col=text_col)
+
+    def topk_block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return tb
+        return (
+            pl.from_arrow(tb)
+            .sort(["cnt", "term"], descending=[True, False])
+            .head(top_n)
+            .to_arrow()
+            .cast(tb.schema)
+        )
+
+    parts = [
+        t
+        for t in stats.map_batches(
+            topk_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not parts:
+        return {"zipf_slope": None, "top_token": None, "top_count": 0, "n_ranks": 0}
+    top = (
+        pl.from_arrow(pa.concat_tables(parts))
+        .sort(["cnt", "term"], descending=[True, False])
+        .head(top_n)
+    )
+    cnt = top["cnt"].to_numpy().astype(np.float64)
+    n = len(cnt)
+    if n < 2:
+        slope = None
+    else:
+        x = np.log(np.arange(1, n + 1, dtype=np.float64))
+        y = np.log(cnt)
+        dx = x - x.mean()
+        slope = round(float((dx * (y - y.mean())).sum() / (dx * dx).sum()), 6)
+    return {
+        "zipf_slope": slope,
+        "top_token": top["term"][0],
+        "top_count": int(cnt[0]),
+        "n_ranks": int(n),
+    }

@@ -338,14 +338,42 @@ def freq_filter_docs(sf_dir: str):
     lchars AS (
       SELECT CAST(COALESCE(SUM(len(t)), 0) AS BIGINT) AS ld_chars_after
       FROM (SELECT string_agg(line, ' ' ORDER BY idx) t FROM lkept GROUP BY doc_id)
-    )
+    ),
+    ltk AS (
+      SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\S+') AS t FROM documents),
+    luni AS (SELECT unnest(t) AS term FROM ltk),
+    lpos AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS p
+      FROM ltk WHERE len(t) > 0),
+    lbig AS (
+      SELECT a.tok || ' ' || b.tok AS term
+      FROM lpos a JOIN lpos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+    lu AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS tokens_total,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS distinct_tokens
+      FROM luni),
+    lbd AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS distinct_bigrams FROM lbig),
+    zcnt AS (SELECT term, COUNT(*) AS c FROM luni GROUP BY term),
+    ztop AS (
+      SELECT term, c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS r FROM zcnt
+      QUALIFY r <= 200),
+    zf AS (
+      SELECT ROUND(regr_slope(LN(c), LN(r)), 6) AS zipf_slope,
+             (SELECT term FROM ztop WHERE r = 1) AS zipf_top_token,
+             (SELECT CAST(c AS BIGINT) FROM ztop WHERE r = 1) AS zipf_top_count,
+             CAST(COUNT(*) AS BIGINT) AS zipf_n_ranks
+      FROM ztop)
     SELECT tot.*,
            ROUND(LN(n) - aln / n, 6) AS h_lang,
            ROUND(LN(n) - bln / n, 6) AS h_source,
            ROUND((LN(n) - aln / n) + (LN(n) - bln / n) - (LN(n) - jln / n), 6)
              AS mi_lang_source,
-           ldrop.ld_dropped, lchg.ld_docs_changed, lchars.ld_chars_after
-    FROM tot, jt, ma, mb, ldrop, lchg, lchars
+           ldrop.ld_dropped, lchg.ld_docs_changed, lchars.ld_chars_after,
+           lu.tokens_total, lu.distinct_tokens, lbd.distinct_bigrams,
+           ROUND(lu.distinct_tokens * 1.0 / lu.tokens_total, 6) AS ttr,
+           1 AS hll_within_bound,
+           zf.zipf_slope, zf.zipf_top_token, zf.zipf_top_count, zf.zipf_n_ranks
+    FROM tot, jt, ma, mb, ldrop, lchg, lchars, lu, lbd, zf
     """,
 )
 def corpus_totals_docs(sf_dir: str):
@@ -452,6 +480,31 @@ def corpus_totals_docs(sf_dir: str):
     ld_row = lp.aggregate(*[Sum(c, alias_name=c) for c in ld_cols])
     for c in ld_cols:
         out[c] = int(ld_row[c] or 0)
+
+    # round 5: corpus lexical-health scalars from ONE extra text-only
+    # scan + one vocabulary-bounded shuffle (functions/text.py
+    # grouped_lexical_diversity, global mode): total tokens, EXACT
+    # distinct unigrams/bigrams, type-token ratio, HLL vocabulary
+    # estimate asserted within 5% of exact IN the row (sketch-bound
+    # pattern), and the Zipf slope over the top-200 tokens — reusing the
+    # SAME shuffled term counts, no second vocabulary exchange.
+    from ..functions.text import grouped_lexical_diversity
+
+    lex = grouped_lexical_diversity(ds, group_col=None, zipf_top_n=200)
+    assert len(lex) == 1, "global lexical profile must be one row"
+    lrow = lex.iloc[0]
+    out["tokens_total"] = int(lrow["tokens_total"])
+    out["distinct_tokens"] = int(lrow["distinct_tokens"])
+    out["distinct_bigrams"] = int(lrow["distinct_bigrams"])
+    out["ttr"] = float(lrow["ttr"])
+    rel = abs(lrow["hll_distinct_est"] - lrow["distinct_tokens"]) / max(
+        lrow["distinct_tokens"], 1
+    )
+    out["hll_within_bound"] = int(rel <= 0.05)
+    out["zipf_slope"] = float(lrow["zipf_slope"])
+    out["zipf_top_token"] = lrow["zipf_top_token"]
+    out["zipf_top_count"] = int(lrow["zipf_top_count"])
+    out["zipf_n_ranks"] = int(lrow["zipf_n_ranks"])
     return out
 
 
@@ -1794,12 +1847,24 @@ def heavy_hitter_users(sf_dir: str):
 @register(
     "lang_length_quantiles",
     """
-    SELECT lang,
-           ROUND(quantile_cont(n_chars, 0.5), 6) AS q50,
-           ROUND(quantile_cont(n_chars, 0.95), 6) AS q95,
-           ROUND(mad(n_chars), 6) AS mad_chars,
-           1 AS q50_kll_ok, 1 AS q95_kll_ok
-    FROM documents GROUP BY lang
+    WITH th AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS lo5,
+             ROUND(quantile_cont(n_chars, 0.5), 6) AS q50,
+             quantile_cont(n_chars, 0.95) AS hi95,
+             ROUND(mad(n_chars), 6) AS mad_chars
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, MIN(t.q50) AS q50, ROUND(MIN(t.hi95), 6) AS q95,
+           MIN(t.mad_chars) AS mad_chars,
+           1 AS q50_kll_ok, 1 AS q95_kll_ok,
+           ROUND(MIN(t.lo5), 6) AS gate_lo,
+           CAST(SUM(CASE WHEN d.n_chars >= t.lo5 AND d.n_chars <= t.hi95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept_in_band,
+           CAST(SUM(CASE WHEN d.n_chars < t.lo5 OR d.n_chars > t.hi95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS dropped_out_band
+    FROM documents d JOIN th t USING (lang)
+    GROUP BY d.lang
     """,
 )
 def lang_length_quantiles(sf_dir: str):
@@ -1815,14 +1880,21 @@ def lang_length_quantiles(sf_dir: str):
     when rows ≫ groups) runs beside it and is oracle-asserted by RANK
     ERROR (SURVEY §7.4): one distributed rank scan finds each estimate's
     true rank interval per lang; ``q50_kll_ok``/``q95_kll_ok`` assert the
-    distance to q is <= 0.02 (k=256 measures ~0.01)."""
+    distance to q is <= 0.02 (k=256 measures ~0.01). Round 5: the SAME
+    co-located quantile pass also yields each language's p05
+    (``gate_lo``), and one broadcast-join flag pass audits the
+    [p05, p95] QUANTILE GATE (functions/split.py quantile_gate — the
+    per-group outlier trim curation applies to document lengths):
+    ``kept_in_band`` / ``dropped_out_band`` per language, nulls in
+    neither (SQL CASE-on-null parity)."""
     import polars as pl
 
+    from ..functions.relational import broadcast_join
     from ..functions.shuffle import grouped_exact_quantiles, grouped_kll_quantiles
 
     docs = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
     df = as_table(
-        grouped_exact_quantiles(docs, ["lang"], "n_chars", [0.5, 0.95], mad_col="mad_chars")
+        grouped_exact_quantiles(docs, ["lang"], "n_chars", [0.05, 0.5, 0.95], mad_col="mad_chars")
     ).to_pandas()
     ests = (
         as_table(grouped_kll_quantiles(docs, ["lang"], "n_chars", [0.5, 0.95]))
@@ -1857,8 +1929,44 @@ def lang_length_quantiles(sf_dir: str):
         df = df.merge(
             (err <= 0.02).astype("int64").rename(f"q{col}_kll_ok").reset_index(), on="lang"
         )
+
+    # quantile-gate audit: broadcast the [p05, p95] band, one streamed
+    # flag pass. Null n_chars rows land in NEITHER bucket (the SQL CASE
+    # evaluates NULL comparisons to 0 on both arms), so dropped is
+    # counted directly, never derived as total - kept.
+    dim = df[["lang", "q5", "q95"]].rename(columns={"q5": "__qlo", "q95": "__qhi"})
+    joined = broadcast_join(docs, ["lang"], dim, ["lang"], how="inner")
+
+    def gate_flags(tb: pa.Table) -> pa.Table:
+        v = pc.cast(tb["n_chars"], pa.float64())
+        keep = pc.coalesce(
+            pc.and_(pc.greater_equal(v, tb["__qlo"]), pc.less_equal(v, tb["__qhi"])), False
+        )
+        drop = pc.coalesce(
+            pc.or_(pc.less(v, tb["__qlo"]), pc.greater(v, tb["__qhi"])), False
+        )
+        return pa.table(
+            {
+                "lang": tb["lang"],
+                "keep": pc.cast(keep, pa.int64()),
+                "drop": pc.cast(drop, pa.int64()),
+            }
+        )
+
+    flags = joined.map_batches(gate_flags, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    audit = driver_grouped_agg(
+        flags, ["lang"], {"kept_in_band": ("keep", "sum"), "dropped_out_band": ("drop", "sum")}
+    )
+    audit["kept_in_band"] = audit["kept_in_band"].astype("int64")
+    audit["dropped_out_band"] = audit["dropped_out_band"].astype("int64")
+    df = df.merge(audit, on="lang").rename(columns={"q5": "gate_lo"})
+    df = df[
+        ["lang", "q50", "q95", "mad_chars", "q50_kll_ok", "q95_kll_ok",
+         "gate_lo", "kept_in_band", "dropped_out_band"]
+    ]
     return _round_pd(
-        df.sort_values("lang").reset_index(drop=True), {"q50": 6, "q95": 6, "mad_chars": 6}
+        df.sort_values("lang").reset_index(drop=True),
+        {"q50": 6, "q95": 6, "mad_chars": 6, "gate_lo": 6},
     )
 
 

@@ -837,3 +837,80 @@ def test_normalize_text_batch_in_dataset(ray_session):
         .tolist()
     )
     assert got == ["a b", ""]
+
+
+# --------------------------------------------------- lexical diversity / zipf
+
+
+def _lex_docs():
+    import pyarrow as pa
+
+    return pa.table({
+        "lang": pa.array(["en", "en", "de", "de", None], type=pa.string()),
+        "text": pa.array(
+            ["a b a c", "b b a", "x y", "y z y", "a a"], type=pa.string()
+        ),
+    })
+
+
+def test_grouped_lexical_diversity_exact_counts(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import grouped_lexical_diversity
+
+    for blocks in (1, 3):
+        out = grouped_lexical_diversity(
+            rd.from_arrow(_lex_docs()).repartition(blocks), group_col="lang"
+        ).set_index("lang")
+        # en: tokens a b a c b b a -> 7 total, {a,b,c}=3 distinct
+        # en bigrams: (a b, b a, a c) + (b b, b a) -> {a b, b a, a c, b b}=4
+        assert out.loc["en", "tokens_total"] == 7
+        assert out.loc["en", "distinct_tokens"] == 3
+        assert out.loc["en", "distinct_bigrams"] == 4
+        assert out.loc["en", "ttr"] == round(3 / 7, 6)
+        # de: x y y z y -> 5 total, {x,y,z}=3; bigrams {x y, y z, z y}=3
+        assert out.loc["de", "tokens_total"] == 5
+        assert out.loc["de", "distinct_tokens"] == 3
+        assert out.loc["de", "distinct_bigrams"] == 3
+        # HLL linear counting over a tiny vocabulary is near-exact
+        assert abs(out.loc["en", "hll_distinct_est"] - 3.0) < 0.05
+        # null group kept as its own group (SQL GROUP BY semantics)
+        assert out.loc[None, "tokens_total"] == 2
+
+
+def test_grouped_lexical_diversity_global_zipf(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import grouped_lexical_diversity
+
+    out = grouped_lexical_diversity(
+        rd.from_arrow(_lex_docs()).repartition(2), group_col=None, zipf_top_n=10
+    )
+    assert len(out) == 1 and out.loc[0, "group"] == "__all__"
+    # global: a x5, b x3, y x3, c/x/z x1 -> 14 tokens, 6 distinct
+    assert out.loc[0, "tokens_total"] == 14
+    assert out.loc[0, "distinct_tokens"] == 6
+    assert out.loc[0, "zipf_top_token"] == "a" and out.loc[0, "zipf_top_count"] == 5
+    assert out.loc[0, "zipf_n_ranks"] == 6
+    # closed-form regr_slope over (ln rank, ln cnt): counts desc, term asc
+    cnt = np.array([5, 3, 3, 1, 1, 1], dtype=float)
+    x, y = np.log(np.arange(1, 7, dtype=float)), np.log(cnt)
+    dx = x - x.mean()
+    want = round(float((dx * (y - y.mean())).sum() / (dx * dx).sum()), 6)
+    assert out.loc[0, "zipf_slope"] == want
+
+
+def test_token_zipf_slope_edges(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import token_zipf_slope
+
+    one = rd.from_arrow(pa.table({"text": pa.array(["solo solo solo"])}))
+    r = token_zipf_slope(one)
+    assert r["n_ranks"] == 1 and r["zipf_slope"] is None and r["top_token"] == "solo"
+
+    empty = rd.from_arrow(pa.table({"text": pa.array([], type=pa.string())}))
+    r = token_zipf_slope(empty)
+    assert r["n_ranks"] == 0 and r["zipf_slope"] is None
