@@ -118,6 +118,13 @@ def semdedup(
 
     if keep not in ("min_id", "far_from_centroid"):
         raise ValueError(f"keep must be 'min_id' or 'far_from_centroid', got {keep!r}")
+    in_names = {f.name for f in ds.schema().base_schema}
+    if cluster_col in in_names:
+        # same up-front check as the join family: appending a duplicate
+        # field otherwise crashes deep inside execution with a KeyError
+        raise ValueError(
+            f"cluster_col {cluster_col!r} already exists in the input; pass a different name"
+        )
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if centers is None:

@@ -834,6 +834,11 @@ class _KnnCellTagger:
                     "is_cand": pa.array([], type=pa.int8()),
                 }
             )
+        if batch[self.id_col].null_count:
+            # loud and early, like the exact path and semdedup — a null
+            # id otherwise crashes Ray's range-sort far downstream with
+            # an opaque TypeError
+            raise ValueError(f"knn_outlier_scores_ivf: null ids in {self.id_col!r}")
         m = _normalize(list_column_to_matrix(batch[self.vec_col]))
         sims = m @ self.cent.T  # (n, C)
         probe = np.argsort(-sims, axis=1)[:, : self.n_probe]  # col 0 == argmax

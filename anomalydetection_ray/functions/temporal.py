@@ -93,7 +93,7 @@ def asof_join(
     tagged = _tagged_union(
         select_if_needed(left_ds, [f.name for f in out_left]),
         left_map,
-        select_if_needed(right_ds, [rk, right_ts] + right_values),
+        select_if_needed(right_ds, list(dict.fromkeys([rk, right_ts] + right_values))),
         right_map,
         schema,
     )
@@ -137,9 +137,28 @@ def rolling_window_agg(
     event id) so callers never need a driver-side re-join. Hash-shuffle
     by key → per-block sort + two binary searches per row (vectorized
     ``np.searchsorted`` over the key's sorted timestamps) — O(n log n)
-    per key, no per-row Python loop, no self-join blowup."""
+    per key, no per-row Python loop, no self-join blowup.
+
+    Null semantics (DuckDB window parity, probed): null-``ts_col`` rows
+    form their OWN peer group per key — their w_count/w_sum cover
+    exactly the key's null-ts rows, and they are excluded from every
+    non-null row's window (they previously corrupted the searchsorted
+    ascending-order assumption and silently mis-counted the whole key —
+    round-5 review). Null ``value_col`` rows count in w_count but add 0
+    to w_sum (``COALESCE(SUM(v), 0)``; an all-null frame yields 0.0, not
+    SQL NULL). Null KEYS group together (SQL PARTITION BY), regardless
+    of the key column's dtype."""
     carry = carry or []
     need = list(dict.fromkeys([key, ts_col, value_col] + carry))
+    out_names = {"w_count", "w_sum"}
+    if out_names & set(need):
+        raise ValueError(
+            f"columns {sorted(out_names & set(need))} collide with the output names; rename them first"
+        )
+    if set(carry) & {key, ts_col, value_col}:
+        raise ValueError(
+            f"carry columns {sorted(set(carry) & {key, ts_col, value_col})} repeat key/ts/value"
+        )
     base = ds.schema().base_schema
     out_schema = pa.schema(
         [
@@ -164,29 +183,48 @@ def rolling_window_agg(
         # order changes w_sum in the last ulp — a total order makes the
         # result partitioning- and run-invariant
         df = pl.from_arrow(tb.select(need)).sort(need)
-        keys_np = df[key].to_numpy()
         s = df[ts_col]
+        # null-ts rows sort FIRST within each key (polars default); they
+        # must not enter the numpy ts array consumed by searchsorted (a
+        # null becomes NaN and breaks the ascending-order assumption)
+        ts_null = s.is_null().to_numpy()
         # unit-safe epoch conversion: a raw Int64 cast yields the column's
         # NATIVE unit (ns for timestamp[ns] inputs — common from pandas),
         # silently shrinking the window 1000× against the µs constant
         # below (ADVICE round 2). Numeric ts columns pass through and are
         # interpreted as µs by contract.
         ts = s.dt.timestamp("us").to_numpy() if s.dtype.is_temporal() else s.cast(pl.Int64).to_numpy()
-        vals = df[value_col].cast(pl.Float64).to_numpy()
+        # SUM skips nulls (and the cumsum must not NaN-poison later
+        # windows): null values count rows but contribute 0
+        vals = np.nan_to_num(df[value_col].cast(pl.Float64).to_numpy().astype(np.float64), nan=0.0)
         w_count = np.empty(len(ts), dtype=np.int64)
         w_sum = np.empty(len(ts), dtype=np.float64)
-        # group boundaries of the sorted key column
-        bounds = np.flatnonzero(np.concatenate([[True], keys_np[1:] != keys_np[:-1], [True]]))
+        # group boundaries of the sorted key column — null-AWARE and
+        # dtype-independent (numeric null keys become NaN in numpy, and
+        # NaN != NaN would split them into singleton groups)
+        neq = df[key].ne_missing(df[key].shift(1)).to_numpy().copy()
+        if len(neq):
+            neq[0] = True
+        bounds = np.flatnonzero(np.concatenate([neq, [True]]))
         for s, e in zip(bounds[:-1], bounds[1:]):
-            seg = ts[s:e]
+            n_null = int(ts_null[s:e].sum())  # sorted-first prefix
+            if n_null:
+                # DuckDB parity: the key's null-ts rows are one peer
+                # group — each frames exactly that group
+                w_count[s : s + n_null] = n_null
+                w_sum[s : s + n_null] = vals[s : s + n_null].sum()
+            v = s + n_null
+            if v == e:
+                continue
+            seg = ts[v:e]
             lo = np.searchsorted(seg, seg - win_us, side="left")
             hi = np.searchsorted(seg, seg, side="right")
-            w_count[s:e] = hi - lo
+            w_count[v:e] = hi - lo
             # cumsum PER KEY, not per block: a block-wide prefix sum makes
             # w_sum depend on unrelated keys in the same block through
             # float rounding, breaking partitioning-invariance of results
-            csum = np.concatenate([[0.0], np.cumsum(vals[s:e])])
-            w_sum[s:e] = csum[hi] - csum[lo]
+            csum = np.concatenate([[0.0], np.cumsum(vals[v:e])])
+            w_sum[v:e] = csum[hi] - csum[lo]
         out = df.with_columns(
             w_count=pl.Series(w_count), w_sum=pl.Series(w_sum)
         )
@@ -275,14 +313,18 @@ def range_join_agg(
         # NULL keys never match the ON condition (SQL semantics): null-key
         # right rows are dropped outright; null-key LEFT rows survive with
         # count 0 — they sort first (polars default), so the search loop
-        # below simply starts past them. Dropping right nulls BEFORE the
-        # numpy conversion also keeps rkeys sorted for searchsorted (a
-        # null becomes NaN/None in numpy and breaks the ascending order).
-        r = df.filter((pl.col(_SIDE) == 1) & pl.col(key).is_not_null()).sort(
-            [key, "__rts"] + (["__rv"] if right_value else [])
-        )
+        # below simply starts past them. Null __rts rows are dropped too:
+        # SQL BETWEEN is never true for NULL, and (round-5 review) a null
+        # becomes NaN in the numpy rts array and breaks the per-key
+        # ascending order searchsorted assumes, silently corrupting
+        # rj_count/rj_sum for every left row of that key.
+        r = df.filter(
+            (pl.col(_SIDE) == 1)
+            & pl.col(key).is_not_null()
+            & pl.col("__rts").is_not_null()
+        ).sort([key, "__rts"] + (["__rv"] if right_value else []))
         n_null_left = int(l[key].null_count())
-        lkeys = l[key].to_numpy()
+        lkeys = l[key]
         lts = _epoch_us(l[left_ts])
         rkeys = r[key].to_numpy()
         rts = _epoch_us(r["__rts"])
@@ -291,14 +333,19 @@ def range_join_agg(
         if right_value:
             rvals = np.nan_to_num(r["__rv"].to_numpy().astype(np.float64), nan=0.0)
         if len(lkeys) > n_null_left:
-            sub = lkeys[n_null_left:]
-            bounds = (
-                np.flatnonzero(np.concatenate([[True], sub[1:] != sub[:-1], [True]]))
-                + n_null_left
-            )
+            # null-aware, dtype-independent key boundaries (a numpy
+            # conversion would turn nullable-int keys into float64 —
+            # NaN-splitting null groups and losing precision above 2^53)
+            neq = lkeys.ne_missing(lkeys.shift(1)).to_numpy().copy()
+            neq[0] = True
+            all_bounds = np.flatnonzero(np.concatenate([neq, [True]]))
+            # nulls sort first, and ne_missing(first non-null, last null)
+            # is True, so a boundary always sits exactly at n_null_left
+            bounds = all_bounds[all_bounds >= n_null_left]
             for s, e in zip(bounds[:-1], bounds[1:]):
-                rs, re = np.searchsorted(rkeys, lkeys[s], side="left"), np.searchsorted(
-                    rkeys, lkeys[s], side="right"
+                probe = lkeys[int(s)]  # python scalar: exact at any int width
+                rs, re = np.searchsorted(rkeys, probe, side="left"), np.searchsorted(
+                    rkeys, probe, side="right"
                 )
                 if rs == re:
                     continue
@@ -386,9 +433,11 @@ def ewma(
     ``ewm_mean().over(key)`` per block (Rust kernel — the recurrence
     never runs as a Python loop). Total-order per-block sort keeps the
     result invariant to block layout under ties. Null values emit null
-    and leave the running state unchanged (pandas ``ignore_na=False``
-    weighting for the rows that do have values); the first non-null row
-    of a key seeds the average. A single key's history must fit a block
+    and DECAY the prior state's weight across the gap (pandas
+    ``ignore_na=False`` / polars ``ignore_nulls=False`` weighting: with
+    values [1, null, 10] at alpha=0.5 the third row smooths to 7.0, not
+    the 5.5 a state-frozen gap would give); the first non-null row of a
+    key seeds the average. A single key's history must fit a block
     — the same documented contract as every per-key window here (salt
     upstream if one key exceeds it)."""
     if not (0.0 < alpha <= 1.0):

@@ -589,3 +589,185 @@ def test_cusum_self_baseline_nulls_and_layout_invariance(ray_session):
         cusum_flags(rd.from_arrow(pa.Table.from_pandas(df)), "k", "t", "v", h=0.0)
     with _pytest.raises(ValueError):
         cusum_flags(rd.from_arrow(pa.Table.from_pandas(df)), "k", "t", "v", baseline=pd.DataFrame({"k": []}))
+
+
+# ------------------------------------------------ round-5 review regressions
+
+
+def _ts5(sec):
+    return None if sec is None else datetime.datetime(2020, 1, 1, 0, 0, 0) + datetime.timedelta(seconds=sec)
+
+
+def test_rolling_window_null_ts_duckdb_parity(ray_session):
+    """Null-ts rows are their OWN peer group (DuckDB RANGE semantics,
+    probed) and must not corrupt non-null rows' windows — a NaN in the
+    searchsorted array previously mis-counted the whole key silently."""
+    import duckdb
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import rolling_window_agg
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    t = pa.table({
+        "k": pa.array(["a"] * 5 + ["b"] * 2, type=pa.string()),
+        "ts": pa.array([_ts5(None), _ts5(0), _ts5(1), _ts5(None), _ts5(3)]
+                       + [_ts5(0), _ts5(1)], type=pa.timestamp("us")),
+        "v": pa.array([10.0, 1.0, 2.0, 20.0, 4.0, 7.0, None], type=pa.float64()),
+    })
+    out = as_table(
+        rolling_window_agg(rd.from_arrow(t).repartition(3), "k", "ts", "v",
+                           np.timedelta64(1500, "ms"))
+    ).to_pandas().sort_values(["k", "ts", "v"], na_position="first").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.sql("""
+      SELECT k, ts, v, COUNT(*) OVER w AS w_count,
+             COALESCE(SUM(v) OVER w, 0) AS w_sum
+      FROM t WINDOW w AS (PARTITION BY k ORDER BY ts
+        RANGE BETWEEN INTERVAL 1500 MILLISECOND PRECEDING AND CURRENT ROW)
+      ORDER BY k, ts NULLS FIRST, v
+    """).df().reset_index(drop=True)
+    con.close()
+    assert out["w_count"].tolist() == want["w_count"].tolist()
+    np.testing.assert_allclose(out["w_sum"].to_numpy(), want["w_sum"].to_numpy())
+
+
+def test_rolling_window_null_value_does_not_poison_later_windows(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import rolling_window_agg
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    t = pa.table({
+        "k": pa.array(["a"] * 3, type=pa.string()),
+        "ts": pa.array([_ts5(0), _ts5(10), _ts5(20)], type=pa.timestamp("us")),
+        "v": pa.array([1.0, None, 2.0], type=pa.float64()),
+    })
+    out = as_table(
+        rolling_window_agg(rd.from_arrow(t), "k", "ts", "v", np.timedelta64(5, "s"))
+    ).to_pandas().sort_values("ts").reset_index(drop=True)
+    # each window holds exactly its own row; row 3's sum must be 2.0
+    # (not NaN from a poisoned cumsum) and row 2's null adds 0
+    assert out["w_count"].tolist() == [1, 1, 1]
+    np.testing.assert_allclose(out["w_sum"].to_numpy(), [1.0, 0.0, 2.0])
+
+
+def test_rolling_window_numeric_null_keys_group_together(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import rolling_window_agg
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    t = pa.table({
+        "k": pa.array([None, None, None, 7], type=pa.int64()),
+        "ts": pa.array([_ts5(0), _ts5(1), _ts5(2), _ts5(0)], type=pa.timestamp("us")),
+        "v": pa.array([1.0, 1.0, 1.0, 5.0], type=pa.float64()),
+    })
+    out = as_table(
+        rolling_window_agg(rd.from_arrow(t), "k", "ts", "v", np.timedelta64(10, "s"))
+    ).to_pandas()
+    nulls = out[out["k"].isna()].sort_values("ts")
+    # SQL PARTITION BY groups nulls: the third null row sees all three
+    # (previously each numeric-null key was a NaN singleton)
+    assert nulls["w_count"].tolist() == [1, 2, 3]
+    assert out[out["k"] == 7]["w_count"].tolist() == [1]
+
+
+def test_rolling_window_collision_validation(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import rolling_window_agg
+
+    t = pa.table({
+        "k": pa.array(["a"], type=pa.string()),
+        "ts": pa.array([_ts5(0)], type=pa.timestamp("us")),
+        "v": pa.array([1.0]),
+        "w_count": pa.array([9], type=pa.int64()),
+    })
+    with pytest.raises(ValueError, match="w_count"):
+        rolling_window_agg(rd.from_arrow(t), "k", "ts", "v",
+                           np.timedelta64(1, "s"), carry=["w_count"])
+    with pytest.raises(ValueError, match="repeat"):
+        rolling_window_agg(rd.from_arrow(t), "k", "ts", "v",
+                           np.timedelta64(1, "s"), carry=["k"])
+
+
+def test_range_join_agg_null_right_ts_excluded(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import range_join_agg
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    left = pa.table({
+        "k": pa.array(["a", "a"], type=pa.string()),
+        "lts": pa.array([_ts5(0), _ts5(10)], type=pa.timestamp("us")),
+    })
+    right = pa.table({
+        "k": pa.array(["a", "a", "a"], type=pa.string()),
+        "rts": pa.array([_ts5(None), _ts5(1), _ts5(11)], type=pa.timestamp("us")),
+        "val": pa.array([100.0, 5.0, 7.0], type=pa.float64()),
+    })
+    out = as_table(
+        range_join_agg(rd.from_arrow(left), rd.from_arrow(right), "k", "lts", "rts",
+                       np.timedelta64(0, "s"), np.timedelta64(2, "s"), right_value="val")
+    ).to_pandas().sort_values("lts").reset_index(drop=True)
+    # SQL BETWEEN is never true for a NULL rts: the 100.0 row matches
+    # nothing (and previously corrupted BOTH rows' counts via NaN order)
+    assert out["rj_count"].tolist() == [1, 1]
+    np.testing.assert_allclose(out["rj_sum"].to_numpy(), [5.0, 7.0])
+
+
+def test_asof_join_can_attach_right_ts5(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import asof_join
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    left = pa.table({
+        "k": pa.array(["a"], type=pa.string()),
+        "lts": pa.array([_ts5(5)], type=pa.timestamp("us")),
+    })
+    right = pa.table({
+        "k": pa.array(["a", "a"], type=pa.string()),
+        "rts": pa.array([_ts5(1), _ts5(4)], type=pa.timestamp("us")),
+        "price": pa.array([10.0, 20.0], type=pa.float64()),
+    })
+    out = as_table(
+        asof_join(rd.from_arrow(left), rd.from_arrow(right), "k", "lts", "rts",
+                  right_values=["rts", "price"])
+    ).to_pandas()
+    # right_values may name right_ts itself (previously a duplicate-
+    # select crash): the matched right timestamp rides along
+    assert out["price"].tolist() == [20.0]
+    assert out["rts"].tolist() == [_ts5(4)]
+
+
+def test_semdedup_cluster_col_collision_raises(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup.semantic import semdedup
+
+    vecs = pa.FixedSizeListArray.from_arrays(
+        pa.array([1.0, 0.0, 0.0, 1.0], type=pa.float32()), 2
+    )
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "embedding": vecs,
+        "cluster": pa.array([0, 0], type=pa.int64()),
+    })
+    with pytest.raises(ValueError, match="cluster_col"):
+        semdedup(rd.from_arrow(t), "doc_id", k=1)
+
+
+def test_knn_ivf_null_id_raises_loudly(ray_session):
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.similarity import knn_outlier_scores_ivf
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((20, 4)).astype(np.float32)
+    vecs = pa.FixedSizeListArray.from_arrays(pa.array(x.ravel(), type=pa.float32()), 4)
+    ids = list(range(19)) + [None]
+    t = pa.table({"vec_id": pa.array(ids, type=pa.int64()), "embedding": vecs})
+    with pytest.raises(Exception, match="null ids"):
+        knn_outlier_scores_ivf(rd.from_arrow(t), "vec_id", k=2, n_cells=2, n_probe=2).to_pandas()
