@@ -115,9 +115,18 @@ class RowDriftScorer:
     ):
         snap = load_snapshot(snapshot_path)
         snap = snap[snap["column"] == column]
-        self.klls: dict[str, KLL] = {
-            r["part"]: KLL.from_bytes(r["kll"]) for _, r in snap.iterrows() if r["kll"] is not None
-        }
+        # pre-sort each partition's weighted sample ONCE per actor (the
+        # class contract): the (values, cumulative-weight) pairs are
+        # immutable, and re-deriving them inside every batch's partition
+        # loop re-ran the sketch sort thousands of times on the hot
+        # scoring path (round-5 review)
+        self.lookup: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for _, r in snap.iterrows():
+            if r["kll"] is None:
+                continue
+            v, w = KLL.from_bytes(r["kll"])._weighted()
+            if v.size:
+                self.lookup[r["part"]] = (v, np.cumsum(w))
         self.column, self.partition_by, self.out_col = column, partition_by, out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -130,16 +139,20 @@ class RowDriftScorer:
         parts = np.asarray(pc.fill_null(pc.cast(batch[self.partition_by], pa.string()), "<null>"))
         scores = np.ones(len(vals))  # unknown partition → max surprise
         for part in np.unique(parts):
-            kll = self.klls.get(part)
-            if kll is None:
+            hit = self.lookup.get(part)
+            if hit is None:
                 continue
             m = parts == part
             # vectorized rank lookup against the sketch's weighted sample
-            v, w = kll._weighted()
-            if v.size == 0:
-                continue
-            cum = np.cumsum(w)
+            v, cum = hit
             idx = np.searchsorted(v, vals[m], side="right")
             ranks = np.where(idx > 0, cum[np.clip(idx - 1, 0, len(cum) - 1)], 0) / cum[-1]
             scores[m] = 2.0 * np.abs(ranks - 0.5)
-        return batch.append_column(self.out_col, pa.array(scores, type=pa.float64()))
+        # a null (or NaN) value has NO rank under a baseline that was
+        # built excluding nulls: score null, not 1.0 — searchsorted
+        # places NaN past the end, which silently branded every null row
+        # a maximal-tail anomaly (round-5 review)
+        unscorable = np.isnan(vals)
+        return batch.append_column(
+            self.out_col, pa.array(scores, type=pa.float64(), mask=unscorable)
+        )

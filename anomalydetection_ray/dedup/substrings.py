@@ -369,11 +369,16 @@ def strip_dup_spans(
         tb = tb.set_column(tb.schema.get_field_index(text_col), text_col,
                            pa.array(out, type=pa.string()))
         if min_remaining_bytes > 0:
+            # null-text rows were never cut — they must survive the size
+            # gate (coalescing null length to 0 silently dropped them at
+            # any min_remaining_bytes > 0 while 0 kept them; round-5
+            # review). Only rows that HAVE text are measured.
             sizes = pc.binary_length(pc.cast(tb[text_col], pa.binary()))
-            tb = tb.filter(pc.greater_equal(
-                pc.coalesce(sizes, pa.scalar(0, pa.int32())),
-                min_remaining_bytes,
-            ))
+            keep = pc.or_kleene(
+                pc.is_null(tb[text_col]),
+                pc.greater_equal(sizes, min_remaining_bytes),
+            )
+            tb = tb.filter(pc.coalesce(keep, False))
         return tb
 
     return marked.map_batches(cut, batch_format="pyarrow", batch_size=None,

@@ -43,7 +43,14 @@ def word_counts(docs_ds, text_col: str = "text"):
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         g = (
+            # the EOW marker char is RESERVED (sentencepiece's own
+            # convention: U+2581 encodes a word boundary) — literal
+            # occurrences in the corpus (e.g. re-tokenized HF output)
+            # become separators here, or an in-word marked symbol would
+            # be indistinguishable from a merged content symbol and
+            # conflate pair statistics (round-5 review)
             pl.DataFrame({"t": pl.Series(col).fill_null("")})
+            .with_columns(pl.col("t").str.replace_all(_EOW, " ", literal=True))
             .with_columns(pl.col("t").str.extract_all(r"\S+"))
             .explode("t")
             .drop_nulls("t")
@@ -221,7 +228,10 @@ class BpeEncoderStage:
             col = col.combine_chunks()
         n = len(col)
         toks = (
+            # same reserved-marker replacement as word_counts: encode must
+            # tokenize exactly like training did
             pl.DataFrame({"i": np.arange(n, dtype=np.int64), "t": pl.Series(col).fill_null("")})
+            .with_columns(pl.col("t").str.replace_all(_EOW, " ", literal=True))
             .with_columns(pl.col("t").str.extract_all(r"\S+"))
             .explode("t")
             .drop_nulls("t")

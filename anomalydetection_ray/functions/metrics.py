@@ -24,9 +24,16 @@ from ray.data.aggregate import Sum
 
 
 def confusion_counts(ds, label_col: str, pred_col: str) -> dict:
-    """Exact TP/FP/TN/FN via per-block partial sums."""
+    """Exact TP/FP/TN/FN via per-block partial sums. Rows with a null
+    label or prediction are unscorable and excluded — same contract as
+    the AUC paths' ``_drop_unscorable``. Without the filter, Arrow
+    int-with-null reaches numpy as float64 NaN and ``astype(int64)``
+    casts NaN to PLATFORM-DEPENDENT garbage (INT64_MIN on x86, 0 on
+    aarch64 — the latter silently counts null-label rows as negatives;
+    round-5 review, reproduced)."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = _drop_unscorable(batch, label_col, pred_col)
         y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
         p = batch[pred_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.Table.from_pydict(
@@ -44,7 +51,9 @@ def confusion_counts(ds, label_col: str, pred_col: str) -> dict:
         Sum("tn", alias_name="tn"),
         Sum("fn", alias_name="fn"),
     )
-    return {k: int(v) for k, v in row.items()}
+    # an empty dataset aggregates to None cells — all-zero counts, not a
+    # TypeError mid-pipeline (round-5 review, reproduced)
+    return {k: int(v or 0) for k, v in row.items()}
 
 
 def classification_metrics(ds, label_col: str, pred_col: str) -> dict:
@@ -83,13 +92,23 @@ def auc_streaming(ds, label_col: str, score_col: str, lo: float, hi: float, n_bi
     within-bin comparison uses the ½-tie convention, bounding the error by
     the mass falling in mixed bins. One streaming pass, partials are two
     int64[n_bins] vectors per block.
+
+    Scores outside [lo, hi] CLIP into the edge bins (the same policy as
+    ``sketches/histogram.py:FixedHistogram.update``, and the same reason:
+    ``np.histogram`` silently DROPS out-of-range values, which would make
+    the AUC a biased subsample with unbounded error whenever the assumed
+    range is stale — round-5 review). Clipped mass still obeys the
+    per-bin tie bound only if the out-of-range tail is small; pass the
+    true range for tight bounds.
     """
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
     edges = np.linspace(lo, hi, n_bins + 1)
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = _drop_unscorable(batch, label_col, score_col)
         y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        s = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.clip(batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64), lo, hi)
         pos, _ = np.histogram(s[y == 1], bins=edges)
         neg, _ = np.histogram(s[y == 0], bins=edges)
         return pa.Table.from_pydict({"pos": [pos.tobytes()], "neg": [neg.tobytes()]})

@@ -252,7 +252,11 @@ class VideoFrameSampleStage:
         else:
             n_frames = batch["n_frames"].to_numpy(zero_copy_only=False)
             for p, nf in zip(payloads, n_frames):
-                take = max(1, int(nf or 0) // self.stride) if nf else 0
+                # ceil(nf / stride): frames[::stride] of an nf-frame clip
+                # yields that many — fake mode must agree with real mode
+                # for the same metadata (round-5 review: floor undercounted
+                # whenever nf % stride != 0)
+                take = -(-int(nf or 0) // self.stride) if nf else 0
                 sampled.append(take)
                 feats.append(_fake_floats(p or b"", take * self.dim, b"vid").reshape(take, self.dim).tolist())
         out = batch.drop_columns([self.payload_col])

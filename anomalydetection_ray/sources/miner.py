@@ -145,21 +145,30 @@ def mine_group_partials(ds, content_col: str = "text") -> pa.Table:
     ``(n_tok, first)`` group) — the broadcastable lookup side for
     :func:`assign_template_batch`.
 
-    Distributed map (one partial row per group per block) → worker-side
-    combine (whole-block, collapses to ~groups rows) → ONE driver merge
-    over kilobytes. The output is small-bounded by template cardinality —
-    the same contract as ``functions/shuffle.driver_grouped_agg`` — so no
-    keyed shuffle is ever needed; at 100 TB only the tiny partial rows
-    leave the workers."""
+    Distributed map (one partial row per group per block) → a SMALL
+    repartition of the kilobyte partial rows → worker-side combine
+    (each output block now holds MANY input blocks' partials, so the
+    per-(n_tok, first) rows actually collapse) → ONE driver merge over
+    ~combine-blocks × groups rows. The repartition is load-bearing: a
+    plain per-block combine after a per-block partial is a no-op (each
+    block's group keys are already unique — round-5 review), and the
+    driver would gather groups × blocks rows at 100 TB. The exchange
+    moves only the tiny partials, never content."""
     col = content_col
 
-    partials = ds.map_batches(
-        lambda t: mine_partial_batch(t, col),
-        batch_format="pyarrow",
-        batch_size=None,
-        zero_copy_batch=True,
-    ).map_batches(
-        combine_partials_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    n_combine = 16
+
+    partials = (
+        ds.map_batches(
+            lambda t: mine_partial_batch(t, col),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
+        .repartition(n_combine)
+        .map_batches(
+            combine_partials_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
     )
     tabs = [t for t in partials.iter_batches(batch_format="pyarrow", batch_size=None) if t.num_rows]
     if not tabs:

@@ -110,3 +110,19 @@ def test_bpe_guards(ray_session):
         bpe_train(ds, n_merges=0)
     with pytest.raises(ValueError, match="max_words"):
         bpe_train(ds, n_merges=2, max_words=2)
+
+
+def test_bpe_reserved_marker_char_is_a_separator(ray_session):
+    """Literal U+2581 in corpus text (e.g. re-processing sentencepiece
+    output) must not masquerade as an end-of-word symbol: it is treated
+    as a word separator in BOTH training and encode (round-5 review:
+    an in-word marker conflated merge statistics)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.bpe import word_counts
+
+    t = pa.table({"text": pa.array(["a▁b a b", "a▁b"], type=pa.string())})
+    wc = word_counts(rd.from_arrow(t)).to_pandas().set_index("word")["cnt"].to_dict()
+    # "a▁b" splits into words a + b on both rows
+    assert wc == {"a": 3, "b": 3}

@@ -183,3 +183,29 @@ def test_media_stages_survive_empty_blocks():
         "sample_rate": pa.array([16000], type=pa.int32()),
     }))
     assert out_a.num_rows == 0 and out_a.schema.equals(full_a.schema)
+
+
+def test_video_fake_mode_frame_count_matches_real_stride_math(ray_session):
+    """fake mode must report the same n_frames_sampled real decoding
+    yields: frames[::stride] of nf frames is ceil(nf/stride) (round-5
+    review: floor undercounted whenever nf % stride != 0)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.multimodal import VideoFrameSampleStage
+
+    for nf, stride, want in ((11, 10, 2), (10, 10, 1), (21, 10, 3), (9, 10, 1)):
+        t = pa.table({
+            "video": pa.array([b"payload"], type=pa.binary()),
+            "n_frames": pa.array([nf], type=pa.int32()),
+        })
+        out = rd.from_arrow(t).map_batches(
+            VideoFrameSampleStage,
+            fn_constructor_kwargs={"stride": stride, "dim": 4, "mode": "fake", "payload_col": "video"},
+            batch_format="pyarrow",
+            concurrency=1,
+        ).to_pandas()
+        assert out["n_frames_sampled"].tolist() == [want], (nf, stride)
+        assert len(out["frame_feats"][0]) == want
+        assert want == len(np.zeros(nf)[::stride])

@@ -139,3 +139,53 @@ def test_auc_exact_matches_sort_based(ray_session):
     ds = rd.from_arrow(pa.table({"label": y, "score": s})).repartition(7)
     got = auc_exact(ds, "label", "score")
     assert abs(got - _exact_auc(y, s)) < 1e-12
+
+
+def test_confusion_counts_null_labels_excluded(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.metrics import classification_metrics, confusion_counts
+
+    t = pa.table({
+        "y": pa.array([1, None, 0, 1], type=pa.int64()),
+        "p": pa.array([1, 1, 0, None], type=pa.int64()),
+    })
+    c = confusion_counts(rd.from_arrow(t), "y", "p")
+    # only the two fully-labeled rows count (previously the nulls cast
+    # to platform-dependent ints and silently corrupted the cells)
+    assert c == {"tp": 1, "fp": 0, "tn": 1, "fn": 0}
+    m = classification_metrics(rd.from_arrow(t), "y", "p")
+    assert m["accuracy"] == 1.0
+
+
+def test_confusion_counts_empty_dataset(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.metrics import classification_metrics
+
+    t = pa.table({"y": pa.array([], type=pa.int64()), "p": pa.array([], type=pa.int64())})
+    m = classification_metrics(rd.from_arrow(t), "y", "p")
+    assert m["tp"] == m["fp"] == m["tn"] == m["fn"] == 0
+    assert m["accuracy"] == 0.0
+
+
+def test_auc_streaming_clips_out_of_range_scores(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.metrics import auc_streaming
+
+    # perfectly separable, but the top positive score sits ABOVE the
+    # assumed range: it must clip into the edge bin, not vanish
+    t = pa.table({
+        "y": pa.array([1, 1, 0, 0], type=pa.int64()),
+        "s": pa.array([1.5, 0.9, 0.2, 0.1], type=pa.float64()),
+    })
+    auc = auc_streaming(rd.from_arrow(t), "y", "s", 0.0, 1.0)
+    assert np.isclose(auc, 1.0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        auc_streaming(rd.from_arrow(t), "y", "s", 0.5, 0.5)

@@ -221,3 +221,23 @@ def test_kgram_hashes_bit_identical_to_naive():
         h ^= h >> np.uint64(33)
         got = kgram_hashes(b, k)
         assert got.shape == h.shape and (got == h).all()
+
+
+def test_strip_min_remaining_keeps_null_text_rows(ray_session):
+    """Null-text rows were never cut; min_remaining_bytes must not drop
+    them (round-5 review: coalesce-to-0 silently lost them at any
+    positive threshold while 0 kept them)."""
+    import ray.data as rd
+
+    texts = ["exactly the same content here", "exactly the same content here", None]
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    res = strip_dup_spans(rd.from_arrow(t), k=8, min_remaining_bytes=1)
+    out = pa.concat_tables(
+        [b for b in res.iter_batches(batch_format="pyarrow", batch_size=None)],
+        promote_options="default",
+    )
+    assert out["doc_id"].to_pylist() == [2]
+    assert out["text"].to_pylist() == [None]

@@ -571,3 +571,30 @@ def test_runstate_unit_name_escaping_injective(tmp_path):
     s.mark_done("a_b", {"v": 2})
     assert s.done_metrics("a/b")["metrics"]["v"] == 1
     assert s.done_metrics("a_b")["metrics"]["v"] == 2
+
+
+def test_row_drift_scorer_nulls_score_null(ray_session, clean_corpus, tmp_path):
+    """A null content row has no rank under a null-free baseline: its
+    drift_score must be NULL, not 1.0 (round-5 review: NaN searchsorted
+    landed past the sample end and branded every null a max anomaly)."""
+    import pyarrow as pa
+    import ray.data as rdata
+
+    from anomalydetection_ray.checks.drift import RowDriftScorer
+    from anomalydetection_ray.pipelines.validate import write_baseline
+
+    dc, _ = clean_corpus
+    snap = str(tmp_path / "b.parquet")
+    write_baseline(f"{dc}/corpus", snap)
+    langs = rdata.read_parquet(f"{dc}/corpus", columns=["lang"]).take_batch(1)["lang"]
+    t = pa.table({
+        "lang": pa.array([langs[0]] * 3, type=pa.string()),
+        "content": pa.array(["ordinary content row", None, "another row"], type=pa.string()),
+    })
+    scored = rdata.from_arrow(t).map_batches(
+        RowDriftScorer,
+        fn_constructor_kwargs={"snapshot_path": snap, "column": "content"},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas()
+    assert scored["drift_score"].isna().tolist() == [False, True, False]
