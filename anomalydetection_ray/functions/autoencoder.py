@@ -165,7 +165,12 @@ class NumpyAutoencoder:
         return ((x - xh) ** 2).mean(axis=1)
 
     def save_snapshot(self, path: str) -> None:
-        np.savez(path, w1=self.w1, b1=self.b1, w2=self.w2, b2=self.b2)
+        # np.savez silently appends '.npz' to suffix-less paths, making
+        # save/load asymmetric (save 'm.snap' -> file 'm.snap.npz',
+        # load 'm.snap' -> FileNotFoundError). Writing to an open handle
+        # keeps the caller's exact path (round-5 review).
+        with open(path, "wb") as f:
+            np.savez(f, w1=self.w1, b1=self.b1, w2=self.w2, b2=self.b2)
 
     @classmethod
     def load_snapshot(cls, path: str) -> "NumpyAutoencoder":
@@ -197,6 +202,8 @@ class AutoencoderScoreStage:
         self.vec_col, self.out_col = vec_col, out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.out_col in batch.column_names:
+            raise ValueError(f"output column {self.out_col!r} already exists; rename or drop it first")
         if batch.num_rows == 0:
             return batch.append_column(self.out_col, pa.array([], type=pa.float64()))
         x = list_column_to_matrix(batch[self.vec_col].combine_chunks())
@@ -214,14 +221,17 @@ def score_with_autoencoder(
 ):
     """Corpus-wide reconstruction scoring as an actor pool sized to the
     input (tiny inputs don't pay a full pool spawn; at scale the pool
-    saturates the cluster cap)."""
-    from .shuffle import sized_actor_concurrency
+    saturates the cluster cap). The default batch size ABSORBS empty
+    input blocks (``batch_size=None`` lets Ray pass them through without
+    calling the UDF, emitting schema-less 0-row blocks that diverge
+    downstream unions — round-5 review, the shim's RefBundle warning)."""
+    from .shuffle import ABSORB_EMPTY_BATCH_SIZE, sized_actor_concurrency
 
     return ds.map_batches(
         AutoencoderScoreStage,
         fn_constructor_kwargs={"snapshot_path": snapshot_path, "vec_col": vec_col, "out_col": out_col},
         batch_format="pyarrow",
-        batch_size=batch_size,
+        batch_size=ABSORB_EMPTY_BATCH_SIZE if batch_size is None else batch_size,
         zero_copy_batch=True,
         concurrency=concurrency or sized_actor_concurrency(ds),
     )

@@ -108,6 +108,11 @@ class EmbeddingModelStage:
         self.dim = int(dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.out_col in batch.column_names:
+            # duplicate fields break by-name access far downstream —
+            # fail at the stage that would create them (round-5 review:
+            # re-embedding an already-embedded corpus)
+            raise ValueError(f"output column {self.out_col!r} already exists; rename or drop it first")
         col = batch[self.text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -187,6 +192,16 @@ def embedding_stage_kwargs(
         "concurrency": concurrency or default_actor_concurrency(),
     }
     if ray_remote_args:
+        # scheduling args only: a stray engine key (batch_format,
+        # concurrency, fn_constructor_kwargs, ...) would silently clobber
+        # the carefully-set values above (round-5 review)
+        reserved = set(kwargs) | {"num_gpus", "zero_copy_batch"}
+        clash = sorted(reserved & set(ray_remote_args))
+        if clash:
+            raise ValueError(
+                f"ray_remote_args may not override engine kwargs {clash}; "
+                "use the dedicated parameters instead"
+            )
         kwargs.update(ray_remote_args)
     if num_gpus is not None:
         kwargs["num_gpus"] = num_gpus

@@ -10,6 +10,7 @@ One exchange total, rows = distinct keys per block per side.
 
 from __future__ import annotations
 
+import numpy as np
 import polars as pl
 import pyarrow as pa
 
@@ -22,7 +23,7 @@ def _tagged_distinct(ds, cols: list[str], side: int, schema: pa.Schema):
     def fn(tb: pa.Table) -> pa.Table:
         u = pl.from_arrow(tb.select(cols)).unique()
         out = u.to_arrow().cast(pa.schema([schema.field(c) for c in cols]))
-        return out.append_column(_SIDE, pa.nulls(out.num_rows, pa.int8()).fill_null(side))
+        return out.append_column(_SIDE, pa.array(np.full(out.num_rows, side, dtype=np.int8)))
 
     return select_if_needed(ds, cols).map_batches(
         fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True

@@ -281,7 +281,10 @@ class NumpyVAE:
         return he @ self.wmu + self.bmu
 
     def save_snapshot(self, path: str) -> None:
-        np.savez(path, **{k: getattr(self, k) for k in self.PARAM_NAMES})
+        # open handle: keep the caller's exact path (np.savez appends
+        # '.npz' to suffix-less string paths, breaking save/load symmetry)
+        with open(path, "wb") as f:
+            np.savez(f, **{k: getattr(self, k) for k in self.PARAM_NAMES})
 
     @classmethod
     def load_snapshot(cls, path: str) -> "NumpyVAE":
@@ -522,7 +525,10 @@ class NumpyProjectionHead:
         return z
 
     def save_snapshot(self, path: str) -> None:
-        np.savez(path, **{k: getattr(self, k) for k in self.PARAM_NAMES})
+        # open handle: keep the caller's exact path (np.savez appends
+        # '.npz' to suffix-less string paths, breaking save/load symmetry)
+        with open(path, "wb") as f:
+            np.savez(f, **{k: getattr(self, k) for k in self.PARAM_NAMES})
 
     @classmethod
     def load_snapshot(cls, path: str) -> "NumpyProjectionHead":

@@ -89,7 +89,15 @@ def grid_configs(space: dict) -> list[dict]:
     axes = []
     for k in keys:
         v = space[k]
-        if isinstance(v, tuple) and v and isinstance(v[0], str):
+        # only the EXACT spec grammar is rejected — a 3-tuple headed by a
+        # distribution name. ('relu', 'tanh') is a legitimate categorical
+        # axis in tuple form (round-5 review: any string-headed tuple was
+        # rejected, contradicting the list/tuple-of-values docstring).
+        if (
+            isinstance(v, tuple)
+            and len(v) == 3
+            and v[0] in ("int", "uniform", "loguniform")
+        ):
             raise ValueError(
                 f"axis {k!r} is a distribution spec {v!r}; grid mode needs explicit value lists"
             )
@@ -175,17 +183,24 @@ def run_sweep(
             done = state.done_metrics(unit)
             if done is not None:
                 m = done.get("metrics", {})
-                trials.append(
-                    TrialRecord(
-                        trial_id=i,
-                        params=m.get("params", params),
-                        metrics=m.get("trial_metrics", {}),
-                        status=m.get("status", "ok"),
-                        error=m.get("error"),
-                        resumed=True,
+                # a marker only resumes a trial whose params MATCH the
+                # current config at this position — rerunning with an
+                # edited space/seed against the same state_dir otherwise
+                # silently returns the OLD sweep's results (round-5
+                # review). Compare in JSON form (the marker round-trips
+                # tuples to lists and numpy scalars to python).
+                if _jsonable(m.get("params")) == _jsonable(params):
+                    trials.append(
+                        TrialRecord(
+                            trial_id=i,
+                            params=m.get("params", params),
+                            metrics=m.get("trial_metrics", {}),
+                            status=m.get("status", "ok"),
+                            error=m.get("error"),
+                            resumed=True,
+                        )
                     )
-                )
-                continue
+                    continue
         rec = TrialRecord(trial_id=i, params=params)
         try:
             out = trial_fn(dict(params))
@@ -199,14 +214,37 @@ def run_sweep(
             rec.status, rec.error = "failed", f"{type(exc).__name__}: {exc}"
         trials.append(rec)
         if state is not None:
+            # _jsonable: numpy scalars/arrays in params or metrics must
+            # not crash json.dump AFTER the trial succeeded (round-5
+            # review — that aborted the sweep and lost the marker,
+            # defeating on_error='record')
             state.mark_done(
                 unit,
                 {
                     "trial_id": i,
-                    "params": rec.params,
-                    "trial_metrics": rec.metrics,
+                    "params": _jsonable(rec.params),
+                    "trial_metrics": _jsonable(rec.metrics),
                     "status": rec.status,
                     "error": rec.error,
                 },
             )
     return SweepResult(trials=trials, metric=metric, direction=direction)
+
+
+def _jsonable(v):
+    """Canonical JSON-safe form: numpy scalars -> python, arrays/tuples ->
+    lists, dicts recursed. Doubles as the marker-vs-config comparison
+    normalizer (a JSON round-trip applies exactly these conversions)."""
+    if isinstance(v, dict):
+        return {str(k): _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, np.ndarray):
+        return [_jsonable(x) for x in v.tolist()]
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, (np.bool_,)):
+        return bool(v)
+    return v

@@ -77,8 +77,20 @@ class RunState:
             f.write(json.dumps(record) + "\n")
 
     def lineage(self) -> list[dict]:
+        """Parsed lineage records. A crash mid-``lineage_append`` can
+        leave ONE truncated trailing line; such lines are skipped (the
+        _DONE markers — written atomically — are the source of truth for
+        resume, and a permanently-crashing lineage() would block it)."""
         path = os.path.join(self.out_dir, "metrics.jsonl")
         if not os.path.exists(path):
             return []
+        out = []
         with open(path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+        return out

@@ -145,3 +145,70 @@ def test_train_distributed_empty_raises(ray_session):
     empty = pa.table({"embedding": pa.array([], type=pa.list_(pa.float64()))})
     with pytest.raises(ValueError, match="empty"):
         NumpyAutoencoder.train_distributed(rd.from_arrow(empty), epochs=1)
+
+
+def test_snapshot_path_symmetry_without_npz_suffix(tmp_path):
+    """save_snapshot must honor the caller's EXACT path — np.savez used
+    to silently append '.npz' to suffix-less paths, so loading the same
+    path raised FileNotFoundError (round-5 review)."""
+    import numpy as np
+
+    from anomalydetection_ray.functions.autoencoder import NumpyAutoencoder
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((30, 4))
+    model = NumpyAutoencoder.train(x, hidden=3, epochs=2, seed=1)
+    p = str(tmp_path / "model.snap")  # deliberately no .npz
+    model.save_snapshot(p)
+    assert (tmp_path / "model.snap").exists()
+    back = NumpyAutoencoder.load_snapshot(p)
+    np.testing.assert_array_equal(back.w1, model.w1)
+
+
+def test_score_stage_rejects_existing_out_col(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.autoencoder import NumpyAutoencoder, score_with_autoencoder
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 4))
+    model = NumpyAutoencoder.train(x, hidden=3, epochs=2, seed=1)
+    snap = str(tmp_path / "m.npz")
+    model.save_snapshot(snap)
+    vecs = pa.FixedSizeListArray.from_arrays(pa.array(x.ravel(), type=pa.float64()), 4)
+    t = pa.table({"embedding": vecs, "recon_error": pa.array([0.0] * 16)})
+    with pytest.raises(Exception, match="already exists"):
+        score_with_autoencoder(rd.from_arrow(t), snap).to_pandas()
+
+
+def test_score_stage_absorbs_empty_blocks(ray_session, tmp_path):
+    """An empty input block must not bypass the UDF and emit a
+    schema-less 0-row block missing recon_error (round-5 review: the
+    RefBundle schema-divergence this engine's shim warns about)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.autoencoder import NumpyAutoencoder, score_with_autoencoder
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 4))
+    model = NumpyAutoencoder.train(x, hidden=3, epochs=2, seed=1)
+    snap = str(tmp_path / "m.npz")
+    model.save_snapshot(snap)
+    vecs = pa.FixedSizeListArray.from_arrays(pa.array(x.ravel(), type=pa.float64()), 4)
+    full = pa.table({"embedding": vecs})
+    empty = full.slice(0, 0)
+    ds = rd.from_arrow([full, empty])
+    scored = score_with_autoencoder(ds, snap)
+    blocks = [
+        b for b in scored.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    for b in blocks:
+        if b.num_rows == 0 and b.num_columns == 0:
+            continue  # fully-absorbed empties vanish; none may carry a WRONG schema
+        assert "recon_error" in b.column_names, b.schema
+    assert sum(b.num_rows for b in blocks) == 8

@@ -177,3 +177,76 @@ def test_sweep_tunes_autoencoder_hyperparams(ray_session):
     l1 = next(t.metrics["loss"] for t in out.trials if t.params["hidden"] == 1)
     l2 = out.best.metrics["loss"]
     assert l2 < l1 * 0.5, (l1, l2)
+
+
+def test_sweep_stale_marker_params_mismatch_reruns(tmp_path):
+    """Rerunning with an EDITED space against the same state_dir must
+    re-execute trials whose stored params no longer match, not silently
+    resume the old sweep's results (round-5 review)."""
+    from anomalydetection_ray.pipelines.sweep import run_sweep
+
+    calls = []
+
+    def fn(p):
+        calls.append(dict(p))
+        return {"value": float(p["x"])}
+
+    s = str(tmp_path / "st")
+    r1 = run_sweep(fn, {"x": [1, 2]}, state_dir=s)
+    assert [t.resumed for t in r1.trials] == [False, False]
+    # same space resumes
+    r2 = run_sweep(fn, {"x": [1, 2]}, state_dir=s)
+    assert [t.resumed for t in r2.trials] == [True, True]
+    # edited space re-runs with the NEW params
+    r3 = run_sweep(fn, {"x": [10, 2]}, state_dir=s)
+    assert [t.resumed for t in r3.trials] == [False, True]
+    assert r3.trials[0].params == {"x": 10}
+    assert calls.count({"x": 10}) == 1
+
+
+def test_sweep_numpy_params_and_metrics_are_json_safe(tmp_path):
+    import numpy as np
+
+    from anomalydetection_ray.pipelines.sweep import run_sweep
+
+    space = {"n": list(np.arange(1, 3))}  # np.int64 values
+    r = run_sweep(
+        lambda p: {"value": np.float64(p["n"]), "vec": np.array([1.0, 2.0])},
+        space,
+        state_dir=str(tmp_path / "st"),
+    )
+    assert [t.status for t in r.trials] == ["ok", "ok"]
+    assert r.best_params["n"] == 2
+    # markers parse back
+    r2 = run_sweep(lambda p: {"value": 0.0}, space, state_dir=str(tmp_path / "st"))
+    assert all(t.resumed for t in r2.trials)
+    assert r2.trials[1].metrics["vec"] == [1.0, 2.0]
+
+
+def test_grid_accepts_string_tuple_axes():
+    from anomalydetection_ray.pipelines.sweep import grid_configs
+
+    cfgs = grid_configs({"act": ("relu", "tanh"), "n": [1]})
+    assert cfgs == [{"act": "relu", "n": 1}, {"act": "tanh", "n": 1}]
+    import pytest
+
+    with pytest.raises(ValueError, match="distribution spec"):
+        grid_configs({"lr": ("loguniform", 1e-4, 1e-1)})
+
+
+def test_lineage_tolerates_truncated_trailing_line(tmp_path):
+    import json
+    import os
+
+    from anomalydetection_ray.state import RunState
+
+    st = RunState(str(tmp_path))
+    st.lineage_append({"unit": "a", "ok": 1})
+    with open(os.path.join(str(tmp_path), "metrics.jsonl"), "a") as f:
+        f.write('{"unit": "tri')  # crash mid-append
+    recs = st.lineage()
+    assert recs == [{"unit": "a", "ok": 1}]
+    # appends after the torn line still parse (newline-prefixed writes
+    # are not required: the torn line is simply skipped)
+    st.lineage_append({"unit": "b"})
+    assert {r.get("unit") for r in st.lineage()} >= {"a"}
