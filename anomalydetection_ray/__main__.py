@@ -152,6 +152,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="drop docs under this many bytes after span cutting")
     c.add_argument("--snapshot", default=None, metavar="DIR",
                    help="prior curated corpus: drop docs it already kept (refresh runs)")
+    c.add_argument("--quality-snapshot", default=None, metavar="NPZ",
+                   help="trained NumpyLogReg snapshot: learned quality gate after the heuristic gate")
+    c.add_argument("--min-quality", type=float, default=0.5,
+                   help="keep docs with quality_prob >= this (with --quality-snapshot)")
     c.add_argument("--no-resume", action="store_true")
 
     t = sub.add_parser("train", help="fit a model snapshot over an embedding parquet")
@@ -383,6 +387,8 @@ def main(argv: list[str] | None = None) -> int:
                 dedup=args.dedup, strip_substr_k=args.strip_substr,
                 strip_min_remaining=args.strip_min_remaining,
                 snapshot_path=args.snapshot,
+                quality_snapshot=args.quality_snapshot,
+                min_quality=args.min_quality,
                 resume=not args.no_resume,
             )
             print(json.dumps(summary))

@@ -32,6 +32,8 @@ def curate_corpus(
     normalize: bool = True,
     min_tokens: int = 24,
     min_distinct_ratio_pct: int = 30,
+    quality_snapshot: str | None = None,
+    min_quality: float = 0.5,
     bench_path: str | None = None,
     decon_mode: str = "exact",
     decon_n: int = 13,
@@ -52,7 +54,11 @@ def curate_corpus(
     already kept (dedup/exact.py:dedup_against_snapshot — the
     refresh-run primitive, applied after the gate so only candidate
     rows hash); ``partition_col=None`` writes unpartitioned parquet (no
-    resume granularity)."""
+    resume granularity); ``quality_snapshot`` points at a trained
+    :class:`~..functions.quality_classifier.NumpyLogReg` snapshot and
+    inserts the learned quality gate (keep ``quality_prob >=
+    min_quality``) after the heuristic gate — the GPT-3/CCNet ordering:
+    cheap heuristics first so the model only scores plausible docs."""
     import ray.data as rd  # noqa: F401 - lazy ray import for the chain
 
     from ..sources.readers import read_parquet_clean
@@ -96,6 +102,19 @@ def curate_corpus(
         return tb.filter(pc.coalesce(mask, False))
 
     ds = ds.map_batches(gate, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+    if quality_snapshot is not None:
+        from ..functions.quality_classifier import score_quality
+
+        # actor-pool scorer (snapshot loads once per actor); the scratch
+        # probability column never reaches the sink
+        ds = score_quality(ds, quality_snapshot, text_col=text_col, out_col="__qprob")
+        ds = ds.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["__qprob"], pa.scalar(float(min_quality), pa.float64()))
+            ).drop_columns(["__qprob"]),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
 
     if bench_path is not None:
         bench = read_parquet_clean(bench_path, columns=[text_col])

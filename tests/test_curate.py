@@ -181,3 +181,54 @@ def test_curate_refresh_with_snapshot(ray_session, tmp_path):
 
     back = rd.read_parquet(out2).to_pandas()
     assert back["doc_id"].tolist() == [101]
+
+
+def test_curate_quality_gate(ray_session, tmp_path):
+    """Learned quality gate: a trained NumpyLogReg snapshot drops planted
+    junk the heuristic gate admits, keeps clean prose, and the scratch
+    probability column never reaches the sink."""
+    import numpy as np
+
+    from anomalydetection_ray.functions.quality_classifier import NumpyLogReg
+    from anomalydetection_ray.pipelines.curate import curate_corpus
+
+    rng = np.random.default_rng(7)
+    clean_vocab = [f"prose{i}" for i in range(40)]
+    junk_vocab = [f"spam{i}" for i in range(40)]
+    train_texts, train_y = [], []
+    for i in range(120):
+        words = clean_vocab if i % 2 == 0 else junk_vocab
+        train_texts.append(" ".join(rng.choice(words, size=30)))
+        train_y.append(1 if i % 2 == 0 else 0)
+    # unigram features: held-out docs recombine the vocab into UNSEEN
+    # bigrams (noise buckets under an overfit lr=30/l2=0 model), while
+    # every unigram is shared with training — the generalizing signal
+    model = NumpyLogReg.train(
+        train_texts, np.array(train_y, dtype=np.float64),
+        sizes=(1,), n_buckets=1024, epochs=80, lr=30.0, l2=0.0,
+    )
+    snap = str(tmp_path / "quality.npz")
+    model.save_snapshot(snap)
+
+    # both corpus docs pass the HEURISTIC gate (long, distinct, no PII);
+    # only the learned gate separates them
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [" ".join(rng.choice(clean_vocab, size=30)),
+                 " ".join(rng.choice(junk_vocab, size=30))],
+        "lang": ["en", "en"],
+    })
+    pq.write_table(pa.Table.from_pandas(corpus), os.path.join(str(tmp_path), "docs.parquet"))
+
+    out = str(tmp_path / "qcurated")
+    summary = curate_corpus(
+        os.path.join(str(tmp_path), "docs.parquet"), out,
+        quality_snapshot=snap, min_quality=0.5, dedup="none", normalize=False,
+    )
+    assert summary["rows_in"] == 2
+    assert summary["rows_out"] == 1
+    import ray.data as rd
+
+    back = rd.read_parquet(out).to_pandas()
+    assert back["doc_id"].tolist() == [1]
+    assert "__qprob" not in back.columns
