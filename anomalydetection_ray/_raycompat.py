@@ -51,8 +51,14 @@ def patch_empty_schema_bundle_divergence() -> bool:
     if getattr(orig, "__adr_empty_schema_shim__", False):
         return True
 
-    def dedupe_schemas_with_validation(old_schema, bundle, warn=True, enforce_schemas=False):
+    # *args/**kwargs: the wrapper must stay callable if a future Ray
+    # adds/renames parameters at the call site (round-5 review — a fixed
+    # signature would TypeError inside the streaming executor and crash
+    # every pipeline); arguments pass through to ``orig`` untouched.
+    def dedupe_schemas_with_validation(*args, **kwargs):
         try:
+            old_schema = kwargs["old_schema"] if "old_schema" in kwargs else args[0]
+            bundle = kwargs["bundle"] if "bundle" in kwargs else args[1]
             if not _is_empty_schema(old_schema) and _is_empty_schema(bundle.schema):
                 # a zero-field bundle (empty sort partition) neither
                 # diverges from nor refines the tracked schema — repair
@@ -76,7 +82,7 @@ def patch_empty_schema_bundle_divergence() -> bool:
                 )
         except Exception:  # pragma: no cover - be transparent on drift
             pass
-        return orig(old_schema, bundle, warn=warn, enforce_schemas=enforce_schemas)
+        return orig(*args, **kwargs)
 
     dedupe_schemas_with_validation.__adr_empty_schema_shim__ = True
     _ses.dedupe_schemas_with_validation = dedupe_schemas_with_validation

@@ -280,7 +280,13 @@ class LogRegScoreStage:
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         p = self.model.predict_proba(texts)
-        return batch.append_column(self.out_col, pa.array(p, type=pa.float64()))
+        # a NULL doc has no content to judge — score null, not σ(bias)
+        # (the engine's null-semantics rule: absent input → absent
+        # output; empty STRINGS still score at the bias by design)
+        col = pa.array(p, type=pa.float64())
+        if texts.null_count:
+            col = pc.if_else(pc.is_null(texts), pa.scalar(None, pa.float64()), col)
+        return batch.append_column(self.out_col, col)
 
 
 def score_quality(

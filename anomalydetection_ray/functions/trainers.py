@@ -569,6 +569,10 @@ class LatentTransformStage:
         self.vec_col, self.out_col = vec_col, out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.out_col in batch.column_names:
+            raise ValueError(
+                f"output column {self.out_col!r} already exists; rename or drop it first"
+            )
         if batch.num_rows == 0:
             return batch.append_column(
                 self.out_col, pa.array([], type=pa.list_(pa.float64(), self._width))
@@ -591,8 +595,10 @@ def project_latent(
     batch_size: int | None = None,
 ):
     """Corpus-wide latent projection as a sized actor pool (the
-    distributed ``transform_data``)."""
-    from .shuffle import sized_actor_concurrency
+    distributed ``transform_data``); the default batch size absorbs
+    empty blocks (an untouched 0-row block would miss the latent column
+    and diverge the schema downstream)."""
+    from .shuffle import ABSORB_EMPTY_BATCH_SIZE, sized_actor_concurrency
 
     return ds.map_batches(
         LatentTransformStage,
@@ -603,7 +609,7 @@ def project_latent(
             "model_kind": model_kind,
         },
         batch_format="pyarrow",
-        batch_size=batch_size,
+        batch_size=ABSORB_EMPTY_BATCH_SIZE if batch_size is None else batch_size,
         zero_copy_batch=True,
         concurrency=concurrency or sized_actor_concurrency(ds),
     )

@@ -501,7 +501,10 @@ def corpus_totals_docs(sf_dir: str):
         lrow["distinct_tokens"], 1
     )
     out["hll_within_bound"] = int(rel <= 0.05)
-    out["zipf_slope"] = float(lrow["zipf_slope"])
+    # slope is None when the corpus has < 2 ranked tokens (the SQL
+    # regr_slope would be NULL on the same input) — keep the null
+    zs = lrow["zipf_slope"]
+    out["zipf_slope"] = None if zs is None or pd.isna(zs) else float(zs)
     out["zipf_top_token"] = lrow["zipf_top_token"]
     out["zipf_top_count"] = int(lrow["zipf_top_count"])
     out["zipf_n_ranks"] = int(lrow["zipf_n_ranks"])

@@ -121,7 +121,17 @@ def random_configs(space: dict, n_trials: int, seed: int = 0) -> list[dict]:
         cfg = {}
         for k in keys:
             v = space[k]
+            # same categorical grammar as grid mode (round-5 review: a
+            # ('relu', 'tanh') tuple axis was grid-only): anything
+            # list-like that is NOT the exact 3-tuple distribution spec
+            # is a categorical value set.
+            if isinstance(v, tuple) and not (
+                len(v) == 3 and v[0] in ("int", "uniform", "loguniform")
+            ):
+                v = list(v)
             if isinstance(v, list):
+                if len(v) == 0:
+                    raise ValueError(f"axis {k!r} must be a non-empty list of values")
                 cfg[k] = v[int(rng.integers(0, len(v)))]
             elif isinstance(v, tuple) and len(v) == 3 and v[0] == "int":
                 cfg[k] = int(rng.integers(int(v[1]), int(v[2]) + 1))

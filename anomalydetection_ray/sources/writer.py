@@ -281,6 +281,19 @@ def write_partitioned(
             f.write(f"{info['rows']}\n")
             f.write(json.dumps(manifest) + "\n")
         os.replace(tmp, os.path.join(d, _DONE))
+    # a dead run's surviving worker can also land a late shard in a
+    # partition VALUE this run never writes (the corpus changed between
+    # runs) — such a dir is in neither done_dirs nor summary, so neither
+    # sweep above visits it, and readers of out_dir would see its
+    # phantom rows forever (round-5 review). The pass succeeded, so any
+    # parquet in a no-_DONE, not-written-this-run dir is alien: evict.
+    for name in os.listdir(out_dir):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d) or name in done_dirs or name in summary:
+            continue
+        for f in os.listdir(d):
+            if f.endswith(".parquet") or f.startswith(".part-"):
+                os.remove(os.path.join(d, f))
 
     rows = [
         {

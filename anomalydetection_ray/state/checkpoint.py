@@ -73,8 +73,18 @@ class RunState:
             return None
 
     def lineage_append(self, record: dict) -> None:
-        with open(os.path.join(self.out_dir, "metrics.jsonl"), "a") as f:
-            f.write(json.dumps(record) + "\n")
+        path = os.path.join(self.out_dir, "metrics.jsonl")
+        with open(path, "a+b") as f:
+            # a crash mid-append can leave a torn (newline-less) trailing
+            # line; appending straight after it would merge the NEW record
+            # into the torn text and lose it (round-5 review). Seal the
+            # tear with a newline so only the torn record is lost.
+            f.seek(0, os.SEEK_END)
+            if f.tell() > 0:
+                f.seek(-1, os.SEEK_END)
+                if f.read(1) != b"\n":
+                    f.write(b"\n")
+            f.write((json.dumps(record) + "\n").encode())
 
     def lineage(self) -> list[dict]:
         """Parsed lineage records. A crash mid-``lineage_append`` can

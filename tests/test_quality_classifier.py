@@ -147,3 +147,24 @@ def test_stage_rejects_collision_and_null_labels(ray_session, tmp_path):
     }))
     with pytest.raises(Exception, match="contains nulls"):
         NumpyLogReg.train_distributed(bad, n_buckets=32, epochs=1)
+
+
+def test_stage_scores_null_text_as_null(ray_session, tmp_path):
+    """Round-5 review: a NULL doc has no content to judge — the stage
+    emits a null probability (absent input → absent output), while empty
+    STRINGS still score at the bias by design."""
+    from anomalydetection_ray.functions.quality_classifier import (
+        LogRegScoreStage,
+        NumpyLogReg,
+    )
+
+    texts, labels = _mk_docs(n=30)
+    m = NumpyLogReg.train(texts, np.array(labels, dtype=np.float64),
+                          n_buckets=64, epochs=5)
+    snap = str(tmp_path / "m.npz")
+    m.save_snapshot(snap)
+    stage = LogRegScoreStage(snap)
+    out = stage(pa.table({"text": pa.array([texts[0], None, ""], type=pa.string())}))
+    p = out["quality_prob"]
+    assert p[0].is_valid and p[2].is_valid
+    assert not p[1].is_valid

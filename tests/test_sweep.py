@@ -53,8 +53,11 @@ def test_random_configs_deterministic_and_typed():
     # int bounds are inclusive both ends
     draws = {c["layers"] for c in random_configs({"layers": ("int", 1, 4)}, 200, seed=1)}
     assert draws == {1, 2, 3, 4}
-    with pytest.raises(ValueError, match="unknown spec"):
-        random_configs({"x": ("normal", 0, 1)}, 3)
+    # a 3-tuple NOT headed by a distribution name is a categorical value
+    # set — the same grammar grid mode applies (round-5 review)
+    assert all(
+        c["x"] in ("normal", 0, 1) for c in random_configs({"x": ("normal", 0, 1)}, 6, seed=2)
+    )
 
 
 def test_planted_best_recovered_with_lineage(tmp_path):
@@ -246,7 +249,28 @@ def test_lineage_tolerates_truncated_trailing_line(tmp_path):
         f.write('{"unit": "tri')  # crash mid-append
     recs = st.lineage()
     assert recs == [{"unit": "a", "ok": 1}]
-    # appends after the torn line still parse (newline-prefixed writes
-    # are not required: the torn line is simply skipped)
+    # appending after the torn line must seal the tear with a newline —
+    # writing straight after it would merge the NEW record into the torn
+    # text and silently lose it (round-5 review); only the torn record
+    # itself is lost
     st.lineage_append({"unit": "b"})
-    assert {r.get("unit") for r in st.lineage()} >= {"a"}
+    assert {r.get("unit") for r in st.lineage()} == {"a", "b"}
+
+
+def test_random_accepts_string_tuple_axes():
+    """The same space must be valid in BOTH modes (round-5 review: a
+    ('relu', 'tanh') tuple categorical was grid-only and random mode
+    raised 'unknown spec' on it)."""
+    from anomalydetection_ray.pipelines.sweep import random_configs
+
+    cfgs = random_configs({"act": ("relu", "tanh"), "lr": ("loguniform", 1e-4, 1e-1)}, 8, seed=3)
+    assert len(cfgs) == 8
+    assert all(c["act"] in ("relu", "tanh") for c in cfgs)
+    assert all(1e-4 <= c["lr"] <= 1e-1 for c in cfgs)
+    # the exact 3-tuple distribution grammar is untouched
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown spec"):
+        random_configs({"x": 7}, 2)
+    with pytest.raises(ValueError, match="non-empty"):
+        random_configs({"x": ()}, 2)

@@ -914,3 +914,31 @@ def test_token_zipf_slope_edges(ray_session):
     empty = rd.from_arrow(pa.table({"text": pa.array([], type=pa.string())}))
     r = token_zipf_slope(empty)
     assert r["n_ranks"] == 0 and r["zipf_slope"] is None
+
+
+def test_corpus_totals_degenerate_single_token_corpus(ray_session, tmp_path):
+    """Round-5 review: a corpus with < 2 ranked tokens has no Zipf slope
+    (SQL regr_slope is NULL on one point) — the engine row must carry a
+    null, not crash on float(None)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from anomalydetection_ray.pipelines.queries import corpus_totals_docs
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["hello hello hello", "hello"], type=pa.string()),
+        "lang": pa.array(["en", "en"], type=pa.string()),
+        "source": pa.array(["s", "s"], type=pa.string()),
+        "n_chars": pa.array([17, 5], type=pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    out = corpus_totals_docs(str(tmp_path))
+    row = out.iloc[0] if hasattr(out, "iloc") else out.to_pandas().iloc[0]
+    assert row["distinct_tokens"] == 1
+    assert row["zipf_slope"] is None or (
+        isinstance(row["zipf_slope"], float) and np.isnan(row["zipf_slope"])
+    )
+    assert row["zipf_top_token"] == "hello"
+    assert row["zipf_n_ranks"] == 1

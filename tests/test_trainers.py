@@ -405,3 +405,46 @@ def test_cli_train_rejects_bad_epochs_and_sample(tmp_path, capsys):
     assert main(["train", src, "--out", out, "--model", "vae", "--sample", "-5"]) == 2
     capsys.readouterr()
     assert not list(tmp_path.glob("*.npz")), "no snapshot may be written on invalid args"
+
+
+def test_latent_stage_collision_guard_and_empty_block_absorb(ray_session, tmp_path):
+    """Round-5 review: LatentTransformStage must refuse output-column
+    collisions like every sibling stage, and project_latent's default
+    batch size must absorb empty blocks (an untouched 0-row block would
+    miss the latent column and diverge the schema downstream)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.trainers import (
+        LatentTransformStage,
+        NumpyProjectionHead,
+        project_latent,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(40, 6))
+    m, _ = NumpyProjectionHead.train(
+        [(x, np.arange(40))], epochs=2, proj=3, seed=0
+    )
+    snap = str(tmp_path / "head.npz")
+    m.save_snapshot(snap)
+
+    stage = LatentTransformStage(snap)
+    clash = pa.table({"embedding": [x[0].tolist()], "latent": [1.0]})
+    with pytest.raises(ValueError, match="already exists"):
+        stage(clash)
+
+    # 40 rows over 8 blocks + a filter that empties some blocks entirely
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40), type=pa.int64()),
+        "embedding": [row.tolist() for row in x],
+    })
+    ds = rd.from_arrow(t).repartition(8).filter(
+        lambda r: r["vec_id"] < 5, concurrency=1
+    )
+    out = project_latent(ds, snap)
+    tb = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    assert tb.column_names == ["vec_id", "embedding", "latent"]
+    assert tb.num_rows == 5

@@ -236,3 +236,39 @@ def test_manifest_sweep_evicts_zombie_shards(ray_session, tmp_path):
     manifest = json.loads(lines[1])
     assert sorted(files) == manifest["files"]
     assert all(f"-r{manifest['run']}-" in f for f in files)
+
+
+def test_sweep_evicts_alien_shard_in_unwritten_partition(ray_session, tmp_path):
+    """A dead run's late shard can land in a partition VALUE the resume
+    run never writes (the corpus changed between runs) — that dir is in
+    neither done_dirs nor this run's summary, so the manifest sweep
+    skipped it and readers saw its phantom rows forever (round-5
+    review). After a successful pass, any parquet in a no-_DONE,
+    not-written-this-run dir must be evicted."""
+    import ray.data as rd
+
+    from anomalydetection_ray.sources.writer import write_partitioned
+
+    t = _mk(n=200, langs=("en",), with_null=False)
+    out = str(tmp_path / "sink")
+    # run 2's corpus has no lang=xx rows; the zombie lands there after
+    # the up-front clean (planted from inside the pipeline)
+    alien_dir = os.path.join(out, "lang=xx")
+    os.makedirs(alien_dir, exist_ok=True)
+    alien = t.slice(0, 11).set_column(
+        1, "lang", pa.array(["xx"] * 11, type=pa.string())
+    )
+
+    def plant(tb: pa.Table) -> pa.Table:
+        pq.write_table(alien, os.path.join(alien_dir, "part-rdead0000-t1-b0-0000-beef.parquet"))
+        return tb
+
+    ds = rd.from_arrow(t).repartition(2).map_batches(
+        plant, batch_format="pyarrow", batch_size=None
+    )
+    write_partitioned(ds, out, "lang")
+
+    back = _read_all(out)
+    assert len(back) == t.num_rows, "alien-partition rows leaked into the output"
+    assert not [f for f in os.listdir(alien_dir) if f.endswith(".parquet")]
+    assert not os.path.exists(os.path.join(alien_dir, "_DONE"))
