@@ -49,6 +49,22 @@ def _drop_ids_block(id_col: str):
     return block
 
 
+def _check_fingerprint_collision(t: pa.Table) -> None:
+    """Loud ValueError when a batch already carries the h1/h2 fingerprint
+    columns ``content_hash128_batch`` appends — appending a duplicate
+    field would otherwise crash later with a confusing duplicate-column
+    error (round-5 review). Checked per batch INSIDE the hash stage, not
+    via a driver-side ``schema()`` probe: the input is typically a lazy
+    transformed chain (the curate gate) whose schema fetch would execute
+    part of the pipeline twice."""
+    clash = sorted(set(t.column_names) & {"h1", "h2"})
+    if clash:
+        raise ValueError(
+            f"input already has fingerprint column(s) {clash}; drop or rename them "
+            "before exact/snapshot dedup"
+        )
+
+
 def exact_dedup(
     ds,
     id_col: str,
@@ -69,6 +85,7 @@ def exact_dedup(
     small inputs keep the driver-merge plan instead of paying the hash
     shuffle's fixed aggregator-actor spawn."""
     def _hash_stage(t: pa.Table) -> pa.Table:
+        _check_fingerprint_collision(t)
         if t[id_col].null_count:
             # fail the SAME way on both plans: the distributed rung's id
             # sort raises a cryptic TypeError on null keys, while the
@@ -141,6 +158,7 @@ def dedup_against_snapshot(
     scol = snapshot_text_col or text_col
 
     def _hash_new(t: pa.Table) -> pa.Table:
+        _check_fingerprint_collision(t)
         if t[id_col].null_count:
             # consistent loud failure on both rungs (exact_dedup contract)
             raise ValueError(f"null values in id column {id_col!r}; dedup requires non-null ids")

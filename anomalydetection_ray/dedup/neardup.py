@@ -362,6 +362,11 @@ def _verify_pairs_broadcast(work, pairs_ds, id_col, text_col, threshold, shingle
     np.cumsum(lens, out=offs[1:])
     flat = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
     sids = ids[order]
+    # duplicate corpus ids would make every searchsorted lookup verify
+    # against an arbitrary duplicate's hash set — the same loud failure
+    # as the in-process plans (round-5 review: this plan only caught
+    # ids MISSING from the store, not aliased ones)
+    _check_unique_ids(sids, id_col)
     roots = None
     star_tbl = None
     if components_mode:
@@ -498,7 +503,11 @@ def _verify_edges(
         return None
     if t.num_rows == 0:
         return []
-    texts = dict(zip(t[id_col].to_numpy(zero_copy_only=False), t[text_col].to_numpy(zero_copy_only=False)))
+    gathered_ids = t[id_col].to_numpy(zero_copy_only=False)
+    # duplicate ids would silently keep the LAST duplicate's text in the
+    # dict — same loud parity as every other verify plan (round-5 review)
+    _check_unique_ids(np.sort(gathered_ids), id_col)
+    texts = dict(zip(gathered_ids, t[text_col].to_numpy(zero_copy_only=False)))
     cache = _HashSetCache(shingle, k)
     set_of = {i: cache.idx(texts.get(i)) for i in cand}
     idx_a = np.fromiter((set_of[a] for a, _ in edges), dtype=np.int64, count=len(edges))
@@ -824,7 +833,17 @@ def sorted_distinct(ds, cols: list[str]):
             keep[1:] |= arr[1:] != arr[:-1]
         return tb.filter(pa.array(keep))
 
-    return ds.sort(cols).map_batches(uniq, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    # ABSORB_EMPTY_BATCH_SIZE: the sort emits schema-less empty range
+    # partitions which map_batches would pass through WITHOUT calling the
+    # UDF at batch_size=None — they'd survive into downstream unions and
+    # diverge the schema (round-5 review; same contract as
+    # local_group_map). Batches only ever merge whole sorted blocks, so
+    # the adjacency `uniq` relies on is preserved.
+    from ..functions.shuffle import ABSORB_EMPTY_BATCH_SIZE
+
+    return ds.sort(cols).map_batches(
+        uniq, batch_format="pyarrow", batch_size=ABSORB_EMPTY_BATCH_SIZE, zero_copy_batch=True
+    )
 
 
 def _distinct_pairs(pairs_ds):

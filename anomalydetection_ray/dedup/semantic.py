@@ -112,13 +112,15 @@ def semdedup(
     fit (e.g. reuse an IVF index's centroids)."""
     import ray
 
-    from ..functions.shuffle import local_group_map
+    from ..functions.shuffle import arrow_schema, local_group_map
     from ..functions.similarity import kmeans_assign, kmeans_fit
     from ..functions.vector import list_column_to_matrix
 
     if keep not in ("min_id", "far_from_centroid"):
         raise ValueError(f"keep must be 'min_id' or 'far_from_centroid', got {keep!r}")
-    in_names = {f.name for f in ds.schema().base_schema}
+    # arrow_schema, not schema().base_schema: pandas-backed datasets
+    # surface a PandasBlockSchema namedtuple there (round-5 review)
+    in_names = {f.name for f in arrow_schema(ds)}
     if cluster_col in in_names:
         # same up-front check as the join family: appending a duplicate
         # field otherwise crashes deep inside execution with a KeyError

@@ -385,6 +385,7 @@ def hash_join(
     broadcast_max_bytes: int = 64 << 20,
     num_blocks: int | None = None,
     right_size_hint_bytes: int | None = None,
+    suffix: str = "_r",
 ):
     """Cost-based join: broadcast the right side when its metadata size
     estimate (never executes — ``metadata_size_estimate``) says it fits a
@@ -395,20 +396,38 @@ def hash_join(
     know an upper bound (e.g. a filter over a fresh read) pass
     ``right_size_hint_bytes`` to keep the broadcast plan. ``how`` ∈
     {"right", "full"} always takes the shuffle plan: unmatched right
-    rows span batches, which the per-batch broadcast join can't see."""
+    rows span batches, which the per-batch broadcast join can't see.
+    Plan-invariant output: ``suffix`` flows to BOTH plans, so right
+    columns colliding with a left name get the same suffixed name
+    whether the right side broadcast or shuffled (round-5 review — the
+    broadcast plan used to raise where the shuffle plan suffixed, making
+    success a function of data size)."""
     from .shuffle import metadata_size_estimate
 
     if how in ("right", "full"):
-        return shuffle_hash_join(left_ds, left_key, right_ds, right_key, how=how, num_blocks=num_blocks)
+        return shuffle_hash_join(
+            left_ds, left_key, right_ds, right_key, how=how, num_blocks=num_blocks, suffix=suffix
+        )
     est = right_size_hint_bytes if right_size_hint_bytes is not None else metadata_size_estimate(right_ds)
     if est is not None and est <= broadcast_max_bytes:
         from ..pipelines.queries import as_table
 
-        return broadcast_join(left_ds, left_key, as_table(right_ds), right_key, how=how)
-    return shuffle_hash_join(left_ds, left_key, right_ds, right_key, how=how, num_blocks=num_blocks)
+        return broadcast_join(
+            left_ds, left_key, as_table(right_ds), right_key, how=how, suffix=suffix
+        )
+    return shuffle_hash_join(
+        left_ds, left_key, right_ds, right_key, how=how, num_blocks=num_blocks, suffix=suffix
+    )
 
 
-def broadcast_join(fact_ds, fact_key: str | list[str], dim, dim_key: str | list[str], how: str = "inner"):
+def broadcast_join(
+    fact_ds,
+    fact_key: str | list[str],
+    dim,
+    dim_key: str | list[str],
+    how: str = "inner",
+    suffix: str | None = None,
+):
     """Join a streaming fact Dataset against a small dim table.
 
     Arrow-native: the dim (pandas DataFrame or pyarrow Table) ships once
@@ -421,6 +440,10 @@ def broadcast_join(fact_ds, fact_key: str | list[str], dim, dim_key: str | list[
     broadcast, use a partitioned hash join (bucket both sides) instead —
     see SURVEY.md §7.3. ``how`` ∈ {"inner", "left", "semi", "anti"} —
     semi/anti return fact columns only (the dim ships just its keys).
+    ``suffix`` (e.g. ``"_r"``) renames dim columns that collide with a
+    fact name, matching :func:`shuffle_hash_join`'s output schema so the
+    cost-gated :func:`hash_join` is plan-invariant (round-5 review);
+    ``suffix=None`` keeps the historical loud ValueError.
     """
     import polars as pl
     import ray
@@ -434,21 +457,39 @@ def broadcast_join(fact_ds, fact_key: str | list[str], dim, dim_key: str | list[
     dim_tbl = pa.Table.from_pandas(dim, preserve_index=False) if isinstance(dim, pd.DataFrame) else dim
     if how in ("semi", "anti"):
         dim_tbl = dim_tbl.select(dkeys)
-    ref = ray.put(dim_tbl)
 
-    dim_out = [f for f in dim_tbl.schema if f.name not in dkeys]
     # same up-front check as shuffle_hash_join: a dim column named like a
     # fact column would otherwise crash mid-stream inside a Ray task with
     # a confusing polars duplicate-column error
     from .shuffle import arrow_schema
 
     fact_names = {f.name for f in arrow_schema(fact_ds)}
-    clash = sorted({f.name for f in dim_out} & fact_names)
+    clash = sorted({f.name for f in dim_tbl.schema if f.name not in dkeys} & fact_names)
     if clash:
-        raise ValueError(
-            f"dim columns collide with fact columns: {clash}; rename the dim side "
-            "(broadcast_join does not suffix)"
-        )
+        if suffix is None:
+            raise ValueError(
+                f"dim columns collide with fact columns: {clash}; rename the dim side "
+                "(broadcast_join does not suffix)"
+            )
+        # rename ONCE in the broadcast table — shuffle_hash_join's exact
+        # rule, including the still-colliding guard
+        new_names = [
+            n + suffix if (n not in dkeys and n in fact_names) else n
+            for n in dim_tbl.column_names
+        ]
+        out_names = [n for n in new_names if n not in dkeys]
+        if len(set(out_names)) != len(out_names) or set(out_names) & fact_names:
+            bad = sorted(
+                (set(out_names) & fact_names)
+                | {n for n in out_names if out_names.count(n) > 1}
+            )
+            raise ValueError(
+                f"suffixed right column names collide with the output schema: {bad}; "
+                "pass a different suffix"
+            )
+        dim_tbl = dim_tbl.rename_columns(new_names)
+    dim_out = [f for f in dim_tbl.schema if f.name not in dkeys]
+    ref = ray.put(dim_tbl)
 
     def join(batch: pa.Table) -> pa.Table:
         d = pl.from_arrow(ray.get(ref))

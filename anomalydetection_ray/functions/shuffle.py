@@ -378,12 +378,22 @@ def _agg_final_exprs(spec: dict[str, tuple[str | None, str]]):
             sx = pl.col(f"{alias}__sx").sum()
             sy = pl.col(f"{alias}__sy").sum()
             cov = (pl.col(f"{alias}__sxy").sum() - sx * sy / n) / (n - 1)
+            # degenerate-group SQL parity (round-5 review; verified
+            # against DuckDB): covar_samp is NULL at n<2 (0/0 NaN
+            # otherwise); corr is additionally NULL when EITHER side is
+            # constant; regr_slope/intercept are NULL when x is constant
+            # (y constant is fine: slope 0); regr_r2 is NULL when x is
+            # constant and exactly 1 when only y is
             if op == "covar":
-                exprs.append(cov.alias(alias))
+                exprs.append(pl.when(n > 1).then(cov).alias(alias))
             elif op == "corr":
                 vx = (pl.col(f"{alias}__sxx").sum() - sx**2 / n) / (n - 1)
                 vy = (pl.col(f"{alias}__syy").sum() - sy**2 / n) / (n - 1)
-                exprs.append((cov / (vx.sqrt() * vy.sqrt())).alias(alias))
+                exprs.append(
+                    pl.when((n > 1) & (vx > 0) & (vy > 0))
+                    .then(cov / (vx.sqrt() * vy.sqrt()))
+                    .alias(alias)
+                )
             else:
                 # least-squares fit of y on x (the (n-1) factors cancel in
                 # slope and r2, so population/sample choice is irrelevant)
@@ -391,12 +401,22 @@ def _agg_final_exprs(spec: dict[str, tuple[str | None, str]]):
                 sxy_c = pl.col(f"{alias}__sxy").sum() - sx * sy / n
                 slope = sxy_c / sxx_c
                 if op == "regr_slope":
-                    exprs.append(slope.alias(alias))
+                    exprs.append(pl.when(sxx_c > 0).then(slope).alias(alias))
                 elif op == "regr_intercept":
-                    exprs.append((sy / n - slope * sx / n).alias(alias))
+                    exprs.append(
+                        pl.when(sxx_c > 0).then(sy / n - slope * sx / n).alias(alias)
+                    )
                 else:
                     syy_c = pl.col(f"{alias}__syy").sum() - sy**2 / n
-                    exprs.append((sxy_c**2 / (sxx_c * syy_c)).alias(alias))
+                    exprs.append(
+                        pl.when(sxx_c > 0)
+                        .then(
+                            pl.when(syy_c > 0)
+                            .then(sxy_c**2 / (sxx_c * syy_c))
+                            .otherwise(1.0)
+                        )
+                        .alias(alias)
+                    )
     return exprs
 
 
@@ -782,7 +802,10 @@ def grouped_topk(
     per-batch PARTIAL top-k first (the combiner — at most k rows per
     group per block enter the exchange), then hash-shuffle + final
     per-group top-k. Deterministic under ties via ``tiebreak`` columns
-    (ascending)."""
+    (ascending). NULL order values sort LAST (SQL's default ordering for
+    ``ORDER BY x DESC`` — polars' default is nulls-FIRST, which would
+    hand the top-k slots to null rows and evict real candidates in the
+    combiner unrecoverably; round-5 review)."""
     tb_cols = tiebreak or []
 
     def topk_block(tb: pa.Table) -> pa.Table:
@@ -791,7 +814,9 @@ def grouped_topk(
         df = pl.from_arrow(tb)
         out = (
             df.sort(
-                [order_col] + tb_cols, descending=[descending] + [False] * len(tb_cols)
+                [order_col] + tb_cols,
+                descending=[descending] + [False] * len(tb_cols),
+                nulls_last=True,
             )
             .group_by(keys, maintain_order=True)
             .head(k)
@@ -1094,9 +1119,18 @@ def with_global_rank(
     import ray
 
     raw_names = ("rank", "dense_rank", "cume_cnt")
-    taken = set(arrow_schema(ds).names) & {f"__gvr_{k}" for k in raw_names}
+    in_names = set(arrow_schema(ds).names)
+    taken = in_names & {f"__gvr_{k}" for k in raw_names}
     if taken:
         raise ValueError(f"input already has reserved rank columns {sorted(taken)}")
+    # the FINAL names too: pa.Table.append_column happily duplicates a
+    # field and the ambiguity only explodes far downstream (round-5
+    # review — the check covered only the __gvr_ intermediates)
+    clash = in_names & {f"{prefix}{k}" for k in kinds}
+    if clash:
+        raise ValueError(
+            f"output rank columns {sorted(clash)} already exist; pass a prefix"
+        )
     ranks_ds, n_rows, n_distinct = global_value_ranks(ds, col)
     # the lookup is exactly one value + three int64 ranks per distinct
     # value (~32 B); the transformed ranks_ds has no metadata size, so the

@@ -233,3 +233,25 @@ def test_connected_components_public_api_both_plans(ray_session):
             ).to_pandas()
             gd = dict(zip(got["id"], got["component"]))
             assert gd == want, (budget, nb)
+
+
+def test_exact_dedup_rejects_preexisting_fingerprint_columns(ray_session):
+    """Round-5 review: an input already carrying h1/h2 would get
+    duplicate fields appended and crash far downstream — the hash stage
+    fails loudly instead (checked per batch, not via a driver-side
+    schema() probe that would partially execute a lazy chain)."""
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup import dedup_against_snapshot, exact_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["a b c", "a b c"], type=pa.string()),
+        "h1": pa.array([0, 0], type=pa.uint64()),
+    })
+    ds = rd.from_arrow(t)
+    with pytest.raises(Exception, match="fingerprint column"):
+        exact_dedup(ds, "doc_id", "text").materialize()
+    snap = rd.from_arrow(pa.table({"text": pa.array(["x"], type=pa.string())}))
+    with pytest.raises(Exception, match="fingerprint column"):
+        dedup_against_snapshot(ds, "doc_id", "text", snap).materialize()

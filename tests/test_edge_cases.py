@@ -795,3 +795,69 @@ def test_schema_shim_repairs_empty_bundle_with_tracked_schema(ray_session):
     out, diverged = _ses.dedupe_schemas_with_validation(real, bundle)
     assert not diverged
     assert out.schema == real  # repaired, so the tracked schema survives
+
+
+def test_comoment_aggs_null_on_degenerate_groups(ray_session):
+    """Round-5 review: covar/corr/regr_* must return NULL (not NaN/inf)
+    on n=1 and constant-side groups — DuckDB-verified semantics:
+    covar_samp NULL at n<2; corr NULL when either side is constant;
+    regr_slope/intercept NULL when x is constant (y-constant is slope 0);
+    regr_r2 NULL when x is constant, exactly 1 when only y is."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import driver_grouped_agg
+
+    t = pa.table({
+        "g": [1, 2, 2, 2, 3, 3, 3, 4, 4, 4],
+        "x": [1.0, 5.0, 5.0, 5.0, 1.0, 2.0, 3.0, 1.0, 2.0, 3.0],
+        "y": [2.0, 1.0, 2.0, 3.0, 7.0, 7.0, 7.0, 1.0, 3.0, 5.0],
+    })
+    out = driver_grouped_agg(rd.from_arrow(t).repartition(3), ["g"], {
+        "cs": (("x", "y"), "covar"), "c": (("x", "y"), "corr"),
+        "sl": (("y", "x"), "regr_slope"), "ic": (("y", "x"), "regr_intercept"),
+        "r2": (("y", "x"), "regr_r2"),
+    }).sort_values("g").reset_index(drop=True)
+    exp = pd.DataFrame({
+        "cs": [np.nan, 0.0, 0.0, 2.0], "c": [np.nan, np.nan, np.nan, 1.0],
+        "sl": [np.nan, np.nan, 0.0, 2.0], "ic": [np.nan, np.nan, 7.0, -1.0],
+        "r2": [np.nan, np.nan, 1.0, 1.0],
+    })
+    for col in exp.columns:
+        a, e = out[col].to_numpy(), exp[col].to_numpy()
+        assert ((a == e) | (pd.isna(a) & pd.isna(e))).all(), (col, a, e)
+
+
+def test_grouped_topk_nulls_sort_last(ray_session):
+    """Round-5 review: NULL order values must sort LAST (SQL default) —
+    polars' nulls-first default would hand the top-k slots to null rows
+    and evict real candidates in the combiner unrecoverably."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import grouped_topk
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    t = pa.table({
+        "g": ["a"] * 6, "v": pa.array([None, None, None, 9.0, 5.0, 7.0]),
+        "id": [1, 2, 3, 4, 5, 6],
+    })
+    out = as_table(
+        grouped_topk(rd.from_arrow(t).repartition(3), ["g"], "v", 3, tiebreak=["id"])
+    ).to_pandas()
+    assert sorted(out["v"].dropna().tolist(), reverse=True) == [9.0, 7.0, 5.0]
+    assert out["v"].notna().all()
+
+
+def test_with_global_rank_rejects_final_name_collision(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.shuffle import with_global_rank
+
+    ds = rd.from_arrow(pa.table({"x": [1.0, 2.0], "rank": [0, 0]}))
+    with pytest.raises(ValueError, match="already exist"):
+        with_global_rank(ds, "x")
+    # a prefix resolves it
+    out = with_global_rank(ds, "x", prefix="x_")
+    assert "x_rank" in out.schema().names

@@ -421,3 +421,33 @@ def test_bloom_prefilter_unsound_modes_raise(ray_session):
     for prefilter, how in [("left", "left"), ("left", "anti"), ("left", "full"), ("right", "right"), ("right", "full")]:
         with pytest.raises(ValueError):
             bloom_prefiltered_join(lds, "k", rds, "rk", how=how, prefilter=prefilter)
+
+
+def test_hash_join_plan_invariant_suffix_on_collision(ray_session):
+    """Round-5 review: a right non-key column colliding with a left name
+    used to RAISE under the broadcast plan but silently suffix under the
+    shuffle plan — success was a function of data size. Both plans must
+    now emit the identical suffixed schema and rows."""
+    import ray.data as rd
+
+    import pandas as pd
+
+    from anomalydetection_ray.functions.relational import hash_join
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    left = pa.table({"k": [1, 2, 3], "x": ["l1", "l2", "l3"]})
+    right = pa.table({"k": [1, 2], "x": ["r1", "r2"]})
+
+    def run(**kw):
+        out = as_table(
+            hash_join(rd.from_arrow(left), "k", rd.from_arrow(right), "k", **kw)
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        return out
+
+    # broadcast plan (metadata estimate small) vs forced shuffle plan
+    a = run(how="left")
+    b = run(how="left", broadcast_max_bytes=0)
+    assert list(a.columns) == list(b.columns) == ["k", "x", "x_r"]
+    assert a.equals(b)
+    assert a.loc[a["k"] == 1, "x_r"].iloc[0] == "r1"
+    assert pd.isna(a.loc[a["k"] == 3, "x_r"].iloc[0])

@@ -822,3 +822,50 @@ def test_semdedup_validation_and_precomputed_centers(ray_session):
     b = semdedup(rd.from_arrow(t), "vec_id", "embedding", threshold=0.98,
                  centers=centers).to_pandas()["vec_id"].sort_values().tolist()
     assert a == b
+
+
+def test_duplicate_ids_raise_on_every_verify_plan(ray_session):
+    """Round-5 review: duplicate corpus ids used to raise only on the
+    in-process plans; the broadcast-store verify plan silently verified
+    pairs against an arbitrary duplicate's hash set. Every plan that
+    maps ids to dense positions must fail loudly and identically."""
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup import neardup
+
+    base = " ".join(f"w{i}" for i in range(40))
+    texts = [base + " a", base + " b",          # near-dup pair
+             base + " c zzz", base + " d zzz", # near-dup pair
+             "totally different text one two three four five six",
+             "another unrelated document seven eight nine ten eleven"]
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 3, 5, 6], type=pa.int64()),  # dup id 3
+        "text": pa.array(texts, type=pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    # in-process plan (size hint keeps the driver gather)
+    with pytest.raises(Exception, match="duplicate 'doc_id'"):
+        neardup.minhash_lsh_dedup_verified(
+            ds, "doc_id", "text", 0.8, size_hint_bytes=1024
+        )
+    # broadcast-store plan (edge budget 0 skips the in-process rung)
+    with pytest.raises(Exception, match="duplicate 'doc_id'"):
+        neardup.minhash_lsh_dedup_verified(
+            ds, "doc_id", "text", 0.8, size_hint_bytes=1024, driver_max_edges=0
+        )
+
+
+def test_semdedup_accepts_pandas_backed_dataset(ray_session):
+    """Round-5 review: the up-front cluster_col check iterated
+    schema().base_schema, which is a PandasBlockSchema namedtuple on
+    from_pandas datasets and crashed before any work ran."""
+    import pandas as pd
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup.semantic import semdedup
+
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(30, 4))
+    df = pd.DataFrame({"vec_id": np.arange(30), "embedding": [r.tolist() for r in v]})
+    out = semdedup(rd.from_pandas(df), "vec_id", "embedding", k=2, threshold=0.99)
+    assert out.count() <= 30
