@@ -697,14 +697,27 @@ def sessionize(
         if tb.num_rows == 0:
             return pa.Table.from_pydict({f.name: [] for f in out_schema}, schema=out_schema)
         # total-order sort (see rolling_window_agg): sum_value must not
-        # depend on intra-tie row order delivered by the shuffle
-        df = pl.from_arrow(tb.select(need)).sort(need)
+        # depend on intra-tie row order delivered by the shuffle.
+        # nulls_last: SQL's ORDER BY default — null-ts rows must come
+        # AFTER the real events, not claim the leading session ids
+        df = pl.from_arrow(tb.select(need)).sort(need, nulls_last=True)
         # numeric ts columns are epoch-µs by contract (the same branch as
         # rolling_window_agg / range_join_agg) — .dt accessors would raise
-        diff = pl.col(ts_col).diff().over(key)
+        prev = pl.col(ts_col).shift(1).over(key)
+        diff = (pl.col(ts_col) - prev)
         if df.schema[ts_col].is_temporal():
             diff = diff.dt.total_microseconds()
-        brk = (diff > gap_us).fill_null(True).cast(pl.Int64)
+        # the oracle's exact CASE semantics (round-5 review — the old
+        # fill_null(True) gave EVERY null-diff row its own session and
+        # renumbered the real ones): break when the PREVIOUS ts is null
+        # (first row per key, or a prior null-ts row) OR the gap exceeds
+        # the limit; a null-ts row after a real event has a null gap →
+        # no break → it joins that last session, like the SQL
+        brk = (
+            pl.when(prev.is_null())
+            .then(1)
+            .otherwise((diff > gap_us).cast(pl.Int64).fill_null(0))
+        )
         df = df.with_columns(session_id=brk.cum_sum().over(key))
         aggs = [
             pl.col(ts_col).min().alias("session_start"),

@@ -334,13 +334,31 @@ def winnow_containment_pairs(
     )
     exploded = explode_list_column(fp_ds, "fingerprints", value_col="fp", index_col=None)
 
-    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    # the pair columns MIRROR the input id type (round-5 review: a
+    # hardcoded int64 schema crashed on string-id corpora mid-shuffle and
+    # silently coerced numeric-string ids) — integer ids widen to int64,
+    # string ids stay strings (numpy lexsort/minimum handle both)
+    from .shuffle import arrow_schema
+
+    id_type = arrow_schema(ds).field(id_col).type
+    if pa.types.is_integer(id_type):
+        pair_type = pa.int64()
+    elif pa.types.is_string(id_type) or pa.types.is_large_string(id_type):
+        pair_type = pa.string()
+    else:
+        raise ValueError(
+            f"winnow_containment_pairs: unsupported id column type {id_type} "
+            f"for {id_col!r} (integer or string required)"
+        )
+    pair_schema = pa.schema([("a", pair_type), ("b", pair_type)])
 
     def gen_pairs(tb: pa.Table) -> pa.Table:
         if tb.num_rows == 0:
             return pa.Table.from_pydict({"a": [], "b": []}, schema=pair_schema)
         fp = tb["fp"].to_numpy(zero_copy_only=False)
-        ids = tb[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = tb[id_col].to_numpy(zero_copy_only=False)
+        if pa.types.is_integer(id_type):
+            ids = ids.astype(np.int64)
         order = np.lexsort((ids, fp))
         fp, ids = fp[order], ids[order]
         bounds = np.flatnonzero(np.concatenate([[True], fp[1:] != fp[:-1], [True]]))
@@ -358,13 +376,16 @@ def winnow_containment_pairs(
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
         return pa.Table.from_pydict(
-            {"a": pa.array(np.minimum(a, b)), "b": pa.array(np.maximum(a, b))},
+            {
+                "a": pa.array(np.minimum(a, b), type=pair_type),
+                "b": pa.array(np.maximum(a, b), type=pair_type),
+            },
             schema=pair_schema,
         )
 
     pairs = local_group_map(exploded, ["fp"], gen_pairs, keys_non_null=True)
 
-    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("shared", pa.int64())])
+    out_schema = pa.schema([("a", pair_type), ("b", pair_type), ("shared", pa.int64())])
 
     def count_filter(tb: pa.Table) -> pa.Table:
         if tb.num_rows == 0:
@@ -379,8 +400,8 @@ def winnow_containment_pairs(
         keep = counts >= min_shared
         return pa.Table.from_pydict(
             {
-                "a": pa.array(a[starts][keep]),
-                "b": pa.array(b[starts][keep]),
+                "a": pa.array(a[starts][keep], type=pair_type),
+                "b": pa.array(b[starts][keep], type=pair_type),
                 "shared": pa.array(counts[keep].astype(np.int64)),
             },
             schema=out_schema,

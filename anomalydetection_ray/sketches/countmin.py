@@ -23,6 +23,20 @@ from .hll import _avalanche, hash64, hash64_arrow
 _ROW_SALTS = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
 
 
+def _canon_hash(values) -> np.ndarray:
+    """One canonical hash for BOTH ingest and probe: string-ish inputs
+    route through the same polars-xxhash path ``update_arrow`` /
+    ``dataset_countmin`` use (round-5 review: ``estimate`` hashed
+    strings with the FNV fallback while ingest used xxhash, so string
+    probes hit different cells and returned garbage — an undercount the
+    sketch's floor guarantee forbids). Numeric inputs are identical
+    under both paths (avalanche over the integer view)."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in ("U", "S", "O"):
+        return hash64_arrow(pa.array(values))
+    return hash64(values)
+
+
 class CountMin:
     __slots__ = ("width", "depth", "seed", "table", "n")
 
@@ -49,7 +63,7 @@ class CountMin:
         return self
 
     def update(self, values, counts=None) -> "CountMin":
-        return self.update_hashed(hash64(values), counts)
+        return self.update_hashed(_canon_hash(values), counts)
 
     def update_arrow(self, arr, counts=None) -> "CountMin":
         return self.update_hashed(hash64_arrow(arr), counts)
@@ -57,7 +71,7 @@ class CountMin:
     def estimate(self, values) -> np.ndarray:
         """Point estimates (int64, one per value): min over depth rows —
         never an undercount of the true total."""
-        v = np.asarray(hash64(values), dtype=np.uint64)
+        v = np.asarray(_canon_hash(values), dtype=np.uint64)
         if len(v) == 0:
             return np.empty(0, dtype=np.int64)
         idx = self._row_hashes(v)

@@ -64,10 +64,14 @@ class FixedHistogram:
 
     @classmethod
     def merge_many_bytes(cls, blobs) -> "FixedHistogram":
-        """n-ary merge from serialized form. Edge equality is checked once
-        against the first histogram (suite partials share edges by
-        construction); the pairwise path's per-merge ``np.allclose`` over
-        the full edge vector dominated large driver merges."""
+        """n-ary merge from serialized form. Edge compatibility checks
+        bin count plus the endpoint VALUES per blob (O(1) — the pairwise
+        path's per-merge full-vector ``np.allclose`` dominated large
+        driver merges, but a count-only check let histograms over
+        different RANGES with the same bin count merge silently, exactly
+        the caller bug the check exists for; round-5 review). Interior
+        edges are linear in the endpoints for every engine constructor,
+        so endpoint equality is sufficient in practice."""
         import pickle
 
         blobs = list(blobs)
@@ -77,7 +81,10 @@ class FixedHistogram:
         h.n_nan = n_nan
         for b in blobs[1:]:
             e2, c2, nn2 = pickle.loads(b)
-            if len(e2) != len(edges):
+            if len(e2) != len(edges) or not (
+                np.isclose(e2[0], edges[0], equal_nan=True)
+                and np.isclose(e2[-1], edges[-1], equal_nan=True)
+            ):
                 raise ValueError("histograms have different bin edges")
             h.counts += c2
             h.n_nan += nn2

@@ -138,10 +138,18 @@ class HyperLogLog:
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         # rank = leading zeros of the remaining (64-p) bits, + 1
         rest = (h << np.uint64(self.p)) | (np.uint64(1) << np.uint64(self.p - 1))
-        # position of highest set bit -> leading zero count
-        # use float log2 safely: rest is never 0 because we or-ed a guard bit
-        bits = 63 - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)
-        rank = (bits + 1).astype(np.uint8)
+        # position of highest set bit -> leading zero count. rest is
+        # never 0 (guard bit or-ed in), but float64 log2 alone is NOT
+        # exact: an integer within half-ulp BELOW a power of two rounds
+        # up on the astype, overestimating the exponent by 1 (rest near
+        # 2^64 → log2=64 → rank 0 → the value silently dropped; round-5
+        # review, ~2^-48 of hashes). The float estimate is only ever 0
+        # or +1 off (integers ≥ 2^k never round below 2^k), so one
+        # integer shift-check repairs it exactly.
+        e = np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)
+        np.minimum(e, 63, out=e)
+        e[(rest >> e.astype(np.uint64)) == 0] -= 1
+        rank = (64 - e).astype(np.uint8)
         np.maximum.at(self.registers, idx, rank)
         return self
 

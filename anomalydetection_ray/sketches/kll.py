@@ -86,6 +86,13 @@ class KLL:
         return self
 
     def merge(self, other: "KLL") -> "KLL":
+        # parameter-mismatch is a caller bug every sibling sketch turns
+        # into a loud ValueError (round-5 review): merging a k=16 sketch
+        # into a k=256 one silently degrades the 2.5/k rank-error bound
+        if other.k != self.k:
+            raise ValueError(
+                f"cannot merge KLL sketches with different k ({self.k} vs {other.k})"
+            )
         if other.n == 0:
             return self
         while len(self.levels) < len(other.levels):
@@ -106,6 +113,11 @@ class KLL:
         passes. The driver-side stats merge folds thousands of per-block
         partials per group; pairwise merging dominated its runtime."""
         sks = list(sketches)
+        ks = {s.k for s in sks}
+        if len(ks) > 1:
+            raise ValueError(
+                f"cannot merge KLL sketches with different k ({sorted(ks)})"
+            )
         live = [s for s in sks if s.n]
         if not live:
             return cls(sks[0].k if sks else 256)

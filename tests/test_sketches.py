@@ -729,3 +729,76 @@ def test_dataset_countmin_matches_exact_counts(ray_session):
     # layout invariance: elementwise-add merge is order-independent
     sk2 = dataset_countmin(rd.from_arrow(t).repartition(2), "v", width=8192, depth=4, seed=1)
     assert np.array_equal(sk.table, sk2.table)
+
+
+def test_countmin_string_probe_matches_arrow_ingest():
+    """Round-5 review: estimate() hashed strings with the FNV fallback
+    while update_arrow/dataset_countmin ingest via polars xxhash — string
+    probes hit different cells and returned garbage (0 for a key counted
+    100 times, violating the never-undercount floor)."""
+    import pyarrow as pa
+
+    from anomalydetection_ray.sketches.countmin import CountMin
+
+    sk = CountMin(1024, 4, 1)
+    sk.update_arrow(pa.array(["en"] * 100 + ["de"] * 7))
+    assert sk.estimate(["en"])[0] == sk.estimate_arrow(pa.array(["en"]))[0] >= 100
+    assert sk.estimate(np.array(["de"]))[0] >= 7
+    # update()'s list path agrees with update_arrow too
+    sk2 = CountMin(1024, 4, 1)
+    sk2.update(["en"] * 100 + ["de"] * 7)
+    assert (sk2.table == sk.table).all()
+
+
+def test_kll_merge_rejects_k_mismatch():
+    """Round-5 review: every sibling sketch raises on parameter mismatch;
+    KLL silently merged different-k sketches, degrading the 2.5/k bound."""
+    from anomalydetection_ray.sketches.kll import KLL
+
+    a, b = KLL(256), KLL(16)
+    a.update(np.arange(100.0))
+    b.update(np.arange(100.0))
+    with pytest.raises(ValueError, match="different k"):
+        a.merge(b)
+    with pytest.raises(ValueError, match="different k"):
+        KLL.merge_many([a, b])
+
+
+def test_histogram_merge_bytes_rejects_different_ranges():
+    """Round-5 review: merge_many_bytes validated only the bin COUNT, so
+    histograms over different ranges with the same bin count merged
+    silently — wrong PSI/KS scores with no error."""
+    from anomalydetection_ray.sketches.histogram import FixedHistogram
+
+    a = FixedHistogram(np.linspace(0.0, 1.0, 51))
+    b = FixedHistogram(np.linspace(0.0, 100.0, 51))
+    a.update(np.array([0.5])); b.update(np.array([50.0]))
+    with pytest.raises(ValueError, match="different bin edges"):
+        FixedHistogram.merge_many_bytes([a.to_bytes(), b.to_bytes()])
+    # same edges still merge
+    c = FixedHistogram(np.linspace(0.0, 1.0, 51)); c.update(np.array([0.25]))
+    m = FixedHistogram.merge_many_bytes([a.to_bytes(), c.to_bytes()])
+    assert m.total == 2
+
+
+def test_hll_rank_exact_at_float_rounding_boundary():
+    """Round-5 review: float64 log2 rounded an all-ones remainder UP to
+    2^64 (rank 0 — the value silently dropped). The integer shift-check
+    repairs the exponent exactly; parity vs pure-python bit_length."""
+    from anomalydetection_ray.sketches.hll import HyperLogLog
+
+    h = HyperLogLog(12)
+    h.update_hashed(np.array([0xFFFFFFFFFFFFFFFF], dtype=np.uint64))
+    assert h.registers.max() == 1  # all-ones remainder: zero leading zeros
+    rng = np.random.default_rng(3)
+    hs = rng.integers(0, 2**64, size=50_000, dtype=np.uint64)
+    p = 10
+    a = HyperLogLog(p)
+    a.update_hashed(hs)
+    regs = np.zeros(1 << p, dtype=int)
+    for v in hs.tolist():
+        rest = ((v << p) & ((1 << 64) - 1)) | (1 << (p - 1))
+        rank = 64 - (rest.bit_length() - 1)
+        idx = v >> (64 - p)
+        regs[idx] = max(regs[idx], rank)
+    assert (a.registers == regs).all()

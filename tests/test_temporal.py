@@ -771,3 +771,40 @@ def test_knn_ivf_null_id_raises_loudly(ray_session):
     t = pa.table({"vec_id": pa.array(ids, type=pa.int64()), "embedding": vecs})
     with pytest.raises(Exception, match="null ids"):
         knn_outlier_scores_ivf(rd.from_arrow(t), "vec_id", k=2, n_cells=2, n_probe=2).to_pandas()
+
+
+def test_sessionize_null_ts_matches_sql_oracle(ray_session):
+    """Round-5 review: null-ts rows used to claim the LEADING session ids
+    (one phantom singleton session each, real sessions renumbered). The
+    oracle's CASE semantics (DuckDB-verified): nulls sort last, the first
+    null-ts row joins the last real session (null gap → no break), each
+    subsequent null row starts its own."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import sessionize
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    ts = pa.array([None, None,
+                   np.datetime64("2024-01-01T10:00:00", "us"),
+                   np.datetime64("2024-01-01T10:10:00", "us"),
+                   np.datetime64("2024-01-01T12:00:00", "us"), None],
+                  type=pa.timestamp("us"))
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 2], type=pa.int64()),
+        "ts": ts,
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 9.0]),
+    })
+    out = as_table(sessionize(
+        rd.from_arrow(t).repartition(2), "user_id", "ts",
+        datetime.timedelta(minutes=30), value_col="value",
+    )).to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    # DuckDB on the same VALUES (recorded in the fix commit):
+    assert out["session_id"].tolist() == [1, 2, 3, 1]
+    assert out["n_events"].tolist() == [2, 2, 1, 1]
+    assert out["sum_value"].tolist() == [7.0, 6.0, 2.0, 9.0]
+    # s2 = the 12:00 event + the first null row; bounds ignore the null
+    assert str(out.loc[1, "session_start"]) == "2024-01-01 12:00:00"
+    assert str(out.loc[1, "session_end"]) == "2024-01-01 12:00:00"

@@ -942,3 +942,33 @@ def test_corpus_totals_degenerate_single_token_corpus(ray_session, tmp_path):
     )
     assert row["zipf_top_token"] == "hello"
     assert row["zipf_n_ranks"] == 1
+
+
+def test_winnow_containment_pairs_string_ids(ray_session):
+    """Round-5 review: the pair schema hardcoded int64 ids — string-id
+    corpora crashed mid-shuffle and numeric-string ids silently coerced.
+    The pair columns now mirror the input id type."""
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.text import winnow_containment_pairs
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    shared = "the quick brown fox jumps over the lazy dog again and again " * 3
+    t = pa.table({
+        "doc_id": pa.array(["doc-a", "doc-b", "doc-c"], type=pa.string()),
+        "text": pa.array([shared + " unique one tail",
+                          shared + " other distinct tail",
+                          "completely different content with nothing in common here"]),
+    })
+    out = as_table(winnow_containment_pairs(
+        rd.from_arrow(t).repartition(2), k=6, w=8, min_shared=2
+    )).to_pandas()
+    assert set(out.columns) == {"a", "b", "shared"}
+    assert len(out) == 1
+    assert (out.iloc[0]["a"], out.iloc[0]["b"]) == ("doc-a", "doc-b")
+    # unsupported id types fail loudly at plan-build time
+    bad = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1.5, 2.5]), "text": pa.array(["x", "y"])
+    }))
+    with pytest.raises(ValueError, match="unsupported id column type"):
+        winnow_containment_pairs(bad)
