@@ -32,7 +32,11 @@ def write_snapshot(stats_df: pd.DataFrame, path: str) -> None:
     # dtype rides along so schema drift can diff the live schema against
     # the snapshot (checks/schema.py:spec_from_stats)
     cols = ["part", "column", "dtype", "count", "nulls", "hll", "kll", "hist"]
-    tbl = pa.Table.from_pandas(stats_df[cols], preserve_index=False)
+    # reindex, not []: an EMPTY corpus round-trips through Ray as a
+    # column-less frame (round-5 review — write_baseline raised KeyError
+    # instead of writing an empty snapshot, breaking the suite's own
+    # empty-corpus-flows-through contract)
+    tbl = pa.Table.from_pandas(stats_df.reindex(columns=cols), preserve_index=False)
     pq.write_table(tbl, path)
 
 

@@ -77,8 +77,19 @@ def _numeric_view(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarr
         vals = np.asarray(pc.cast(arr, pa.int64())).astype(np.float64)
     elif pa.types.is_boolean(t):
         vals = np.asarray(pc.cast(arr, pa.float64())).astype(np.float64)
+    elif (
+        pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t)
+    ):
+        # binary payloads profile by byte length (the string-length rule)
+        vals = np.asarray(pc.cast(pc.binary_length(arr), pa.float64())).astype(np.float64)
     else:
-        vals = np.asarray(pc.cast(arr, pa.float64())).astype(np.float64)
+        try:
+            vals = np.asarray(pc.cast(arr, pa.float64())).astype(np.float64)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            # nested / opaque types have no numeric projection: profile
+            # null structure + distinct hashes only (round-5 review — a
+            # list/struct column used to abort the whole fused scan)
+            vals = np.full(len(arr), np.nan)
     vals = np.where(valid, vals, np.nan)
     return vals, valid, strings
 

@@ -135,25 +135,33 @@ class SuiteResult:
 
 def _corpus_schema(corpus_path: str) -> pa.Schema:
     """Schema straight from parquet footer metadata — no Ray pipeline
-    needed just to learn column names."""
-    if os.path.isdir(corpus_path):
-        first = sorted(
-            f for f in os.listdir(corpus_path) if f.endswith(".parquet")
-        )[0]
-        return pq.read_schema(os.path.join(corpus_path, first))
-    return pq.read_schema(corpus_path)
+    needed just to learn column names. Recurses into subdirectories
+    (round-5 review: the engine's OWN partitioned writer emits
+    ``lang=xx/part-*.parquet`` layouts, which raised a bare IndexError
+    here) and raises a named error when no parquet exists at all."""
+    files = _corpus_files(corpus_path)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {corpus_path!r}")
+    return pq.read_schema(files[0])
 
 
 def _corpus_files(corpus_path: str) -> list[str]:
     """Sorted parquet file list — the stable shard basis for
-    :func:`run_suite_sharded` (same input → same shard composition)."""
-    if os.path.isdir(corpus_path):
-        return sorted(
-            os.path.join(corpus_path, f)
-            for f in os.listdir(corpus_path)
-            if f.endswith(".parquet")
-        )
-    return [corpus_path]
+    :func:`run_suite_sharded` (same input → same shard composition).
+    Walks one level of partition subdirectories (the resumable writer's
+    hive layout); `_DONE` markers and dotfiles are ignored."""
+    if not os.path.isdir(corpus_path):
+        return [corpus_path]
+    out = []
+    for name in sorted(os.listdir(corpus_path)):
+        p = os.path.join(corpus_path, name)
+        if name.endswith(".parquet"):
+            out.append(p)
+        elif os.path.isdir(p):
+            out.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
+    return out
 
 
 def _per_part_counts(tbl: pa.Table, part_col: str) -> dict[str, int]:
@@ -194,7 +202,11 @@ def _prepare_rowpass_refs(cfg: SuiteConfig, dup_hashes: np.ndarray) -> _RowpassR
     if have_ref:
         from ..checks.referential import _collect_dim_keys, build_dim_bloom
 
-        dim = read_parquet_clean(cfg.repos_dim_path, columns=[cfg.dim_key])
+        # materialize the narrow dim projection ONCE: the Bloom build and
+        # the exact-key collection each execute their pipeline, so an
+        # un-pinned read paid the dim scan twice (round-5 review; the
+        # referential.py orphans_bloom caller already pins it)
+        dim = read_parquet_clean(cfg.repos_dim_path, columns=[cfg.dim_key]).materialize()
         bloom_ref = ray.put(build_dim_bloom(dim, cfg.dim_key).to_bytes())
         exact_ref = ray.put(_collect_dim_keys(dim, cfg.dim_key))
     need = list(
@@ -239,19 +251,31 @@ def make_row_violations_fn(cfg: SuiteConfig, refs: _RowpassRefs):
         if refs.have_ref:
             from ..sketches import BloomFilter
 
-            bf = BloomFilter.from_bytes(ray.get(refs.bloom_ref))
+            # view_bytes: zero-copy probe view (from_bytes copied the
+            # multi-MB bit array on every content-scan batch; round-5
+            # review — referential.py already probes through the view)
+            bf = BloomFilter.view_bytes(ray.get(refs.bloom_ref))
             col = batch[cfg.repo_col].combine_chunks()
-            vals = np.asarray(col)
             valid = np.asarray(pc.is_valid(col))
-            hit = np.zeros(len(vals), dtype=bool)
+            hit = np.zeros(batch.num_rows, dtype=bool)
+            vhit = np.zeros(0, dtype=bool)
+            vv = np.empty(0)
             if valid.any():
-                hit[valid] = bf.contains(vals[valid])
+                # dtype-preserving extraction (round-5 review): np.asarray
+                # on a null-bearing INT column yields float64, whose bit-
+                # pattern hashes miss the int-built Bloom — every valid
+                # key in the batch would be flagged orphan. drop_null
+                # FIRST keeps ints int64, exactly as the build side does.
+                vv = np.asarray(pc.drop_null(col))
+                vhit = bf.contains(vv)
+                hit[valid] = vhit
             orphan = ~hit
             dimk = ray.get(refs.exact_ref)
             cand = hit & valid
             if cand.any() and len(dimk):
-                idx = np.clip(np.searchsorted(dimk, vals[cand]), 0, len(dimk) - 1)
-                fp_mask = dimk[idx] != vals[cand]
+                cvals = vv[vhit]
+                idx = np.clip(np.searchsorted(dimk, cvals), 0, len(dimk) - 1)
+                fp_mask = dimk[idx] != cvals
                 orphan[np.nonzero(cand)[0][fp_mask]] = True
             masks.append(("orphan_repo", orphan))
         any_bad = np.zeros(batch.num_rows, dtype=bool)
@@ -1110,7 +1134,11 @@ def run_suite_sharded(
     partials_reused = True
     stats_parts: list[pa.Table] = []
     uniq_parts: list[pa.Table] = []
-    local_viols: list[pa.Table] = []
+    # violations stay ON DISK as (path, footer row count) until the total
+    # is known (round-5 review: reading every shard's table into a driver
+    # list defeated max_driver_violation_rows — an adversarial corpus
+    # OOMed the driver where run_suite's spill gate survives)
+    viol_paths: list[tuple[str, int]] = []
     for i, shard_files in enumerate(shards):
         unit = f"shard-{i:04d}-partials"
         udir = state.unit_dir(unit)
@@ -1124,7 +1152,7 @@ def run_suite_sharded(
         ):
             stats_parts.append(pq.read_table(sp))
             uniq_parts.append(pq.read_table(up))
-            local_viols.append(pq.read_table(vp))
+            viol_paths.append((vp, pq.read_metadata(vp).num_rows))
             continue
         partials_reused = False
         st, vt = _fused_scan(read_parquet_clean(shard_files), cfg, empty_refs, all_cols)
@@ -1143,7 +1171,7 @@ def run_suite_sharded(
         )
         stats_parts.append(st)
         uniq_parts.append(ut)
-        local_viols.append(vt)
+        viol_paths.append((vp, vt.num_rows))
 
     stats_df = merge_partials_to_stats(stats_parts)
     stats_path = os.path.join(state.unit_dir("stats"), "stats.parquet")
@@ -1151,7 +1179,6 @@ def run_suite_sharded(
     dup_hashes = duplicate_hashes_from_partials(uniq_parts)
 
     # ---------------- phase B: pruned duplicate-row recovery ------------
-    viol_tabs: list[pa.Table] = list(local_viols)
     if len(dup_hashes):
         import ray
 
@@ -1166,7 +1193,7 @@ def run_suite_sharded(
             if resume and partials_reused and state.is_done_compat(
                 unit, files=("violations.parquet",), fmt=_uniq_ckpt_fmt()
             ):
-                viol_tabs.append(pq.read_table(vp))
+                viol_paths.append((vp, pq.read_metadata(vp).num_rows))
                 continue
             vt = as_table(
                 read_parquet_clean(shard_files, columns=need).map_batches(
@@ -1176,12 +1203,50 @@ def run_suite_sharded(
             vt = _sort_violations(vt, empty_refs.out_cols)
             pq.write_table(vt, vp)
             state.mark_done(unit, {"dup_candidate_rows": vt.num_rows}, fmt=_uniq_ckpt_fmt())
-            viol_tabs.append(vt)
+            viol_paths.append((vp, vt.num_rows))
 
-    viol_all = pa.concat_tables(viol_tabs) if viol_tabs else pa.table({})
+    fd_results = _run_fd_checks(state, cfg, corpus_path, resume) if cfg.fd_checks else None
+    total_viol = sum(n for _, n in viol_paths)
+    viol_schema = pa.schema(
+        [(c, corpus_schema.field(c).type) for c in empty_refs.out_cols]
+        + [("content_sha256", pa.string()), ("violation_kind", pa.string())]
+    )
+    if total_viol > cfg.max_driver_violation_rows:
+        # above the budget: the SAME distributed finalize run_suite's
+        # spill gate uses — exact dup recount via key co-partition,
+        # global sort, partitioned parquet; the driver holds only counts
+        import shutil
+
+        import ray.data as rd
+
+        spill_final = os.path.join(state.unit_dir("rowpass"), "violations_sorted")
+        if os.path.isdir(spill_final):
+            shutil.rmtree(spill_final)
+        src = [p for p, n in viol_paths if n > 0]
+        verified = _verify_dup_candidates_ds(rd.read_parquet(src), key)
+        os.makedirs(spill_final, exist_ok=True)
+        verified.sort(
+            ["violation_kind"] + empty_refs.out_cols + ["content_sha256"]
+        ).write_parquet(spill_final)
+        empty_viol = pa.Table.from_pydict({f.name: [] for f in viol_schema}, schema=viol_schema)
+        if not any(f.endswith(".parquet") for f in os.listdir(spill_final)):
+            # every candidate was a key-collision artifact
+            return _finalize_suite(
+                state, out_dir, cfg, stats_df, empty_viol, baseline_snapshot,
+                corpus_schema=corpus_schema, fd_results=fd_results,
+            )
+        viol_counts = _spill_violation_counts(rd.read_parquet(spill_final), cfg.partition_by)
+        return _finalize_suite(
+            state, out_dir, cfg, stats_df, empty_viol, baseline_snapshot,
+            viol_counts=viol_counts, violations_dir=spill_final,
+            corpus_schema=corpus_schema, fd_results=fd_results,
+        )
+    viol_tabs = [pq.read_table(p) for p, n in viol_paths if n > 0]
+    viol_all = pa.concat_tables(viol_tabs) if viol_tabs else pa.Table.from_pydict(
+        {f.name: [] for f in viol_schema}, schema=viol_schema
+    )
     viol_all = _sort_violations(_verify_dup_candidates(viol_all, key), empty_refs.out_cols)
     pq.write_table(viol_all, os.path.join(state.unit_dir("rowpass"), "violations.parquet"))
-    fd_results = _run_fd_checks(state, cfg, corpus_path, resume) if cfg.fd_checks else None
     return _finalize_suite(
         state, out_dir, cfg, stats_df, viol_all, baseline_snapshot,
         corpus_schema=corpus_schema, fd_results=fd_results,
@@ -1244,9 +1309,22 @@ def verify_violation_invariant(
         return True
     key = list(cfg.key)
     sep = "\x1f"
-    want: dict[str, str] = {}
-    for r in violations.to_pylist():  # violations are small by constraint
-        want[sep.join(str(r[k]) for k in key)] = r["content_sha256"]
+
+    def _joined_keys(tb: pa.Table) -> list[str]:
+        # ONE canonicalization for both sides — the Arrow cast the scan
+        # mask uses (round-5 review: the want side used Python str(),
+        # which diverges from Arrow for bool/float/timestamp keys —
+        # str(True)='True' vs 'true' — so the is_in mask matched nothing
+        # and valid violations spuriously failed the invariant)
+        parts = [pc.fill_null(pc.cast(tb[k], pa.string()), "None") for k in key]
+        j = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, sep)
+        return j.to_pylist()
+
+    # duplicate keys may record >1 hash — keep them ALL (round-5 review:
+    # a dict collapsed them to the last, leaving earlier rows unchecked)
+    want: dict[str, set] = {}
+    for k_, h_ in zip(_joined_keys(violations), violations["content_sha256"].to_pylist()):
+        want.setdefault(k_, set()).add(h_)
     ds = read_parquet_clean(corpus_path, columns=key + [cfg.content_col])
     import ray
 
@@ -1263,8 +1341,8 @@ def verify_violation_invariant(
 
     got_tbl = as_table(ds.map_batches(pick, batch_format="pyarrow", batch_size=None, zero_copy_batch=True))
     got: dict[str, set] = {}
-    for r in got_tbl.to_pylist():
-        got.setdefault(sep.join(str(r[k]) for k in key), set()).add(r["content_sha256"])
-    # duplicate keys may map to >1 content hash; the recorded hash must be
-    # among the input hashes for that key
-    return all(want[k] in got.get(k, set()) for k in want)
+    for k_, h_ in zip(_joined_keys(got_tbl), got_tbl["content_sha256"].to_pylist()):
+        got.setdefault(k_, set()).add(h_)
+    # EVERY recorded hash for a key must be among the input hashes for
+    # that key (subset, not membership of one)
+    return all(hs <= got.get(k, set()) for k, hs in want.items())

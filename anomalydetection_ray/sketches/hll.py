@@ -46,7 +46,16 @@ def hash64_arrow(arr) -> np.ndarray:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
-    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+    if (
+        pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+        # nested types through the same polars path (round-5 review: the
+        # numpy fallback's dict cache crashed on unhashable list values,
+        # aborting full-schema profiling of any corpus with a list/struct
+        # column)
+        or pa.types.is_list(t) or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t) or pa.types.is_struct(t) or pa.types.is_map(t)
+    ):
         import polars as pl
 
         h = pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64, copy=False)

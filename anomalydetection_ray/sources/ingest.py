@@ -34,7 +34,14 @@ def _cast_block(tb: pa.Table, schema: pa.Schema) -> pa.Table:
             cols.append(tb[f.name].cast(f.type))
         else:
             cols.append(pa.nulls(tb.num_rows, f.type))
-    return pa.Table.from_arrays([c.combine_chunks() for c in cols], schema=schema)
+    # pa.nulls returns a plain Array (no combine_chunks); only chunked
+    # columns need flattening (round-5 review — the missing-column path
+    # crashed with AttributeError the moment a reader stopped
+    # materializing absent keys itself)
+    return pa.Table.from_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
+        schema=schema,
+    )
 
 
 def _csv_options(schema: pa.Schema, on_malformed: str, delimiter: str,

@@ -212,3 +212,16 @@ def test_ingest_feeds_validation_suite(ray_session, tmp_path, code_table):
     by_col = stats.set_index("column")
     assert int(by_col.loc["repo", "count"]) == code_table.num_rows
     assert int(by_col.loc["lang", "nulls"]) == 1
+
+
+def test_cast_block_materializes_missing_columns():
+    """Round-5 review: the advertised missing-column path called
+    combine_chunks on a plain Array (pa.nulls) — AttributeError the
+    moment a reader stops materializing absent keys itself."""
+    from anomalydetection_ray.sources.ingest import _cast_block
+
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    tb = pa.table({"a": pa.array([1, 2], type=pa.int64())})  # 'b' absent
+    out = _cast_block(tb, schema)
+    assert out.schema == schema
+    assert out["b"].null_count == 2

@@ -598,3 +598,181 @@ def test_row_drift_scorer_nulls_score_null(ray_session, clean_corpus, tmp_path):
         concurrency=1,
     ).to_pandas()
     assert scored["drift_score"].isna().tolist() == [False, True, False]
+
+
+def test_bloom_probe_int_repo_with_nulls_no_false_orphans(ray_session, tmp_path):
+    """Round-5 review: np.asarray on a null-bearing INT repo column gave
+    float64 values whose bit-pattern hashes missed the int-built dim
+    Bloom — EVERY valid key in the batch was flagged orphan. The probe
+    must drop nulls first (dtype-preserving), like the build side."""
+    import pyarrow as pa
+
+    from anomalydetection_ray.pipelines.validate import (
+        SuiteConfig,
+        _prepare_rowpass_refs,
+        make_row_violations_fn,
+    )
+
+    dim = pa.table({"repo_id": pa.array([1, 2, 3], type=pa.int64())})
+    dim_path = str(tmp_path / "dim.parquet")
+    pq.write_table(dim, dim_path)
+    cfg = SuiteConfig(
+        key=("id",), partition_by="lang", content_col="content",
+        repo_col="repo_id", dim_key="repo_id", repos_dim_path=dim_path,
+    )
+    refs = _prepare_rowpass_refs(cfg, np.array([], dtype=np.uint64))
+    fn = make_row_violations_fn(cfg, refs)
+    batch = pa.table({
+        "id": pa.array([10, 11, 12, 13], type=pa.int64()),
+        "lang": pa.array(["py"] * 4),
+        "content": pa.array(["a", "b", "c", "d"]),
+        "repo_id": pa.array([1, None, 3, 99], type=pa.int64()),
+    })
+    out = fn(batch)
+    kinds = dict(zip(out["id"].to_pylist(), out["violation_kind"].to_pylist()))
+    # only the null repo and the genuinely-absent 99 are orphans
+    assert kinds == {11: "orphan_repo", 13: "orphan_repo"}
+
+
+def test_violation_invariant_duplicate_keys_and_nonstring_keys(ray_session, tmp_path):
+    """Round-5 review: (a) duplicate-key violations with different hashes
+    collapsed to the last in the want dict, so a corrupted earlier hash
+    passed; (b) Python str() keys diverged from the Arrow cast the scan
+    mask uses for bool/float keys, failing valid violations."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from anomalydetection_ray.pipelines.validate import (
+        SuiteConfig,
+        verify_violation_invariant,
+    )
+
+    corpus = pa.table({
+        "k": pa.array([True, True, False], type=pa.bool_()),
+        "content": pa.array(["c1", "c2", "c3"]),
+    })
+    path = str(tmp_path / "corpus.parquet")
+    pq.write_table(corpus, path)
+    cfg = SuiteConfig(key=("k",), content_col="content")
+    sha = lambda s: hashlib.sha256(s.encode()).hexdigest()
+    good = pa.table({
+        "k": pa.array([True, True], type=pa.bool_()),
+        "content_sha256": pa.array([sha("c1"), sha("c2")]),
+        "violation_kind": pa.array(["duplicate_key"] * 2),
+    })
+    assert verify_violation_invariant(good, path, cfg)  # bool keys work
+    # corrupting EITHER duplicate-key row's hash now fails
+    bad = pa.table({
+        "k": pa.array([True, True], type=pa.bool_()),
+        "content_sha256": pa.array([sha("corrupted"), sha("c2")]),
+        "violation_kind": pa.array(["duplicate_key"] * 2),
+    })
+    assert not verify_violation_invariant(bad, path, cfg)
+
+
+def test_suite_profiles_binary_and_list_columns(ray_session, tmp_path):
+    """Round-5 review: a binary or list column in the corpus schema
+    crashed the whole fused scan in _numeric_view's float64 cast (and
+    list hashing crashed the FNV dict cache). Binary profiles by byte
+    length; nested types profile null structure + polars-hashed
+    distincts."""
+    import pyarrow as pa
+
+    from anomalydetection_ray.checks.stats import column_stats
+    import ray.data as rd
+
+    t = pa.table({
+        "lang": pa.array(["py", "py", "go"]),
+        "blob": pa.array([b"abc", None, b"defgh"], type=pa.binary()),
+        "tags": pa.array([[1, 2], None, [3]], type=pa.list_(pa.int64())),
+    })
+    out = column_stats(
+        rd.from_arrow(t), columns=["blob", "tags"], partition_by=["lang"]
+    ).to_pandas()
+    blob = out[(out["column"] == "blob") & (out["part"] == "py")].iloc[0]
+    assert blob["nulls"] == 1
+    assert blob["vmin"] == 3.0  # byte length of b"abc"
+    tags = out[out["column"] == "tags"]
+    assert int(tags["nulls"].sum()) == 1
+
+
+def test_corpus_files_walks_partitioned_layout(ray_session, tmp_path):
+    """Round-5 review: the engine's own hive-partitioned writer output
+    (lang=xx/part-*.parquet) raised a bare IndexError in _corpus_schema
+    and produced an empty shard basis in run_suite_sharded."""
+    import pyarrow as pa
+
+    from anomalydetection_ray.pipelines.validate import _corpus_files, _corpus_schema
+
+    root = tmp_path / "hive"
+    for lang in ("en", "de"):
+        d = root / f"lang={lang}"
+        d.mkdir(parents=True)
+        pq.write_table(pa.table({"x": [1]}), str(d / "part-0.parquet"))
+    files = _corpus_files(str(root))
+    assert len(files) == 2 and all(f.endswith(".parquet") for f in files)
+    assert _corpus_schema(str(root)).names == ["x"]
+    empty = tmp_path / "empty_dir_x"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no parquet files"):
+        _corpus_schema(str(empty))
+
+
+def test_sharded_suite_spills_above_violation_budget(ray_session, dirty_corpus, tmp_path):
+    """Round-5 review: run_suite_sharded concatenated every shard's
+    violation table on the driver regardless of
+    max_driver_violation_rows. Above the budget it must take the same
+    distributed finalize as run_suite (empty driver table +
+    violations_dir), with identical verdict counts."""
+    from anomalydetection_ray.pipelines.validate import (
+        SuiteConfig,
+        run_suite,
+        run_suite_sharded,
+    )
+
+    d, _ = dirty_corpus
+    base = run_suite(
+        f"{d}/corpus", str(tmp_path / "mem"),
+        SuiteConfig(repos_dim_path=f"{d}/repos.parquet"),
+    )
+    spilled = run_suite_sharded(
+        f"{d}/corpus", str(tmp_path / "spill"),
+        cfg=SuiteConfig(repos_dim_path=f"{d}/repos.parquet", max_driver_violation_rows=4),
+        n_shards=3,
+    )
+    assert spilled.violations_dir is not None
+    # verdict counts identical to the in-memory plan
+    bv = base.verdicts.sort_values(["check", "partition", "column"]).reset_index(drop=True)
+    sv = spilled.verdicts.sort_values(["check", "partition", "column"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        bv[["check", "partition", "metric", "passed"]],
+        sv[["check", "partition", "metric", "passed"]],
+    )
+
+
+def test_write_baseline_empty_corpus(ray_session, tmp_path):
+    """Round-5 review: an empty corpus round-trips through Ray as a
+    column-less frame — write_baseline raised KeyError instead of
+    writing an empty snapshot."""
+    import pyarrow as pa
+
+    from anomalydetection_ray.checks.drift import load_snapshot
+    from anomalydetection_ray.pipelines.validate import write_baseline
+
+    empty = pa.table({
+        "repo": pa.array([], type=pa.string()),
+        "path": pa.array([], type=pa.string()),
+        "commit": pa.array([], type=pa.string()),
+        "lang": pa.array([], type=pa.string()),
+        "content": pa.array([], type=pa.string()),
+    })
+    cp = str(tmp_path / "empty.parquet")
+    pq.write_table(empty, cp)
+    snap = str(tmp_path / "baseline.parquet")
+    write_baseline(cp, snap)
+    back = load_snapshot(snap)
+    assert len(back) == 0
+    assert "column" in back.columns
