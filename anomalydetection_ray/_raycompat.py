@@ -29,6 +29,19 @@ operator already produced — no warning, no divergence flag, tracked
 schema unchanged. Real schema mismatches (fields present on both
 sides) still warn exactly as before.
 
+A second producer of the same cosmetic divergence (round-5): Ray's
+``Project`` physical op — and the ``map_batches`` planner — return
+EMPTY input blocks verbatim without calling the transform
+(``plan_udf_map_op.py`` "For empty input blocks, we directly output
+them without calling the UDF"), so an empty block minted upstream of a
+``select_columns`` keeps its PRE-projection schema (e.g. the
+``vec_id`` column the projection drops) and the executor logs the
+divergence against its projected siblings. Zero rows conform to any
+schema, so the shim extends the same repair to any ZERO-ROW bundle
+whose schema differs from the tracked one: rewrite the bundle's
+schema to the tracked schema, no warning. Non-empty bundles are never
+touched — a genuine mismatch on real rows still warns.
+
 The engine's own lanes all emit schema-carrying batches (see
 ``functions/shuffle.ABSORB_EMPTY_BATCH_SIZE``); this shim covers the
 one producer we cannot reach — the sort's reduce tasks, which run in
@@ -59,7 +72,10 @@ def patch_empty_schema_bundle_divergence() -> bool:
         try:
             old_schema = kwargs["old_schema"] if "old_schema" in kwargs else args[0]
             bundle = kwargs["bundle"] if "bundle" in kwargs else args[1]
-            if not _is_empty_schema(old_schema) and _is_empty_schema(bundle.schema):
+            if not _is_empty_schema(old_schema) and (
+                _is_empty_schema(bundle.schema)
+                or (old_schema != bundle.schema and bundle.num_rows() == 0)
+            ):
                 # a zero-field bundle (empty sort partition) neither
                 # diverges from nor refines the tracked schema — repair
                 # it with the tracked schema (exactly what the original

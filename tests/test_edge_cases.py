@@ -797,6 +797,45 @@ def test_schema_shim_repairs_empty_bundle_with_tracked_schema(ray_session):
     assert out.schema == real  # repaired, so the tracked schema survives
 
 
+def test_schema_shim_repairs_zero_row_bundle_with_stale_schema(ray_session):
+    """Round-5: Ray's Project physical op (and the map_batches planner)
+    return EMPTY blocks verbatim without calling the transform, so an
+    empty block minted upstream of a select_columns keeps its
+    PRE-projection schema (the dropped columns included) and used to log
+    a schema-divergence warning against its projected siblings (observed
+    on mlp_reconstruction_scores' hash_sample->Project at 32 CPUs).
+    Zero rows conform to any schema: the shim must repair such a bundle
+    with the tracked schema, without flagging divergence."""
+    import ray
+    import pyarrow as pa
+    from ray.data._internal.execution import streaming_executor_state as _ses
+    from ray.data._internal.execution.interfaces import RefBundle
+    from ray.data.block import BlockAccessor
+
+    from anomalydetection_ray._raycompat import patch_empty_schema_bundle_divergence
+
+    assert patch_empty_schema_bundle_divergence()
+    # zero rows, STALE schema: still carries the column a projection drops
+    stale = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.string())})
+    meta = BlockAccessor.for_block(stale).get_metadata()
+    bundle = RefBundle(
+        [(ray.put(stale), meta)], owns_blocks=True, schema=stale.schema
+    )
+    tracked = pa.schema([("embedding", pa.string())])
+    out, diverged = _ses.dedupe_schemas_with_validation(tracked, bundle)
+    assert not diverged
+    assert out.schema == tracked
+    # a NON-empty bundle with a genuinely different schema must still warn
+    real = pa.table({"vec_id": [1], "embedding": ["x"]})
+    bundle2 = RefBundle(
+        [(ray.put(real), BlockAccessor.for_block(real).get_metadata())],
+        owns_blocks=True, schema=real.schema,
+    )
+    _, diverged2 = _ses.dedupe_schemas_with_validation(tracked, bundle2)
+    assert diverged2
+
+
 def test_comoment_aggs_null_on_degenerate_groups(ray_session):
     """Round-5 review: covar/corr/regr_* must return NULL (not NaN/inf)
     on n=1 and constant-side groups — DuckDB-verified semantics:
