@@ -825,3 +825,119 @@ def funnel_counts(
     else:
         out["n_users"] = np.zeros(nsteps, dtype=np.int64)
     return out
+
+
+_PERIOD_US = {
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def cohort_retention(
+    ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "day",
+):
+    """Cohort-retention matrix over an event stream: each entity's cohort
+    is the period of its FIRST event; for every (cohort, period_offset)
+    cell, count the distinct entities active in that period (the classic
+    product-analytics retention triangle; SQL equivalent:
+    ``date_trunc`` + per-user ``MIN`` + ``COUNT(DISTINCT)``).
+
+    Plan (scale-first): prune to (key, ts), drop null keys/timestamps
+    (SQL aggregation semantics), truncate to the period start
+    (``pc.floor_temporal`` — 'week' starts Monday, matching DuckDB's
+    ``date_trunc('week')``), and PRE-DEDUP (key, period) per batch
+    before anything moves — at 100 TB an entity has many events per
+    period and only distinct (key, period) pairs matter, so the exchange
+    carries ~16 B per entity-period, never per event. One co-partition
+    by key (``local_group_map``: every entity's periods land whole in
+    one block) computes cohort = min(period) and per-block
+    (cohort, offset) partial counts — correct because after the global
+    (key, period) dedup inside the co-located block each entity
+    contributes exactly one row per active period, so a plain count IS
+    the distinct-entity count. Partials (≤ periods² rows per block) sum
+    on the driver: the retention matrix itself is driver-sized by
+    nature. At multi-year daily granularity prefer ``period="week"`` to
+    keep the matrix small.
+
+    Timestamps must be a temporal type; periods are fixed-width in
+    epoch-µs space (no calendar months — a month period would need
+    calendar arithmetic, not a fixed divisor), so offsets are exact
+    integers by construction.
+
+    Returns a pandas DataFrame (cohort, period_offset, n_active,
+    cohort_size, retention_rate) sorted by (cohort, period_offset),
+    retention_rate rounded to 6 places (= n_active / cohort_size; the
+    offset-0 cell of each cohort is its size, so rate starts at 1.0).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    if period not in _PERIOD_US:
+        raise ValueError(f"period must be one of {sorted(_PERIOD_US)}, got {period!r}")
+    unit_us = _PERIOD_US[period]
+    need = [key, ts_col]
+
+    def bucket(tb: pa.Table) -> pa.Table:
+        m = pc.and_kleene(pc.is_valid(tb[key]), pc.is_valid(tb[ts_col]))
+        tb = tb.filter(pc.coalesce(m, False))
+        p = pc.floor_temporal(tb[ts_col], unit=period).cast(pa.timestamp("us")).cast(pa.int64())
+        out = pa.table({key: tb[key], "__p": p})
+        # pre-dedup (key, period) inside the batch — the wide event
+        # stream never reaches the exchange
+        return pl.from_arrow(out).unique().to_arrow().cast(out.schema)
+
+    base = select_if_needed(ds, need).map_batches(
+        bucket, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    part_schema = pa.schema(
+        [("cohort", pa.int64()), ("period_offset", pa.int64()), ("n_active", pa.int64())]
+    )
+
+    def block(tb: pa.Table) -> pa.Table:
+        if tb.num_rows == 0:
+            return pa.Table.from_pydict({f.name: [] for f in part_schema}, schema=part_schema)
+        df = pl.from_arrow(tb).unique()  # cross-batch (key, period) dups
+        out = (
+            df.with_columns(cohort=pl.col("__p").min().over(key))
+            .with_columns(period_offset=(pl.col("__p") - pl.col("cohort")) // unit_us)
+            .group_by(["cohort", "period_offset"])
+            .agg(pl.len().cast(pl.Int64).alias("n_active"))
+        )
+        return out.select([f.name for f in part_schema]).to_arrow().cast(part_schema)
+
+    parts = local_group_map(base, [key], block, keys_non_null=True)
+    tbs = [t for t in parts.iter_batches(batch_format="pyarrow", batch_size=None) if t.num_rows]
+    if not tbs:
+        return pd.DataFrame(
+            {
+                "cohort": pd.Series([], dtype="datetime64[us]"),
+                "period_offset": pd.Series([], dtype="int64"),
+                "n_active": pd.Series([], dtype="int64"),
+                "cohort_size": pd.Series([], dtype="int64"),
+                "retention_rate": pd.Series([], dtype="float64"),
+            }
+        )
+    summed = (
+        pl.from_arrow(pa.concat_tables(tbs))
+        .group_by(["cohort", "period_offset"])
+        .agg(pl.col("n_active").sum())
+    )
+    sizes = summed.filter(pl.col("period_offset") == 0).select(
+        pl.col("cohort"), pl.col("n_active").alias("cohort_size")
+    )
+    out = (
+        summed.join(sizes, on="cohort", how="inner")
+        .with_columns(
+            retention_rate=(pl.col("n_active").cast(pl.Float64) / pl.col("cohort_size")).round(6)
+        )
+        .sort(["cohort", "period_offset"])
+        .to_pandas()
+    )
+    out["cohort"] = pd.to_datetime(out["cohort"], unit="us").astype("datetime64[us]")
+    for c in ("period_offset", "n_active", "cohort_size"):
+        out[c] = out[c].astype("int64")
+    return out[["cohort", "period_offset", "n_active", "cohort_size", "retention_rate"]]

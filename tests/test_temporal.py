@@ -808,3 +808,100 @@ def test_sessionize_null_ts_matches_sql_oracle(ray_session):
     # s2 = the 12:00 event + the first null row; bounds ignore the null
     assert str(out.loc[1, "session_start"]) == "2024-01-01 12:00:00"
     assert str(out.loc[1, "session_end"]) == "2024-01-01 12:00:00"
+
+
+def test_cohort_retention_duckdb_parity(ray_session, sf_smoke):
+    """Retention triangle vs the full SQL semantics (distinct activity
+    periods -> per-user first period -> COUNT per (cohort, offset)) on
+    the real events table, daily periods."""
+    import duckdb
+    import pandas as pd
+
+    from anomalydetection_ray.functions.temporal import cohort_retention
+    from anomalydetection_ray.sources import read_table
+
+    got = cohort_retention(read_table(sf_smoke, "events"), "user_id", "ts", period="day")
+    want = duckdb.sql(
+        f"""
+        WITH fe AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS p
+          FROM read_parquet('{sf_smoke}/events.parquet')
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        fu AS (SELECT user_id, MIN(p) AS cohort FROM fe GROUP BY user_id),
+        act AS (
+          SELECT f.cohort, date_diff('day', f.cohort, e.p) AS period_offset,
+                 CAST(COUNT(*) AS BIGINT) AS n_active
+          FROM fe e JOIN fu f USING (user_id) GROUP BY 1, 2
+        ),
+        cs AS (SELECT cohort, n_active AS cohort_size FROM act WHERE period_offset = 0)
+        SELECT a.cohort, a.period_offset, a.n_active, c.cohort_size,
+               ROUND(CAST(a.n_active AS DOUBLE) / c.cohort_size, 6) AS retention_rate
+        FROM act a JOIN cs c USING (cohort) ORDER BY 1, 2
+        """
+    ).df()
+    want["cohort"] = want["cohort"].astype("datetime64[us]")
+    for c in ("period_offset", "n_active", "cohort_size"):
+        want[c] = want[c].astype("int64")
+    assert len(got) > 1  # the fixture spans multiple days
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+def test_cohort_retention_weekly_and_nulls(ray_session):
+    """Week periods truncate to Monday (DuckDB date_trunc('week')
+    semantics); null keys and null timestamps are excluded entirely."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import cohort_retention
+
+    ts = pa.array(
+        [
+            np.datetime64("2024-01-03T10:00:00", "us"),  # Wed, week of Mon 1/1
+            np.datetime64("2024-01-10T09:00:00", "us"),  # week of 1/8 (offset 1)
+            np.datetime64("2024-01-16T09:00:00", "us"),  # week of 1/15 (offset 2)
+            np.datetime64("2024-01-09T12:00:00", "us"),  # u2 cohort week 1/8
+            None,  # null ts dropped
+            np.datetime64("2024-01-08T00:00:00", "us"),  # null user dropped
+        ],
+        type=pa.timestamp("us"),
+    )
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2, None], type=pa.int64()),
+            "ts": ts,
+        }
+    )
+    out = cohort_retention(rd.from_arrow(t).repartition(3), "user_id", "ts", period="week")
+    # DuckDB on the same VALUES: cohorts Mon 1/1 (u1) and Mon 1/8 (u2)
+    assert [str(c) for c in out["cohort"]] == [
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:00:00",
+        "2024-01-08 00:00:00",
+    ]
+    assert out["period_offset"].tolist() == [0, 1, 2, 0]
+    assert out["n_active"].tolist() == [1, 1, 1, 1]
+    assert out["cohort_size"].tolist() == [1, 1, 1, 1]
+    assert out["retention_rate"].tolist() == [1.0, 1.0, 1.0, 1.0]
+
+
+def test_cohort_retention_empty_and_bad_period(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import cohort_retention
+
+    t = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.timestamp("us")),
+        }
+    )
+    out = cohort_retention(rd.from_arrow(t), "user_id", "ts")
+    assert len(out) == 0
+    assert list(out.columns) == [
+        "cohort", "period_offset", "n_active", "cohort_size", "retention_rate",
+    ]
+    with pytest.raises(ValueError, match="period"):
+        cohort_retention(rd.from_arrow(t), "user_id", "ts", period="month")
