@@ -1,9 +1,11 @@
 """Deduplication pipelines — exact, MinHash-LSH, SimHash, n-gram Jaccard,
-embedding-cosine, cross-document line/boilerplate. First-class engine features for training-data curation
+embedding-cosine, edit-distance (record linkage), cross-document
+line/boilerplate. First-class engine features for training-data curation
 (the reference has no dedup at all, SURVEY.md §2.7)."""
 
 from .distributed import connected_components
 from .exact import dedup_against_snapshot, exact_dedup
+from .fuzzy import edit_distance_pairs, levenshtein_bytes_batch
 from .lines import line_dedup, line_drop_pairs
 from .semantic import semdedup
 from .substrings import dup_span_stats, duplicated_gram_hashes, strip_dup_spans
@@ -20,6 +22,8 @@ from .neardup import (
 __all__ = [
     "connected_components",
     "semdedup",
+    "edit_distance_pairs",
+    "levenshtein_bytes_batch",
     "exact_dedup",
     "dedup_against_snapshot",
     "line_dedup",
