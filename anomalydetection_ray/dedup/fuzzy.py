@@ -186,11 +186,16 @@ def _emissions_arrays(
 
 
 def _expand_pairs(
-    bk: np.ndarray, ids: np.ndarray, role: np.ndarray, max_block_pairs: int
+    bk: np.ndarray, ids: np.ndarray, role: np.ndarray, max_block_pairs: int,
+    scope: str = "partition",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Distinct candidate (a < b) id pairs from index×probe matches
     within each block-key group — vectorized repeat/ramp expansion, no
-    Python loop over groups."""
+    Python loop over groups. ``max_block_pairs`` caps the pairs THIS
+    CALL materializes (``scope`` names the unit in the error: one
+    co-partition on the distributed rung, the whole corpus on the
+    driver rung — the cap protects the expanding process's memory, so
+    its granularity legitimately follows the plan)."""
     if bk.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     order = np.lexsort((role, bk))
@@ -207,10 +212,12 @@ def _expand_pairs(
     if total > max_block_pairs:
         raise ValueError(
             f"edit_distance_pairs: candidate expansion of {total} pairs in one "
-            f"partition exceeds max_block_pairs={max_block_pairs} (densest segment "
+            f"{scope} exceeds max_block_pairs={max_block_pairs} (densest segment "
             f"bucket alone: {int(per_group.max())}). A hot shared segment — e.g. a "
-            "constant prefix or near-empty keys — is flooding a bucket; normalize/"
-            "lengthen the key column or raise max_block_pairs"
+            "constant prefix or near-empty keys — inflates candidates; normalize/"
+            "lengthen the key column, raise max_block_pairs, or force the "
+            "distributed plan (size_hint_bytes=0), which applies the cap per "
+            "co-partition instead of corpus-wide"
         )
     if total == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -392,7 +399,7 @@ def edit_distance_pairs(
         ids = tb[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         flat, offs = _flat_bytes(tb[key_col])
         bk, ei, ro = _emissions_arrays(flat, offs, ids, k)
-        a, b = _expand_pairs(bk, ei, ro, max_block_pairs)
+        a, b = _expand_pairs(bk, ei, ro, max_block_pairs, scope="corpus (driver rung)")
         order = np.argsort(ids, kind="stable")
         sid = ids[order]
         pos_a = order[np.searchsorted(sid, a)]
@@ -408,6 +415,13 @@ def edit_distance_pairs(
         return rd.from_arrow(out)
 
     from ..functions.shuffle import local_group_map
+
+    # the distributed rung consumes `base` from THREE lazy branches (the
+    # emission scan plus the kv side of both key-attach unions); without
+    # a materialize the read + _prep validation would re-execute once per
+    # branch (round-5 review — the dedup/distributed.py precedent). The
+    # materialized set is the narrow (id, ≤64-byte key) projection.
+    base = base.materialize()
 
     def _emit(tb: pa.Table) -> pa.Table:
         em_schema = pa.schema([("bkey", pa.int64()), ("id", pa.int64()), ("role", pa.int8())])

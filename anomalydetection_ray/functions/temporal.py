@@ -80,6 +80,17 @@ def asof_join(
         # name would crash mid-stream with a confusing polars error
         raise ValueError(f"right_values collide with left columns: {clash}; rename the right side")
     ts_type = left_schema.field(left_ts).type
+    rts_type = right_schema.field(right_ts).type
+    if pa.types.is_temporal(ts_type) != pa.types.is_temporal(rts_type):
+        # the union schema casts the right ts to the LEFT ts type; a
+        # numeric/temporal mix would silently compare raw epoch integers
+        # against rescaled temporal values (round-5 review) — every
+        # match would be wrong rather than loudly rejected
+        raise ValueError(
+            f"asof_join timestamp columns disagree in kind: {left_ts!r} is "
+            f"{ts_type} but {right_ts!r} is {rts_type}; cast one side so both "
+            "are temporal or both are numeric epoch values"
+        )
     out_left = [f for f in left_schema]
     schema = pa.schema(
         [(_SIDE, pa.int8())]
@@ -206,25 +217,27 @@ def rolling_window_agg(
         if len(neq):
             neq[0] = True
         bounds = np.flatnonzero(np.concatenate([neq, [True]]))
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            n_null = int(ts_null[s:e].sum())  # sorted-first prefix
+        # gs/ge, not s/e: `s` above is the polars ts Series and shadowing
+        # it here invites a silent misread (round-5 review)
+        for gs, ge in zip(bounds[:-1], bounds[1:]):
+            n_null = int(ts_null[gs:ge].sum())  # sorted-first prefix
             if n_null:
                 # DuckDB parity: the key's null-ts rows are one peer
                 # group — each frames exactly that group
-                w_count[s : s + n_null] = n_null
-                w_sum[s : s + n_null] = vals[s : s + n_null].sum()
-            v = s + n_null
-            if v == e:
+                w_count[gs : gs + n_null] = n_null
+                w_sum[gs : gs + n_null] = vals[gs : gs + n_null].sum()
+            v = gs + n_null
+            if v == ge:
                 continue
-            seg = ts[v:e]
+            seg = ts[v:ge]
             lo = np.searchsorted(seg, seg - win_us, side="left")
             hi = np.searchsorted(seg, seg, side="right")
-            w_count[v:e] = hi - lo
+            w_count[v:ge] = hi - lo
             # cumsum PER KEY, not per block: a block-wide prefix sum makes
             # w_sum depend on unrelated keys in the same block through
             # float rounding, breaking partitioning-invariance of results
-            csum = np.concatenate([[0.0], np.cumsum(vals[v:e])])
-            w_sum[v:e] = csum[hi] - csum[lo]
+            csum = np.concatenate([[0.0], np.cumsum(vals[v:ge])])
+            w_sum[v:ge] = csum[hi] - csum[lo]
         out = df.with_columns(
             w_count=pl.Series(w_count), w_sum=pl.Series(w_sum)
         )
@@ -342,20 +355,22 @@ def range_join_agg(
             # nulls sort first, and ne_missing(first non-null, last null)
             # is True, so a boundary always sits exactly at n_null_left
             bounds = all_bounds[all_bounds >= n_null_left]
-            for s, e in zip(bounds[:-1], bounds[1:]):
-                probe = lkeys[int(s)]  # python scalar: exact at any int width
+            # gs/ge, not s/e: avoids shadowing series-style short names
+            # used elsewhere in this module (round-5 review)
+            for gs, ge in zip(bounds[:-1], bounds[1:]):
+                probe = lkeys[int(gs)]  # python scalar: exact at any int width
                 rs, re = np.searchsorted(rkeys, probe, side="left"), np.searchsorted(
                     rkeys, probe, side="right"
                 )
                 if rs == re:
                     continue
                 seg = rts[rs:re]
-                a = np.searchsorted(seg, lts[s:e] + lo_us, side="left")
-                b = np.searchsorted(seg, lts[s:e] + hi_us, side="right")
-                rj_count[s:e] = b - a
+                a = np.searchsorted(seg, lts[gs:ge] + lo_us, side="left")
+                b = np.searchsorted(seg, lts[gs:ge] + hi_us, side="right")
+                rj_count[gs:ge] = b - a
                 if right_value:
                     csum = np.concatenate([[0.0], np.cumsum(rvals[rs:re])])
-                    rj_sum[s:e] = csum[b] - csum[a]
+                    rj_sum[gs:ge] = csum[b] - csum[a]
         cols = {c: l[c] for c in left_cols}
         cols["rj_count"] = pl.Series(rj_count)
         if right_value:
@@ -863,10 +878,14 @@ def cohort_retention(
     nature. At multi-year daily granularity prefer ``period="week"`` to
     keep the matrix small.
 
-    Timestamps must be a temporal type; periods are fixed-width in
+    Timestamps must be a NAIVE temporal type; periods are fixed-width in
     epoch-µs space (no calendar months — a month period would need
     calendar arithmetic, not a fixed divisor), so offsets are exact
-    integers by construction.
+    integers by construction. Tz-aware timestamps raise loudly: local
+    days/weeks vary in length across DST transitions, so a fixed
+    divisor would silently merge adjacent offset cells (round-5 review;
+    convert to UTC or strip the zone upstream, where the caller owns
+    the calendar semantics).
 
     Returns a pandas DataFrame (cohort, period_offset, n_active,
     cohort_size, retention_rate) sorted by (cohort, period_offset),
@@ -882,6 +901,13 @@ def cohort_retention(
     need = [key, ts_col]
 
     def bucket(tb: pa.Table) -> pa.Table:
+        t = tb.schema.field(ts_col).type
+        if pa.types.is_timestamp(t) and t.tz is not None:
+            raise ValueError(
+                f"cohort_retention requires naive timestamps; {ts_col!r} is {t}. "
+                "DST makes local periods variable-width, which the fixed-divisor "
+                "offset would mis-bin — convert to UTC or strip the zone upstream"
+            )
         m = pc.and_kleene(pc.is_valid(tb[key]), pc.is_valid(tb[ts_col]))
         tb = tb.filter(pc.coalesce(m, False))
         p = pc.floor_temporal(tb[ts_col], unit=period).cast(pa.timestamp("us")).cast(pa.int64())

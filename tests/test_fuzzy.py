@@ -102,10 +102,11 @@ def test_blocking_completeness_vs_brute_force(ray_session, k):
     enc = [s.encode() for s in strs]
     n = len(strs)
     want = {
-        (i, j, _dp(enc[i], enc[j]))
+        (i, j, d)
         for i in range(n)
         for j in range(i + 1, n)
-        if _dp(enc[i], enc[j]) <= k
+        for d in (_dp(enc[i], enc[j]),)
+        if d <= k
     }
     assert want  # the mutant families guarantee true positives
     t = pa.table({"id": pa.array(range(n), pa.int64()), "key": pa.array(strs)})
@@ -117,9 +118,11 @@ def test_blocking_completeness_vs_brute_force(ray_session, k):
 
 
 def test_duckdb_levenshtein_parity_both_plans(ray_session, sf_oracle):
-    """Both rungs vs DuckDB's byte-level levenshtein over 21-char document
-    prefixes (substr is codepoint-based on both sides; distance is
-    byte-based on both sides) — identical pair sets, identical distances."""
+    """Both rungs vs DuckDB's byte-level levenshtein over 16-codepoint
+    document prefixes (substr is codepoint-based on both sides; distance
+    is byte-based on both sides; 16 codepoints is ≤ 64 bytes even at
+    4-byte UTF-8, so the key cap can never trip on corpus changes) —
+    identical pair sets, identical distances."""
     import duckdb
     import ray.data as rd
 
@@ -128,7 +131,7 @@ def test_duckdb_levenshtein_parity_both_plans(ray_session, sf_oracle):
 
     def keyed(tb: pa.Table) -> pa.Table:
         return pa.table(
-            {"doc_id": tb["doc_id"], "key": pc.utf8_slice_codeunits(tb["text"], 0, 21)}
+            {"doc_id": tb["doc_id"], "key": pc.utf8_slice_codeunits(tb["text"], 0, 16)}
         )
 
     ds = read_table(sf_oracle, "documents").map_batches(
@@ -136,7 +139,7 @@ def test_duckdb_levenshtein_parity_both_plans(ray_session, sf_oracle):
     )
     want = duckdb.sql(
         f"""
-        WITH d AS (SELECT doc_id, substr(text, 1, 21) AS key
+        WITH d AS (SELECT doc_id, substr(text, 1, 16) AS key
                    FROM read_parquet('{sf_oracle}/documents.parquet')
                    WHERE text IS NOT NULL)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,

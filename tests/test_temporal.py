@@ -905,3 +905,45 @@ def test_cohort_retention_empty_and_bad_period(ray_session):
     ]
     with pytest.raises(ValueError, match="period"):
         cohort_retention(rd.from_arrow(t), "user_id", "ts", period="month")
+
+
+def test_cohort_retention_tz_aware_raises(ray_session):
+    """Round-5 review: local days/weeks vary in length across DST, so the
+    fixed-divisor offset would silently merge adjacent cells — tz-aware
+    timestamps must raise, not mis-bin."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import cohort_retention
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1], pa.int64()),
+            "ts": pa.array([0], pa.int64()).cast(pa.timestamp("us", tz="America/New_York")),
+        }
+    )
+    with pytest.raises(Exception, match="naive timestamps"):
+        cohort_retention(rd.from_arrow(t), "user_id", "ts")
+
+
+def test_asof_join_kind_mismatch_raises(ray_session):
+    """Round-5 review: a numeric-left / temporal-right ts pairing used to
+    cast silently, comparing raw epoch integers against rescaled temporal
+    values — must raise up front instead."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.temporal import asof_join
+
+    left = pa.table(
+        {"k": pa.array([1], pa.int64()), "lts": pa.array([1_000_000], pa.int64())}
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1], pa.int64()),
+            "rts": pa.array([np.datetime64("2024-01-01", "ns")], pa.timestamp("ns")),
+            "v": pa.array([1.0]),
+        }
+    )
+    with pytest.raises(ValueError, match="disagree in kind"):
+        asof_join(rd.from_arrow(left), rd.from_arrow(right), "k", "lts", "rts", ["v"])
