@@ -89,7 +89,7 @@ def _mutant_corpus(seed: int, n: int) -> list[str]:
     return strs
 
 
-@pytest.mark.parametrize("k", [0, 2])
+@pytest.mark.parametrize("k", [0, 1, 2, 3])
 def test_blocking_completeness_vs_brute_force(ray_session, k):
     """The PassJoin pigeonhole blocking must be LOSSLESS: every pair the
     O(n²) DP finds must come out of the distributed plan, exactly once,
