@@ -5,7 +5,7 @@ line/boilerplate. First-class engine features for training-data curation
 
 from .distributed import connected_components
 from .exact import dedup_against_snapshot, exact_dedup
-from .fuzzy import edit_distance_pairs, levenshtein_bytes_batch
+from .fuzzy import edit_distance_pairs, fuzzy_dedup, levenshtein_bytes_batch
 from .lines import line_dedup, line_drop_pairs
 from .semantic import semdedup
 from .substrings import dup_span_stats, duplicated_gram_hashes, strip_dup_spans
@@ -23,6 +23,7 @@ __all__ = [
     "connected_components",
     "semdedup",
     "edit_distance_pairs",
+    "fuzzy_dedup",
     "levenshtein_bytes_batch",
     "exact_dedup",
     "dedup_against_snapshot",

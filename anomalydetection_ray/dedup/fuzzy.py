@@ -527,3 +527,44 @@ def edit_distance_pairs(
         return pa.table({"id_a": a, "id_b": b, "dist": dist[keep]}, schema=_OUT_SCHEMA)
 
     return joined.map_batches(_verify, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def fuzzy_dedup(
+    ds,
+    id_col: str,
+    key_col: str,
+    k: int = 2,
+    driver_merge_max_bytes: int = 256 << 20,
+    size_hint_bytes: int | None = None,
+    max_block_pairs: int = 16_000_000,
+):
+    """DEDUP tail over :func:`edit_distance_pairs`: keep only the min-id
+    row of every edit-distance-≤k connected component of key strings —
+    the record-linkage dedup (near-identical titles/names/URLs) with the
+    same survivor convention as the SimHash/MinHash family (component =
+    transitive closure of the pair graph, survivor = min member id).
+
+    Thin composition of already-verified pieces: the similarity join
+    emits the exact pair graph, ``cluster_drop_ids`` contracts each edge
+    block to a spanning star and finishes with one driver union-find (or
+    min-label propagation above its budget — the contracted graph is
+    bounded by the duplicated-row count, not the edge count), and
+    ``shuffle_anti_join`` removes the drops without anything O(corpus)
+    touching the driver."""
+    from .distributed import cluster_drop_ids, shuffle_anti_join
+
+    pairs = edit_distance_pairs(
+        ds, id_col, key_col, k,
+        driver_merge_max_bytes=driver_merge_max_bytes,
+        size_hint_bytes=size_hint_bytes,
+        max_block_pairs=max_block_pairs,
+    )
+
+    def as_edges(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": tb["id_a"], "b": tb["id_b"]},
+            schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+        )
+
+    edges = pairs.map_batches(as_edges, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    return shuffle_anti_join(ds, id_col, cluster_drop_ids(edges))

@@ -217,3 +217,75 @@ def test_dense_bucket_guard(ray_session):
         edit_distance_pairs(
             rd.from_arrow(t), "id", "key", k=1, max_block_pairs=100
         ).to_pandas()
+
+
+def test_fuzzy_dedup_survivors_match_union_find_reference(ray_session, sf_oracle):
+    """fuzzy_dedup = min-id survivor per edit-distance component. The
+    pair graph is DuckDB-paritied separately (test above), so the
+    reference closure is a python union-find over those same pairs."""
+    import duckdb
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup import fuzzy_dedup
+    from anomalydetection_ray.sources import read_table
+
+    def keyed(tb: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": tb["doc_id"], "key": pc.utf8_slice_codeunits(tb["text"], 0, 16)}
+        )
+
+    ds = read_table(sf_oracle, "documents").map_batches(
+        keyed, batch_format="pyarrow", batch_size=None
+    )
+    pairs = duckdb.sql(
+        f"""
+        WITH d AS (SELECT doc_id, substr(text, 1, 16) AS key
+                   FROM read_parquet('{sf_oracle}/documents.parquet')
+                   WHERE text IS NOT NULL)
+        SELECT a.doc_id AS ia, b.doc_id AS ib
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.key, b.key) <= 2
+        """
+    ).df()
+    all_ids = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sf_oracle}/documents.parquet')"
+    ).df()["doc_id"].tolist()
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for ia, ib in pairs.values.tolist():
+        ra, rb = find(ia), find(ib)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    drops = {i for i in all_ids if find(i) != i}
+    want = sorted(set(all_ids) - drops)
+
+    got = sorted(
+        fuzzy_dedup(ds, "doc_id", "key", k=2).to_pandas()["doc_id"].tolist()
+    )
+    assert got == want
+    assert len(want) < len(all_ids)  # the corpus really has fuzzy dups
+
+
+def test_fuzzy_dedup_hand_case(ray_session):
+    """Transitive chain a~b~c collapses to one survivor even when a and c
+    are farther than k apart."""
+    import ray.data as rd
+
+    from anomalydetection_ray.dedup import fuzzy_dedup
+
+    t = pa.table(
+        {
+            "id": pa.array([10, 5, 7, 99], pa.int64()),
+            # 5~7 (dist 1), 7~10 (dist 1), 5 vs 10 dist 2 > k=1; 99 alone
+            "key": pa.array(["abcdx", "abcde", "abcdz", "zzzzz"]),
+        }
+    )
+    out = sorted(fuzzy_dedup(rd.from_arrow(t), "id", "key", k=1).to_pandas()["id"].tolist())
+    assert out == [5, 99]
