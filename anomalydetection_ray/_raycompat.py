@@ -72,7 +72,15 @@ def patch_empty_schema_bundle_divergence() -> bool:
         try:
             old_schema = kwargs["old_schema"] if "old_schema" in kwargs else args[0]
             bundle = kwargs["bundle"] if "bundle" in kwargs else args[1]
-            if not _is_empty_schema(old_schema) and (
+            enforce = kwargs.get(
+                "enforce_schemas", args[3] if len(args) > 3 else False
+            )
+            # under enforce_schemas=True (non-default) the original
+            # UNIFIES the diverging schemas, so a zero-row bundle that
+            # legitimately carries a NEW column must still widen the
+            # tracked schema — delegate rather than repair (round-5
+            # review)
+            if not enforce and not _is_empty_schema(old_schema) and (
                 _is_empty_schema(bundle.schema)
                 or (old_schema != bundle.schema and bundle.num_rows() == 0)
             ):

@@ -120,13 +120,18 @@ class NumpyLogReg:
         lr: float = 2.0,
         l2: float = 1e-4,
     ) -> "NumpyLogReg":
+        if not len(texts):
+            # same loud contract as train_distributed: an empty labeled
+            # sample must not yield a vacuous all-0.5 scorer (round-5
+            # review)
+            raise ValueError("train_logreg: empty training set")
         y = np.asarray(labels, dtype=np.float64)
         lengths, idx, data = _sparse_rows(pa.array(texts, type=pa.string()),
                                           sizes, n_buckets, token_hash, seed)
         x = np.zeros((len(texts), n_buckets))
         rows = np.repeat(np.arange(len(texts)), lengths)
         x[rows, idx] = data
-        n = max(len(texts), 1)
+        n = len(texts)
         w, b = np.zeros(n_buckets), 0.0
         for _ in range(epochs):
             p = _sigmoid(x @ w + b)
@@ -160,7 +165,7 @@ class NumpyLogReg:
         BEFORE each update, same pass as the gradients)."""
         import ray
 
-        from .shuffle import select_if_needed
+        from .shuffle import ABSORB_EMPTY_BATCH_SIZE, select_if_needed
 
         def featurize(tb: pa.Table) -> pa.Table:
             texts = tb[text_col]
@@ -178,8 +183,14 @@ class NumpyLogReg:
                 "y": y,
             })
 
+        # ABSORB_EMPTY_BATCH_SIZE, not None: an empty input block would
+        # bypass the UDF (Ray returns empty blocks verbatim) and pin its
+        # raw (text, label) schema inside the materialized working set,
+        # then re-surface unfeaturized in every epoch's gradient pass
+        # (round-5 review; same contract as score_quality below)
         work = select_if_needed(ds, [text_col, label_col]).map_batches(
-            featurize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            featurize, batch_format="pyarrow", batch_size=ABSORB_EMPTY_BATCH_SIZE,
+            zero_copy_batch=True
         ).materialize()
         n_total = work.count()
         if n_total == 0:
@@ -220,7 +231,8 @@ class NumpyLogReg:
             gb_sum = 0.0
             loss_sum = 0.0
             for blk in work.map_batches(
-                gpart, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+                gpart, batch_format="pyarrow", batch_size=ABSORB_EMPTY_BATCH_SIZE,
+                zero_copy_batch=True
             ).iter_batches(batch_format="pyarrow", batch_size=None):
                 for raw in blk["gw"].to_pylist():
                     gw_sum += np.frombuffer(raw, dtype=np.float64)

@@ -216,7 +216,12 @@ class NumpyVAE:
         ``fixed_count_sample`` of the corpus (a few GB of vectors says
         everything a 10-param-per-dim model can absorb), never the
         whole stream."""
-        work = ds.select_columns([vec_col, id_col]).materialize()
+        from .shuffle import select_if_needed
+
+        # select_if_needed, not select_columns: a Project op directly
+        # after ReadParquet breaks read->map fusion (shuffle.py:46) and
+        # the CLI train path already prunes columns at the read
+        work = select_if_needed(ds, [vec_col, id_col]).materialize()
         first = work.take_batch(1, batch_format="pyarrow")
         d = int(len(first[vec_col][0]))
         params = cls._init_params(d, hidden, latent, seed)
@@ -468,7 +473,12 @@ class NumpyProjectionHead:
         contract as the VAE trainer: train on a sampled projection (the
         materialized pin is the epoch-reread working set), score/
         transform the full corpus with :func:`project_latent`."""
-        work = ds.select_columns([vec_col, id_col]).materialize()
+        from .shuffle import select_if_needed
+
+        # select_if_needed, not select_columns: a Project op directly
+        # after ReadParquet breaks read->map fusion (shuffle.py:46) and
+        # the CLI train path already prunes columns at the read
+        work = select_if_needed(ds, [vec_col, id_col]).materialize()
         first = work.take_batch(1, batch_format="pyarrow")
         d = int(len(first[vec_col][0]))
         params = cls._init_params(d, hidden, proj, seed)

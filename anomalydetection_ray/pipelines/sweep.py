@@ -168,7 +168,10 @@ def run_sweep(
     newly-executed trial, tagged with the trial id and params. A failing
     trial is recorded (``status="failed"``) and excluded from best
     selection under ``on_error="record"`` (Optuna's trial-pruning
-    analog); ``on_error="raise"`` propagates.
+    analog); ``on_error="raise"`` propagates. A failed marker does not
+    count as completed: the next rerun RETRIES that trial and
+    overwrites its marker, so transient failures cannot silently
+    exclude a config forever.
     """
     if direction not in ("max", "min"):
         raise ValueError("direction must be 'max' or 'min'")
@@ -198,12 +201,25 @@ def run_sweep(
                 # edited space/seed against the same state_dir otherwise
                 # silently returns the OLD sweep's results (round-5
                 # review). Compare in JSON form (the marker round-trips
-                # tuples to lists and numpy scalars to python).
-                if _jsonable(m.get("params")) == _jsonable(params):
+                # tuples to lists and numpy scalars to python). A
+                # status='failed' marker does NOT resume: a transient
+                # failure (OOM, preemption — exactly what state_dir
+                # exists to survive) would otherwise be skipped forever
+                # and silently excluded from best selection; the retry
+                # overwrites the marker either way (round-5 review).
+                if (
+                    _jsonable(m.get("params")) == _jsonable(params)
+                    and m.get("status", "ok") != "failed"
+                ):
                     trials.append(
                         TrialRecord(
                             trial_id=i,
-                            params=m.get("params", params),
+                            # report the in-memory params, not the
+                            # JSON-normalized marker copy — a resume must
+                            # not turn tuples into lists in best_params
+                            # (round-5 review; the match above guarantees
+                            # they are the same values)
+                            params=params,
                             metrics=m.get("trial_metrics", {}),
                             status=m.get("status", "ok"),
                             error=m.get("error"),

@@ -900,3 +900,31 @@ def test_with_global_rank_rejects_final_name_collision(ray_session):
     # a prefix resolves it
     out = with_global_rank(ds, "x", prefix="x_")
     assert "x_rank" in out.schema().names
+
+
+def test_schema_shim_delegates_under_enforce_schemas(ray_session):
+    """Round-5 review: under enforce_schemas=True the original function
+    UNIFIES diverging schemas, so a zero-row bundle carrying a NEW
+    column must still widen the tracked schema — the shim must delegate,
+    not repair."""
+    import ray
+    import pyarrow as pa
+    from ray.data._internal.execution import streaming_executor_state as _ses
+    from ray.data._internal.execution.interfaces import RefBundle
+    from ray.data.block import BlockAccessor
+
+    from anomalydetection_ray._raycompat import patch_empty_schema_bundle_divergence
+
+    assert patch_empty_schema_bundle_divergence()
+    extra = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.string())})
+    bundle = RefBundle(
+        [(ray.put(extra), BlockAccessor.for_block(extra).get_metadata())],
+        owns_blocks=True, schema=extra.schema,
+    )
+    tracked = pa.schema([("embedding", pa.string())])
+    out, diverged = _ses.dedupe_schemas_with_validation(
+        tracked, bundle, warn=False, enforce_schemas=True
+    )
+    assert diverged
+    assert set(out.schema.names) == {"embedding", "vec_id"}  # widened, not repaired

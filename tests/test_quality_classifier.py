@@ -168,3 +168,16 @@ def test_stage_scores_null_text_as_null(ray_session, tmp_path):
     p = out["quality_prob"]
     assert p[0].is_valid and p[2].is_valid
     assert not p[1].is_valid
+
+
+def test_dense_train_empty_set_raises():
+    """Round-5 review: the dense path must fail as loudly as the
+    distributed one — an empty labeled sample used to return a vacuous
+    all-0.5 scorer."""
+    import numpy as np
+    import pytest
+
+    from anomalydetection_ray.functions.quality_classifier import NumpyLogReg
+
+    with pytest.raises(ValueError, match="empty training set"):
+        NumpyLogReg.train([], np.array([]))

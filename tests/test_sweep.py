@@ -107,16 +107,27 @@ def test_sweep_resume_skips_completed_trials(tmp_path):
     assert [t.status for t in first.trials] == ["ok", "ok", "failed", "ok"]
     assert first.best_params == {"k": 4}
 
-    # rerun: completed trials (including the recorded FAILURE) are read
-    # back from their markers; trial_fn is never re-invoked
+    # rerun: COMPLETED trials are read back from their markers without
+    # re-invoking trial_fn, but the FAILED trial is retried (round-5
+    # review — a transient failure must not be excluded forever), and
+    # the transient error has cleared, so it now completes and rejoins
+    # best selection
     second = run_sweep(trial, space, state_dir=sd)
-    assert calls == [1, 2, 3, 4]
-    assert all(t.resumed for t in second.trials)
-    assert [t.status for t in second.trials] == ["ok", "ok", "failed", "ok"]
+    assert calls == [1, 2, 3, 4, 3]
+    assert [t.resumed for t in second.trials] == [True, True, False, True]
+    assert [t.status for t in second.trials] == ["ok", "ok", "ok", "ok"]
     assert second.best_params == {"k": 4}
-    # exactly one lineage record per executed trial, not per run
+    # one lineage record per EXECUTED trial: 4 from the first run + the
+    # retry of the failed one
     lines = [line for line in open(os.path.join(sd, "metrics.jsonl")) if line.strip()]
-    assert len(lines) == 4
+    assert len(lines) == 5
+
+    # third run: everything (including the recovered trial) resumes from
+    # markers; trial_fn is never invoked again
+    third = run_sweep(trial, space, state_dir=sd)
+    assert calls == [1, 2, 3, 4, 3]
+    assert all(t.resumed for t in third.trials)
+    assert third.best_params == {"k": 4}
 
 
 def test_sweep_error_and_nan_handling(tmp_path):
@@ -274,3 +285,19 @@ def test_random_accepts_string_tuple_axes():
         random_configs({"x": 7}, 2)
     with pytest.raises(ValueError, match="non-empty"):
         random_configs({"x": ()}, 2)
+
+
+def test_sweep_resume_keeps_param_types(tmp_path):
+    """Round-5 review: resumed trials must report the in-memory params,
+    not the JSON-normalized marker copy — a resume used to turn tuple
+    params into lists in best_params."""
+    def trial(params):
+        return float(sum(params["layers"]))
+
+    space = {"layers": [(64, 32), (128,)]}
+    sd = str(tmp_path / "s")
+    first = run_sweep(trial, space, state_dir=sd)
+    second = run_sweep(trial, space, state_dir=sd)
+    assert all(t.resumed for t in second.trials)
+    assert second.best_params == first.best_params == {"layers": (128,)}
+    assert isinstance(second.best_params["layers"], tuple)
