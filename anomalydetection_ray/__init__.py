@@ -53,6 +53,18 @@ import sys as _sys
 if "default_worker.py" in (_sys.argv[0] if _sys.argv else ""):
     _os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
+# Import polars EAGERLY (after the thread cap above) rather than leaving
+# the first import to whichever UDF touches it mid-task: a lazy first
+# import inside a running map task raced Ray worker-side module loading
+# and intermittently yielded a PARTIALLY-initialized polars
+# ("module 'polars._reexport' has no attribute 'Series'"), aborting
+# whole pipelines nondeterministically (observed on the curate CLI at
+# sf0.01, ~50% of runs). Every process that can run a UDF imports this
+# package first (UDF deserialization), so completing polars here
+# guarantees every later `import polars` — module-level or
+# function-local — returns the fully-initialized module.
+import polars as _pl  # noqa: F401  (imported for the side effect)
+
 # High-cardinality grouped operators (uniqueness counts, LSH buckets, exact
 # dedup) rely on repartition(keys=...) which Ray Data only supports under
 # the hash-shuffle strategy; it also scales better than sort-based shuffle

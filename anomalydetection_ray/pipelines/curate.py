@@ -74,14 +74,22 @@ def curate_corpus(
     if dedup not in ("none", "exact", "exact+simhash"):
         raise ValueError(f"dedup must be none|exact|exact+simhash, got {dedup!r}")
 
+    # must precede EVERY dataset creation below: a Dataset snapshots the
+    # DataContext, so shuffle knobs tuned later never reach the dedup
+    # stages' hash shuffles (round-5 review — the documented small-
+    # cluster aggregator deadlock hit the flagship curate path)
+    from .. import tune_shuffle_to_cluster
+
+    tune_shuffle_to_cluster()
+
     cols = [id_col, text_col] + ([partition_col] if partition_col else [])
     ds = read_parquet_clean(table_path, columns=sorted(set(cols)))
     n_in = ds.count()
 
-    if normalize:
-        def norm(tb: pa.Table) -> pa.Table:
-            return normalize_text_batch(strip_markup_batch(tb, text_col), text_col)
+    def norm(tb: pa.Table) -> pa.Table:
+        return normalize_text_batch(strip_markup_batch(tb, text_col), text_col)
 
+    if normalize:
         ds = ds.map_batches(norm, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
     def gate(tb: pa.Table) -> pa.Table:
@@ -118,6 +126,14 @@ def curate_corpus(
 
     if bench_path is not None:
         bench = read_parquet_clean(bench_path, columns=[text_col])
+        if normalize:
+            # the corpus side was normalized above, so the bench text
+            # must pass through the SAME rewrite — raw-vs-normalized
+            # token n-grams would otherwise miss true overlaps and let
+            # benchmark leakage survive (round-5 review)
+            bench = bench.map_batches(
+                norm, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            )
         ds = decontaminate(ds, text_col, bench, n=decon_n, mode=decon_mode)
 
     if snapshot_path is not None:
@@ -154,11 +170,19 @@ def curate_corpus(
     if partition_col:
         from ..sources.writer import write_partitioned
 
+        import pandas as pd
+
         report = write_partitioned(ds, out_dir, partition_col, resume=resume)
-        written = report[~report["skipped"]]
-        summary["rows_out"] = int(written["rows"].fillna(0).sum())
+        # rows_out counts EVERY surviving partition — resumed ones report
+        # their marker-recorded counts (round-5 review: excluding them
+        # made a fully-resumed run report rows_out=0 against the full
+        # rows_in)
+        summary["rows_out"] = int(report["rows"].fillna(0).sum())
         summary["partitions"] = {
-            str(r["partition"]): {"rows": None if r["skipped"] else int(r["rows"]), "skipped": bool(r["skipped"])}
+            str(r["partition"]): {
+                "rows": None if pd.isna(r["rows"]) else int(r["rows"]),
+                "skipped": bool(r["skipped"]),
+            }
             for _, r in report.iterrows()
         }
     else:

@@ -39,6 +39,7 @@ semantics, ``np.percentile`` at ``end_to_end_prediction.py:447``);
 from __future__ import annotations
 
 import json
+import math
 import os
 from dataclasses import dataclass
 from functools import partial
@@ -225,13 +226,33 @@ def end_to_end_predict(
     state = RunState(out_dir)
     scored_dir = os.path.join(state.unit_dir("scored"), "parquet")
 
-    if not (resume and state.is_done("scored")):
+    from ..sources.writer import count_parquet_rows
+
+    def _scored_checkpoint_intact() -> bool:
+        # marker + payload agreement: a crash between clean_parquet_dir
+        # and mark_done in a NON-resume rerun would otherwise leave the
+        # old marker vouching for partial shards (round-5 review) —
+        # trust the marker only when the footers' row count matches its
+        # recorded rows
+        meta = state.done_metrics("scored")
+        if meta is None:
+            return False
+        try:
+            return count_parquet_rows(scored_dir) == int(meta.get("metrics", {}).get("rows", -1))
+        except Exception:
+            return False
+
+    if not (resume and _scored_checkpoint_intact()):
+        # drop the stale marker BEFORE touching the payload, so a crash
+        # mid-recompute cannot resurrect it over partial data
+        state.invalidate("scored")
         if isinstance(log_input, str):
             from ..sources.logs import read_log_lines
 
             ds = read_log_lines(log_input, cfg.max_lines)
         else:
-            ds = log_input.limit(cfg.max_lines) if cfg.max_lines else log_input
+            # `is not None`: max_lines=0 must mean zero rows, not "all"
+            ds = log_input.limit(cfg.max_lines) if cfg.max_lines is not None else log_input
         ds = ds.map_batches(_parse_stage, batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True)
         if cfg.template_mode == "mined":
             # sharded evolving miner: mine group partials (small-bounded),
@@ -310,12 +331,7 @@ def end_to_end_predict(
         # (write_parquet uses per-execution UUID names), double-counting
         clean_parquet_dir(scored_dir)
         ds.write_parquet(scored_dir)
-        n_scored = sum(
-            pq.read_metadata(os.path.join(scored_dir, f)).num_rows
-            for f in os.listdir(scored_dir)
-            if f.endswith(".parquet")
-        )
-        state.mark_done("scored", {"rows": n_scored})
+        state.mark_done("scored", {"rows": count_parquet_rows(scored_dir)})
 
     scored = rd.read_parquet(scored_dir)
     phi = cfg.threshold_percentile / 100.0
@@ -331,12 +347,16 @@ def end_to_end_predict(
         from ..sketches import KLL
 
         sk = KLL(512)
+        n_seen = 0
         for tb in (
             scored.select_columns(["anomaly_score"])
             .iter_batches(batch_format="pyarrow", batch_size=None)
         ):
+            n_seen += tb.num_rows
             sk = sk.update(np.asarray(tb["anomaly_score"], dtype=np.float64))
-        threshold = float(sk.quantile(phi))
+        # empty scored set: an empty sketch quantile is NaN — match the
+        # exact branch's explicit inf (nothing can exceed the threshold)
+        threshold = float(sk.quantile(phi)) if n_seen else float("inf")
     else:
         col = scored.select_columns(["anomaly_score"]).to_pandas()["anomaly_score"].to_numpy()
         threshold = float(np.percentile(col, cfg.threshold_percentile)) if len(col) else float("inf")
@@ -361,13 +381,29 @@ def end_to_end_predict(
     # result via streaming partial sums
     from ..functions.metrics import classification_metrics
 
-    final_ds = rd.read_parquet(final_dir, columns=["label", "anomaly_score", "anomaly_prediction"])
+    # prune both reads: the confusion counts need two columns, the report
+    # four — shipping the full final-table width (text/log/params/...)
+    # through three executions is exactly the M6 waste the readers module
+    # forbids (round-5 review)
+    final_ds = rd.read_parquet(final_dir, columns=["label", "anomaly_prediction"])
     metrics = classification_metrics(final_ds, "label", "anomaly_prediction")
-    _write_report(rd.read_parquet(final_dir), os.path.join(out_dir, "report"))
+    _write_report(
+        rd.read_parquet(
+            final_dir,
+            columns=["label", "anomaly_score", "anomaly_prediction", "template"],
+        ),
+        os.path.join(out_dir, "report"),
+    )
     n_rows = int(metrics["tp"] + metrics["fp"] + metrics["tn"] + metrics["fn"])
     metrics["threshold"] = threshold
     metrics["anomaly_count"] = int(metrics["tp"] + metrics["fp"])
+    # strict-JSON files: an inf/NaN threshold (empty scored set) would
+    # serialize as the non-RFC literals Infinity/NaN and break non-Python
+    # consumers — write null there; the in-process result keeps the float
+    def _finite_or_none(v):
+        return None if isinstance(v, float) and not math.isfinite(v) else v
+
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=2, sort_keys=True)
-    state.mark_done("final", {"rows": n_rows, "threshold": threshold})
+        json.dump({k: _finite_or_none(v) for k, v in metrics.items()}, f, indent=2, sort_keys=True)
+    state.mark_done("final", {"rows": n_rows, "threshold": _finite_or_none(threshold)})
     return PredictResult(out_dir=out_dir, final_path=final_dir, threshold=threshold, metrics=metrics, n_rows=n_rows)

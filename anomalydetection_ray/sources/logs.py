@@ -32,7 +32,8 @@ def read_log_lines(path: str, max_lines: int | None = None):
     import ray.data as rd
 
     ds = rd.read_text(path)
-    return ds.limit(max_lines) if max_lines else ds
+    # `is not None`: max_lines=0 must mean zero rows, not "all"
+    return ds.limit(max_lines) if max_lines is not None else ds
 
 
 def parse_label_batch(batch: pa.Table, line_col: str = "text") -> pa.Table:

@@ -304,7 +304,31 @@ def write_partitioned(
         }
         for part, info in sorted(summary.items())
     ]
+    # skipped partitions report their TRUE counts from the _DONE marker
+    # they were skipped on (round-5 review — rows=None made a resumed
+    # run's rows_out under-report the surviving corpus, 0 on a full
+    # resume); an unreadable marker degrades to None, never a wrong count
     rows += [
-        {"partition": v, "rows": None, "files": None, "skipped": True} for v in sorted(skipped, key=str)
+        {"partition": v, "rows": r, "files": fl, "skipped": True}
+        for v in sorted(skipped, key=str)
+        for r, fl in (_done_partition_counts(out_dir, partition_col, v),)
     ]
     return pd.DataFrame(rows, columns=["partition", "rows", "files", "skipped"])
+
+
+def _done_partition_counts(out_dir: str, col: str, value) -> tuple:
+    """(rows, files) recorded in a completed partition's ``_DONE`` marker
+    (count line + JSON manifest line), or (None, None) when unreadable."""
+    try:
+        path = os.path.join(out_dir, _part_dirname(col, value), _DONE)
+        with open(path) as f:
+            first = f.readline().strip()
+            second = f.readline().strip()
+        n = int(first)
+        files = None
+        if second:
+            names = json.loads(second).get("files") or []
+            files = len(names) if names else None
+        return n, files
+    except Exception:
+        return None, None

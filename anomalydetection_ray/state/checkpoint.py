@@ -69,8 +69,20 @@ class RunState:
         try:
             with open(self._marker(unit)) as f:
                 return json.load(f)
-        except FileNotFoundError:
+        except (FileNotFoundError, json.JSONDecodeError, UnicodeDecodeError, OSError):
+            # a truncated/corrupt/externally-touched marker means NOT
+            # done — resume paths must fall back to recompute, not crash
+            # permanently on every rerun (round-5 review)
             return None
+
+    def invalidate(self, unit: str) -> None:
+        """Remove a unit's ``_DONE`` marker (if any) BEFORE recomputing
+        its payload, so a crash mid-recompute can never leave a stale
+        marker vouching for partial data (round-5 review)."""
+        try:
+            os.remove(self._marker(unit))
+        except FileNotFoundError:
+            pass
 
     def lineage_append(self, record: dict) -> None:
         path = os.path.join(self.out_dir, "metrics.jsonl")

@@ -71,6 +71,46 @@ def test_curate_corpus_end_to_end(ray_session, tmp_path):
     assert all(p["skipped"] for p in summary2["partitions"].values())
     after = {d: sorted(os.listdir(os.path.join(out, d))) for d in os.listdir(out)}
     assert before == after
+    # round-5 review: a fully-resumed run must still report the true
+    # surviving corpus (marker-recorded counts), not rows_out=0
+    assert summary2["rows_out"] == summary["rows_out"] == 3
+    assert all(p["rows"] == 1 for p in summary2["partitions"].values())
+
+
+def test_curate_bench_normalized_like_corpus(ray_session, tmp_path):
+    """Round-5 review: the bench set must pass through the SAME
+    normalization as the corpus — a mojibake benchmark doc whose damaged
+    form appears verbatim in the corpus must still be caught after the
+    corpus copy is repaired."""
+    from anomalydetection_ray.pipelines.curate import curate_corpus
+
+    true_acc = " ".join(f"caf{chr(0xE9)}{i}" for i in range(30))
+    damaged = true_acc.encode("utf-8").decode("cp1252")
+    clean = " ".join(f"tok{i}" for i in range(30))
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [clean, damaged],  # damaged normalizes to true_acc
+            "lang": ["en", "fr"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(rows), os.path.join(str(tmp_path), "d.parquet"))
+    # the bench carries the SAME damaged text: raw-vs-normalized hashing
+    # used to miss this overlap entirely
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame({"text": [damaged]})),
+        os.path.join(str(tmp_path), "b.parquet"),
+    )
+    out = str(tmp_path / "curated_bn")
+    summary = curate_corpus(
+        os.path.join(str(tmp_path), "d.parquet"), out,
+        bench_path=os.path.join(str(tmp_path), "b.parquet"),
+    )
+    assert summary["rows_out"] == 1  # the leaked doc is gone
+    import ray.data as rd
+
+    back = rd.read_parquet(out).to_pandas()
+    assert back["doc_id"].tolist() == [1]
 
 
 def test_curate_unpartitioned_and_bloom(ray_session, tmp_path):

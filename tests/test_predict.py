@@ -328,3 +328,55 @@ def test_cli_score_all_methods(ray_session, tmp_path, capsys):
         # the planted outliers must be flagged for the multivariate scorers
         if method == "mahalanobis":
             assert got.sort_values("vec_id")["anomaly_prediction"].to_numpy()[:6].all()
+
+
+def test_stale_scored_marker_triggers_recompute(ray_session, log_file, tmp_path):
+    """Round-5 review: a marker whose recorded row count disagrees with
+    the shards on disk (crash between the payload wipe and mark_done)
+    must NOT be trusted on resume — the scored stage recomputes."""
+    import glob
+    import os
+
+    from anomalydetection_ray.pipelines.predict import PredictConfig, end_to_end_predict
+
+    path, info = log_file
+    out = str(tmp_path / "stale")
+    r1 = end_to_end_predict(path, out, PredictConfig())
+    # simulate the partial-payload state: remove one scored shard while
+    # the old marker still vouches for the full row count
+    shards = glob.glob(os.path.join(out, "scored", "parquet", "*.parquet"))
+    assert shards
+    os.remove(shards[0])
+    r2 = end_to_end_predict(path, out, PredictConfig(), resume=True)
+    assert r2.n_rows == r1.n_rows  # recomputed, not served from partial data
+    assert r2.metrics["tp"] == r1.metrics["tp"]
+
+
+def test_max_lines_zero_means_zero(ray_session, log_file):
+    """Round-5 review: max_lines=0 used to read the WHOLE log (falsy
+    check); it must mean zero rows."""
+    from anomalydetection_ray.sources.logs import read_log_lines
+
+    path, _ = log_file
+    assert read_log_lines(path, max_lines=0).count() == 0
+    assert read_log_lines(path, max_lines=None).count() > 0
+
+
+def test_corrupt_done_marker_means_not_done(tmp_path):
+    """Round-5 review: a truncated/corrupt _DONE marker must read as
+    not-done (recompute), not crash every rerun."""
+    from anomalydetection_ray.state import RunState
+
+    st = RunState(str(tmp_path))
+    st.mark_done("u", {"rows": 3})
+    assert st.done_metrics("u") is not None
+    # corrupt it the way a power loss would
+    with open(os.path.join(str(tmp_path), "u", "_DONE"), "w") as f:
+        f.write('{"unit": "u", "metr')
+    assert st.done_metrics("u") is None
+    assert not st.is_done_compat("u")
+    # invalidate() drops a marker so recompute can never resurrect it
+    st.mark_done("u", {"rows": 3})
+    st.invalidate("u")
+    assert st.done_metrics("u") is None
+    st.invalidate("u")  # idempotent on a missing marker
