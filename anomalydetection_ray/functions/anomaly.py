@@ -67,13 +67,22 @@ def mahalanobis_scores(
     src = ds if carry is None else select_if_needed(ds, list(dict.fromkeys(carry + [vec_col])))
 
     def score(tb: pa.Table) -> pa.Table:
+        if out_col in tb.column_names:
+            # loud, near the cause: appending a duplicate field crashes
+            # far downstream with a confusing error (round-5 review)
+            raise ValueError(f"mahalanobis_scores: input already has column {out_col!r}")
         x = (np.empty((0, d)) if tb.num_rows == 0
              else list_column_to_matrix(tb[vec_col]).astype(np.float64))
         dev = x - mean
         m = np.einsum("ij,ij->i", dev @ prec, dev)
         return tb.append_column(out_col, pa.array(m, type=pa.float64()))
 
-    scored = src.map_batches(score, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    from .shuffle import ABSORB_EMPTY_BATCH_SIZE
+
+    # ABSORB: empty blocks must carry the scored schema (round-5 review)
+    scored = src.map_batches(
+        score, batch_format="pyarrow", batch_size=ABSORB_EMPTY_BATCH_SIZE, zero_copy_batch=True
+    )
     return scored, mean, cov
 
 
@@ -242,6 +251,12 @@ def isolation_forest_scores(
             self.vec_col, self.out_col = vec_col, out_col
 
         def __call__(self, tb: pa.Table) -> pa.Table:
+            if self.out_col in tb.column_names:
+                # re-running the scorer over already-scored data would
+                # append a duplicate field (round-5 review)
+                raise ValueError(
+                    f"isolation_forest_scores: input already has column {self.out_col!r}"
+                )
             if tb.num_rows == 0:
                 return tb.append_column(self.out_col, pa.array([], type=pa.float64()))
             x = list_column_to_matrix(tb[self.vec_col])

@@ -222,12 +222,10 @@ def ivf_topk_cosine(
     reproducible at any parallelism."""
     import ray
 
-    sample_tbl = deterministic_hash_sample(
-        ds, id_col, [id_col, vec_col], train_sample, seed,
+    cent = train_centroids_from_dataset(
+        ds, id_col, vec_col, n_cells, train_sample, seed,
         empty_msg="empty dataset: no rows to train IVF centroids on",
     )
-    sample = list_column_to_matrix(sample_tbl[vec_col].combine_chunks())
-    cent = train_centroids(sample, n_cells, seed=seed)
     cref = ray.put(cent)
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     from .shuffle import sized_actor_concurrency
@@ -367,7 +365,12 @@ def kmeans_assign(ds, centers: np.ndarray, vec_col: str = "embedding", out_col: 
         d2 = (x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ c.T) + (c * c).sum(axis=1)
         return batch.append_column(out_col, pa.array(d2.argmin(axis=1).astype(np.int64)))
 
-    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    from .shuffle import ABSORB_EMPTY_BATCH_SIZE
+
+    # ABSORB: empty blocks must carry the assigned schema (round-5 review)
+    return ds.map_batches(
+        assign, batch_format="pyarrow", batch_size=ABSORB_EMPTY_BATCH_SIZE, zero_copy_batch=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -458,8 +461,11 @@ def pq_encode(ds, id_col: str, vec_col: str, codebooks: np.ndarray, out_col: str
         lst = pa.FixedSizeListArray.from_arrays(pa.array(codes.reshape(-1), type=pa.uint8()), m)
         return pa.table({id_col: batch[id_col], out_col: lst})
 
+    from .shuffle import ABSORB_EMPTY_BATCH_SIZE
+
+    # ABSORB: empty blocks must carry the encoded schema (round-5 review)
     return _sel(ds, [id_col, vec_col]).map_batches(
-        encode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        encode, batch_format="pyarrow", batch_size=ABSORB_EMPTY_BATCH_SIZE, zero_copy_batch=True
     )
 
 
@@ -573,8 +579,11 @@ def ivfpq_encode(ds, id_col: str, vec_col: str, centroids: np.ndarray, codebooks
         lst = pa.FixedSizeListArray.from_arrays(pa.array(codes.reshape(-1), type=pa.uint8()), m)
         return pa.table({id_col: batch[id_col], "cell": pa.array(cell), "pq_code": lst})
 
+    from .shuffle import ABSORB_EMPTY_BATCH_SIZE
+
+    # ABSORB: empty blocks must carry the encoded schema (round-5 review)
     return _sel(ds, [id_col, vec_col]).map_batches(
-        encode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        encode, batch_format="pyarrow", batch_size=ABSORB_EMPTY_BATCH_SIZE, zero_copy_batch=True
     )
 
 
@@ -764,8 +773,12 @@ def knn_outlier_scores(
 
     from .shuffle import sized_actor_concurrency
 
+    # materialize the narrow (id, vec) projection ONCE: the gather below
+    # and the scoring map would otherwise EACH execute the full upstream
+    # pipeline (round-5 review; the bytes pinned equal the broadcast)
+    narrow = _sel(ds, [id_col, vec_col]).materialize()
     gathered, tabs = 0, []
-    for blk in _sel(ds, [id_col, vec_col]).iter_batches(batch_format="pyarrow", batch_size=None):
+    for blk in narrow.iter_batches(batch_format="pyarrow", batch_size=None):
         if blk.num_rows == 0:
             continue
         gathered += blk.nbytes
@@ -786,9 +799,11 @@ def knn_outlier_scores(
         raise ValueError("knn_outlier_scores: id column must be unique")
     m = _normalize(list_column_to_matrix(corpus[vec_col].combine_chunks()))
     store = ray.put((ids, m))
-    # sims panel = batch x N float64; solve batch for ~64 MB
-    bs = int(max(32, min(4096, (64 << 20) // max(8 * corpus.num_rows, 1))))
-    return _sel(ds, [id_col, vec_col]).map_batches(
+    # sims panel = batch x N float64; solve batch for ~64 MB. Floor 1,
+    # not 32 (round-5 review): near the broadcast cap a 32-row floor
+    # inflated the panel up to 8x past the documented budget
+    bs = int(max(1, min(4096, (64 << 20) // max(8 * corpus.num_rows, 1))))
+    return narrow.map_batches(
         _ExactKnnScorer,
         fn_constructor_args=(id_col, vec_col, store, k),
         batch_format="pyarrow",
@@ -799,14 +814,14 @@ def knn_outlier_scores(
 
 
 def train_centroids_from_dataset(
-    ds, id_col: str, vec_col: str, n_cells: int, train_sample: int = 10_000, seed: int = 42
+    ds, id_col: str, vec_col: str, n_cells: int, train_sample: int = 10_000, seed: int = 42,
+    empty_msg: str = "empty dataset: no rows to train centroids on",
 ) -> np.ndarray:
     """Deterministic hash-rate-sampled centroid training (the shared
     discipline of ``ivf_topk_cosine``): :func:`deterministic_hash_sample`
     + seeded Lloyd on the gathered sorted sample."""
     sample_tbl = deterministic_hash_sample(
-        ds, id_col, [id_col, vec_col], train_sample, seed,
-        empty_msg="empty dataset: no rows to train centroids on",
+        ds, id_col, [id_col, vec_col], train_sample, seed, empty_msg=empty_msg,
     )
     sample = list_column_to_matrix(sample_tbl[vec_col].combine_chunks())
     return train_centroids(sample, n_cells, seed=seed)
@@ -878,6 +893,14 @@ def _knn_cell_block(id_col: str, vec_col: str, k: int):
         bounds = np.flatnonzero(np.diff(cells[order])) + 1
         for grp in np.split(order, bounds):
             c = grp[cand[grp]]
+            if len(c):
+                # presence sentinels: every row's argmax (candidate) copy
+                # emits ONE -inf partial, so rows whose probed cells hold
+                # no non-self candidate still reach the reduce instead of
+                # silently vanishing, and the reduce's duplicate-id guard
+                # can count argmax copies (round-5 review)
+                out_i.append(ids[c])
+                out_s.append(np.full(len(c), -np.inf))
             if len(c) == 0 or len(grp) == 0:
                 continue
             sims = m[grp] @ m[c].T  # (q, cand)
@@ -911,8 +934,27 @@ def _knn_reduce_block(id_col: str, k: int):
                     "knn_mean_dist": pa.array([], type=pa.float64()),
                 }
             )
+        df = pl.from_arrow(tb)
+        # each row's argmax copy emitted exactly one -inf sentinel, so >1
+        # sentinel per id means duplicate ids — silently-merged partials
+        # and wrong scores otherwise (the exact path raises the same way)
+        sent = df.filter(pl.col("sim") == float("-inf"))
+        if sent.height:
+            per_id = sent.group_by(id_col).len()
+            if int(per_id["len"].max()) > 1:
+                raise ValueError(
+                    f"knn_outlier_scores_ivf: duplicate ids in {id_col!r} "
+                    "(each row must have a unique id)"
+                )
+        # drop sentinels for rows with real partials; an ISOLATED row
+        # (no non-self candidate in any probed cell) keeps its sentinel
+        # and scores knn_dist = +inf — maximal outlierness, not absence
+        df = df.filter(
+            pl.col("sim").is_finite()
+            | (pl.col("sim").max().over(id_col) == float("-inf"))
+        )
         out = (
-            pl.from_arrow(tb)
+            df
             .sort([id_col, "sim"], descending=[False, True])
             .with_columns(pl.col("sim").cum_count().over(id_col).alias("__rn"))
             .filter(pl.col("__rn") <= k)
@@ -961,7 +1003,11 @@ def knn_outlier_scores_ivf(
        row's global top-k and emits the scores.
 
     ``n_probe == n_cells`` degenerates to exact (every pair meets);
-    recall at the defaults is gated >= 0.9 in tests. Skewed cells
+    recall at the defaults is gated >= 0.9 in tests. Every input row is
+    scored: a row whose probed cells hold no non-self candidate scores
+    ``knn_dist = +inf`` (maximal outlierness — exactly the isolated rows
+    an outlier scorer must flag) rather than silently dropping out, and
+    duplicate ids raise like the exact path. Skewed cells
     concentrate in single blocks — the documented range-partition
     contract (``local_group_map``); raise ``n_cells`` if one cell holds
     a corpus-scale cluster."""

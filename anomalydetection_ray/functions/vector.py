@@ -79,7 +79,11 @@ def explode_list_column(
         col = tb[list_col]
         flat = pc.list_flatten(col)
         parent = pc.list_parent_indices(col)
-        out = tb.drop_columns([list_col]).take(parent)
+        # build column-wise (round-5 review): taking a ZERO-column table
+        # (carry=[] / single-column input) yields num_rows=0, and
+        # append_column then crashed on the length mismatch
+        carried = tb.drop_columns([list_col])
+        cols = {c: carried[c].take(parent) for c in carried.column_names}
         if index_col is not None:
             p = parent.to_numpy(zero_copy_only=False)
             starts = np.zeros(len(p), dtype=np.int64)
@@ -87,13 +91,19 @@ def explode_list_column(
                 new_run = np.flatnonzero(np.diff(p)) + 1
                 starts[new_run] = new_run
                 np.maximum.accumulate(starts, out=starts)
-            out = out.append_column(index_col, pa.array(np.arange(len(p)) - starts, type=pa.int64()))
-        return out.append_column(value_col, flat)
+            cols[index_col] = pa.array(np.arange(len(p)) - starts, type=pa.int64())
+        cols[value_col] = flat
+        return pa.table(cols)
 
-    from .shuffle import select_if_needed
+    from .shuffle import ABSORB_EMPTY_BATCH_SIZE, select_if_needed
 
+    # ABSORB_EMPTY_BATCH_SIZE: an empty block would bypass the UDF and
+    # keep the INPUT schema (list column included), diverging from its
+    # exploded siblings (round-5 review)
     src = ds if need is None else select_if_needed(ds, need)
-    return src.map_batches(fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    return src.map_batches(
+        fn, batch_format="pyarrow", batch_size=ABSORB_EMPTY_BATCH_SIZE, zero_copy_batch=True
+    )
 
 
 def cosine_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -150,9 +160,14 @@ def grouped_centroids(ds, group_col: str, vec_col: str, num_blocks: int | None =
             }
         )
 
+    from .shuffle import select_if_needed
+
+    # prune to the two consumed columns — a wide corpus otherwise ships
+    # every column into a stage that reads two (round-5 review)
     parts = [
         t
-        for t in ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        for t in select_if_needed(ds, [group_col, vec_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .iter_batches(batch_format="pyarrow", batch_size=None)
         if t.num_rows
     ]
@@ -190,7 +205,13 @@ def unpivot_long(ds, keys: list[str], value_cols: list[str], var_col: str = "nam
     vtype = vtypes[0]
     for t in vtypes[1:]:
         if t != vtype:
-            if all(pa.types.is_integer(x) or pa.types.is_floating(x) for x in (vtype, t)):
+            if all(pa.types.is_signed_integer(x) for x in (vtype, t)):
+                # int/int mixes stay integral (round-5 review: widening
+                # int32+int64 to float64 silently corrupted values > 2^53)
+                vtype = pa.int64()
+            elif all(pa.types.is_unsigned_integer(x) for x in (vtype, t)):
+                vtype = pa.uint64()
+            elif all(pa.types.is_integer(x) or pa.types.is_floating(x) for x in (vtype, t)):
                 vtype = pa.float64()
             else:
                 raise ValueError(
@@ -212,10 +233,11 @@ def unpivot_long(ds, keys: list[str], value_cols: list[str], var_col: str = "nam
             parts.append(pa.Table.from_arrays(cols, schema=out_schema))
         return pa.concat_tables(parts) if parts else out_schema.empty_table()
 
-    from .shuffle import select_if_needed
+    from .shuffle import ABSORB_EMPTY_BATCH_SIZE, select_if_needed
 
+    # ABSORB: empty blocks must emit the melted schema, not the wide one
     return select_if_needed(ds, list(dict.fromkeys(keys + value_cols))).map_batches(
-        melt, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        melt, batch_format="pyarrow", batch_size=ABSORB_EMPTY_BATCH_SIZE, zero_copy_batch=True
     )
 
 
@@ -287,7 +309,7 @@ def distributed_pca(ds, vec_col: str, k: int, carry: list[str] | None = None):
     reproducible across runs and block layouts. Rows whose vector is
     null or ragged-width raise — same loud-failure contract as
     ``list_column_to_matrix``."""
-    from .shuffle import select_if_needed
+    from .shuffle import ABSORB_EMPTY_BATCH_SIZE, select_if_needed
 
     carry = carry or []
     need = list(dict.fromkeys([vec_col] + carry))
@@ -318,6 +340,7 @@ def distributed_pca(ds, vec_col: str, k: int, carry: list[str] | None = None):
         return pa.table(cols)
 
     proj = select_if_needed(ds, need).map_batches(
-        project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        # ABSORB: empty blocks must carry the projected schema
+        project, batch_format="pyarrow", batch_size=ABSORB_EMPTY_BATCH_SIZE, zero_copy_batch=True
     )
     return proj, mean, w

@@ -124,3 +124,56 @@ def test_guards(ray_session):
         knn_outlier_scores(
             rd.from_pandas(_frame(m)).filter(expr="vec_id < 0"), "vec_id", "embedding"
         )
+
+
+def test_ivf_isolated_row_scores_inf_not_dropped(ray_session):
+    """Round-5 review: a row whose probed cells hold no non-self
+    candidate used to vanish from the output entirely; it must score
+    knn_dist = +inf (maximal outlierness)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.similarity import knn_outlier_scores_ivf
+
+    rng = np.random.default_rng(5)
+    # a tight cluster + one far-away isolate; few cells, n_probe=1 so the
+    # isolate probes only its own (singleton) cell
+    cluster = rng.normal(0, 0.01, size=(30, 4)) + np.array([1.0, 0, 0, 0])
+    iso = np.array([[-100.0, -100.0, -100.0, -100.0]])
+    vecs = np.vstack([cluster, iso])
+    t = pa.table({
+        "id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": [row.tolist() for row in vecs],
+    })
+    out = knn_outlier_scores_ivf(
+        rd.from_arrow(t).repartition(3), "id", k=3, n_cells=4, n_probe=1, train_sample=31,
+    ).to_pandas()
+    assert len(out) == len(vecs)  # EVERY row scored
+    iso_row = out[out["id"] == len(vecs) - 1]
+    # either scored against real candidates (if it shares a cell) or inf;
+    # it must be the most outlying row either way
+    assert iso_row["knn_dist"].iloc[0] == out["knn_dist"].max()
+
+
+def test_ivf_duplicate_ids_raise(ray_session):
+    """Round-5 review: the IVF path must reject duplicate ids like the
+    exact path, not silently merge their partials."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.similarity import knn_outlier_scores_ivf
+
+    rng = np.random.default_rng(6)
+    vecs = rng.normal(size=(12, 4))
+    ids = list(range(11)) + [0]  # duplicate id 0
+    t = pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "embedding": [row.tolist() for row in vecs],
+    })
+    with pytest.raises(Exception, match="duplicate ids"):
+        knn_outlier_scores_ivf(
+            rd.from_arrow(t), "id", k=2, n_cells=2, n_probe=2, train_sample=12
+        ).to_pandas()

@@ -411,3 +411,48 @@ def test_equi_depth_buckets_duckdb_parity(ray_session):
     assert gm["v_bucket"].between(1, 7).all()
     # equal values share a bucket
     assert (gm.groupby("v")["v_bucket"].nunique() == 1).all()
+
+
+def test_explode_single_column_and_empty_carry(ray_session):
+    """Round-5 review: exploding a list column with no carried columns
+    crashed on a zero-column take (Arrow length mismatch)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.vector import explode_list_column
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    t = pa.table({"xs": [[1, 2, 3], [], None, [4]]})
+    out = as_table(
+        explode_list_column(rd.from_arrow(t), "xs", value_col="x", index_col="i")
+    ).to_pandas().sort_values(["x"]).reset_index(drop=True)
+    assert out["x"].tolist() == [1, 2, 3, 4]
+    assert out["i"].tolist() == [0, 1, 2, 0]
+    # carry=[] takes the same path explicitly
+    t2 = pa.table({"id": [7, 8], "xs": [[5], [6]]})
+    out2 = as_table(
+        explode_list_column(rd.from_arrow(t2), "xs", value_col="x", index_col=None, carry=[])
+    ).to_pandas().sort_values("x")
+    assert out2.columns.tolist() == ["x"] and out2["x"].tolist() == [5, 6]
+
+
+def test_unpivot_int_mix_stays_integral(ray_session):
+    """Round-5 review: int32+int64 value columns used to widen to
+    float64, corrupting values above 2^53."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from anomalydetection_ray.functions.vector import unpivot_long
+    from anomalydetection_ray.pipelines.queries import as_table
+
+    big = (1 << 60) + 1  # not representable in float64
+    t = pa.table({
+        "k": pa.array(["a"], pa.string()),
+        "v32": pa.array([7], pa.int32()),
+        "v64": pa.array([big], pa.int64()),
+    })
+    out = as_table(
+        unpivot_long(rd.from_arrow(t), ["k"], ["v32", "v64"])
+    ).to_pandas().sort_values("name")
+    assert out["value"].dtype == "int64"
+    assert out["value"].tolist() == [7, big]
